@@ -1,0 +1,403 @@
+"""Pallas flash attention for TPU (forward + backward).
+
+TPU-native replacement for the FlashAttention-2 CUDA dependency the reference
+engages via ``attn_implementation="flash_attention_2"`` (reference:
+mm/forget.py:86, mm/eval.py:201, nlp/forget.py:102, README.md:40-42).
+
+Design (written blockwise so a later ring-attention extension over ICI is a
+wrapper, per SURVEY.md §5):
+
+- grid ``(batch, q_heads, q_blocks)``; K/V streamed per (batch, kv_head) into
+  VMEM once and looped over in ``BLOCK_K`` tiles with an online softmax;
+- GQA handled in the BlockSpec index map (q head ``h`` reads kv head
+  ``h // group``) — no materialized head broadcast;
+- padding handled with a per-token ``kv_mask`` (left- or right-padding) and
+  causal masking with a ``q_offset`` so the same kernel serves prefill and
+  KV-cache decode;
+- fp32 accumulation on the MXU (``preferred_element_type``), bf16 I/O;
+- custom VJP with two Pallas backward kernels (dq; dk/dv), flash-style
+  recomputation from the saved logsumexp.
+
+On non-TPU backends ``flash_attention`` falls back to the XLA reference
+implementation (same math, fused by XLA) so the whole framework runs on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; absent on some CPU-only installs
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+_NEG_INF = -1e30
+
+
+def _pick_block(seq: int, pref: int) -> int:
+    b = min(pref, seq)
+    while seq % b:
+        b //= 2
+    return max(b, 1)
+
+
+# ---------------------------------------------------------------------------
+# Reference (XLA) implementation — ground truth for tests and CPU fallback
+# ---------------------------------------------------------------------------
+
+
+def mha_reference(q, k, v, kv_mask=None, *, causal=False, q_offset=0, sm_scale=None):
+    """Plain XLA attention with identical masking semantics.
+
+    q: [B, Hq, Sq, D]; k, v: [B, Hkv, Sk, D]; kv_mask: [B, Sk] (1 = valid).
+    ``q_offset`` positions query i at absolute index ``q_offset + i`` for
+    causal masking (KV-cache decode).
+    """
+    B, Hq, Sq, D = q.shape
+    Hkv = k.shape[1]
+    if sm_scale is None:
+        sm_scale = D**-0.5
+    group = Hq // Hkv
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * sm_scale
+    mask = jnp.ones((B, 1, Sq, k.shape[2]), dtype=bool)
+    if kv_mask is not None:
+        mask &= kv_mask[:, None, None, :].astype(bool)
+    if causal:
+        qi = jnp.arange(Sq)[:, None] + q_offset
+        ki = jnp.arange(k.shape[2])[None, :]
+        mask &= (qi >= ki)[None, None]
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    # fully-masked rows: softmax over -inf row is uniform garbage; zero it
+    any_valid = mask.any(axis=-1, keepdims=True)
+    p = jnp.where(any_valid, p, 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, causal, block_k, q_offset):
+    qi = pl.program_id(2)
+    block_q = q_ref.shape[2]
+    sk = k_ref.shape[2]
+    nk = sk // block_k
+
+    q = q_ref[0, 0]  # [Bq, D], input dtype feeds the MXU natively
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_offset
+
+    def body(j, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [Bq, Bk]
+
+        valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
+        if causal:
+            k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            valid = valid & (q_pos >= k_pos)
+        s = jnp.where(valid, s, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # explicit re-mask: for a fully-masked row m_new == _NEG_INF and
+        # exp(s - m_new) would be exp(0) == 1 on the masked entries
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    if causal:
+        # skip fully-future K blocks (ceil so partial blocks are kept)
+        nk_eff = jnp.minimum(nk, pl.cdiv((qi + 1) * block_q + q_offset, block_k))
+    else:
+        nk_eff = nk
+    m, l, acc = jax.lax.fori_loop(0, nk_eff, body, (m0, l0, acc0))
+
+    l_safe = jnp.where(l > 0, l, 1.0)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    lse = jnp.where(l > 0, m + jnp.log(l_safe), _NEG_INF)
+    lse_ref[0, 0] = lse
+
+
+def _fwd(q, k, v, kv_mask, *, causal, q_offset, sm_scale, block_q, block_k, interpret):
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Sk, _ = k.shape
+    group = Hq // Hkv
+    block_q = _pick_block(Sq, block_q)
+    block_k = _pick_block(Sk, block_k)
+    nq = Sq // block_q
+
+    grid = (B, Hq, nq)
+    out_shape = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),
+    ]
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal, block_k=block_k, q_offset=q_offset
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda b, h, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret or pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+    )(q, k, v, kv_mask)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref, *, sm_scale, causal, block_k, q_offset):
+    qi = pl.program_id(2)
+    block_q = q_ref.shape[2]
+    sk = k_ref.shape[2]
+    nk = sk // block_k
+
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_offset
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+
+    def body(j, dq):
+        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
+        valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
+        if causal:
+            k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            valid = valid & (q_pos >= k_pos)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        return dq + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        nk_eff = jnp.minimum(nk, pl.cdiv((qi + 1) * block_q + q_offset, block_k))
+    else:
+        nk_eff = nk
+    dq = jax.lax.fori_loop(0, nk_eff, body, dq0)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, sm_scale, causal, block_q, q_offset):
+    ki = pl.program_id(2)
+    block_k = k_ref.shape[2]
+    sq = q_ref.shape[2]
+    nq = sq // block_q
+
+    k_blk = k_ref[0, 0]  # [Bk, D]
+    v_blk = v_ref[0, 0]
+    valid_k = mask_ref[0, :, pl.ds(ki * block_k, block_k)].astype(jnp.bool_)
+
+    dk0 = jnp.zeros(k_blk.shape, jnp.float32)
+    dv0 = jnp.zeros(v_blk.shape, jnp.float32)
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
+        valid = valid_k
+        if causal:
+            q_pos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_offset
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            valid = valid & (q_pos >= k_pos)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * sm_scale
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    if causal:
+        # first q block that can see this k block
+        start = jnp.maximum(0, (ki * block_k - q_offset) // block_q)
+    else:
+        start = 0
+    dk, dv = jax.lax.fori_loop(start, nq, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(causal, q_offset, sm_scale, block_q, block_k, interpret, res, g):
+    q, k, v, kv_mask, o, lse = res
+    do, _ = g
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Sk, _ = k.shape
+    group = Hq // Hkv
+    bq = _pick_block(Sq, block_q)
+    bk = _pick_block(Sk, block_k)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)  # [B,Hq,Sq,1]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_k=bk, q_offset=q_offset),
+        grid=(B, Hq, Sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret or pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+    )(q, k, v, kv_mask, do, lse, delta)
+
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=bq, q_offset=q_offset),
+        grid=(B, Hq, Sk // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, Sq, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i: (b, h // group, i, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i: (b, h // group, i, 0)),
+            pl.BlockSpec((1, 1, Sk), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Sq, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq, 1), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Sq, 1), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sk, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sk, D), q.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret or pltpu is None else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+    )(q, k, v, kv_mask, do, lse, delta)
+
+    if group > 1:
+        dk = dk_h.reshape(B, Hkv, group, Sk, D).sum(axis=2).astype(k.dtype)
+        dv = dv_h.reshape(B, Hkv, group, Sk, D).sum(axis=2).astype(v.dtype)
+    else:
+        dk, dv = dk_h, dv_h
+    return dq, dk, dv, None
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, kv_mask, causal, q_offset, sm_scale, block_q, block_k, interpret):
+    o, _ = _fwd(
+        q, k, v, kv_mask,
+        causal=causal, q_offset=q_offset, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return o
+
+
+def _flash_fwd(q, k, v, kv_mask, causal, q_offset, sm_scale, block_q, block_k, interpret):
+    o, lse = _fwd(
+        q, k, v, kv_mask,
+        causal=causal, q_offset=q_offset, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return o, (q, k, v, kv_mask, o, lse)
+
+
+def _flash_bwd(causal, q_offset, sm_scale, block_q, block_k, interpret, res, g):
+    return _bwd(causal, q_offset, sm_scale, block_q, block_k, interpret, res, (g, None))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q,
+    k,
+    v,
+    kv_mask=None,
+    *,
+    causal: bool = False,
+    q_offset: int = 0,
+    sm_scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    impl: str = "auto",
+):
+    """Fused multi-head attention.
+
+    Args:
+      q: [B, Hq, Sq, D]; k, v: [B, Hkv, Sk, D] with Hq % Hkv == 0 (GQA).
+      kv_mask: [B, Sk] validity mask (1 = attend), handles left/right padding.
+      causal: causal masking with absolute positions (see q_offset).
+      q_offset: absolute position of q[0] (KV-cache decode).
+      impl: 'pallas' | 'xla' | 'interpret' | 'auto' (pallas on TPU else xla).
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return mha_reference(q, k, v, kv_mask, causal=causal, q_offset=q_offset, sm_scale=sm_scale)
+    if kv_mask is None:
+        kv_mask = jnp.ones((q.shape[0], k.shape[2]), jnp.int32)
+    kv_mask = kv_mask.astype(jnp.int32).reshape(q.shape[0], 1, k.shape[2])
+    return _flash(
+        q, k, v, kv_mask, causal, q_offset, sm_scale, block_q, block_k, impl == "interpret"
+    )

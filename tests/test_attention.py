@@ -1,0 +1,108 @@
+"""Flash-attention kernel equivalence tests (Pallas interpret vs XLA reference).
+
+The reference gets these guarantees from FlashAttention-2's own test suite;
+here the Pallas kernels are validated against the XLA math directly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_unlearning_tpu.ops import flash_attention, mha_reference
+
+
+def make_qkv(rng, B=2, Hq=4, Hkv=4, Sq=128, Sk=128, D=32, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(B, Hq, Sq, D)), dtype)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, Sk, D)), dtype)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, Sk, D)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_reference(rng, causal):
+    q, k, v = make_qkv(rng)
+    out_p = flash_attention(q, k, v, causal=causal, impl="interpret")
+    out_r = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-5, rtol=2e-5)
+
+
+def test_forward_left_padding_mask(rng):
+    q, k, v = make_qkv(rng, B=2, Sq=128, Sk=128)
+    # left padding: first 37 kv positions invalid in row 0, 5 in row 1
+    kv_mask = np.ones((2, 128), np.int32)
+    kv_mask[0, :37] = 0
+    kv_mask[1, :5] = 0
+    kv_mask = jnp.asarray(kv_mask)
+    out_p = flash_attention(q, k, v, kv_mask, causal=True, impl="interpret")
+    out_r = mha_reference(q, k, v, kv_mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-5, rtol=2e-5)
+
+
+def test_gqa_head_mapping(rng):
+    q, k, v = make_qkv(rng, Hq=8, Hkv=2)
+    out_p = flash_attention(q, k, v, causal=True, impl="interpret")
+    out_r = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-5, rtol=2e-5)
+
+
+def test_decode_q_offset(rng):
+    """Single-query decode step against full-sequence reference."""
+    B, H, S, D = 2, 4, 128, 32
+    q_full, k, v = make_qkv(rng, B=B, Hq=H, Hkv=H, Sq=S, Sk=S, D=D)
+    pos = 100
+    q_step = q_full[:, :, pos : pos + 1, :]
+    out_step = flash_attention(q_step, k, v, causal=True, q_offset=pos, impl="interpret")
+    out_full = mha_reference(q_full, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out_step[:, :, 0]), np.asarray(out_full[:, :, pos]), atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_reference(rng, causal):
+    q, k, v = make_qkv(rng, B=1, Hq=2, Hkv=2, Sq=128, Sk=128, D=32)
+    kv_mask = np.ones((1, 128), np.int32)
+    kv_mask[0, :11] = 0
+    kv_mask = jnp.asarray(kv_mask)
+
+    def loss_p(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_mask, causal=causal, impl="interpret") ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, kv_mask, causal=causal) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_gradients_gqa(rng):
+    q, k, v = make_qkv(rng, B=1, Hq=4, Hkv=2, Sq=64, Sk=64, D=32)
+
+    def loss_p(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, impl="interpret") ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_fully_masked_rows_no_nan(rng):
+    q, k, v = make_qkv(rng, B=1, Hq=2, Hkv=2, Sq=64, Sk=64)
+    kv_mask = jnp.zeros((1, 64), jnp.int32)  # everything masked
+
+    out = flash_attention(q, k, v, kv_mask, impl="interpret")
+    assert not np.isnan(np.asarray(out)).any()
+
+    g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v, kv_mask, impl="interpret")))(q)
+    assert not np.isnan(np.asarray(g)).any()
