@@ -1,0 +1,242 @@
+"""Llama-family decoder (RMSNorm + RoPE + SwiGLU + GQA), pure-functional JAX.
+
+Covers the reference's decoder families (llama2-7b, mistral, phi, stablelm,
+pythia surfaces in config/model_config.yaml) as one parametric architecture.
+
+TPU-first choices:
+- layer params are *stacked* along a leading L dim and the forward runs a
+  single ``lax.scan`` over layers → O(1) HLO size, fast compiles, natural
+  per-layer rematerialization (``remat=True`` ≙ gradient_checkpointing);
+- attention runs through the Pallas flash kernel (ops/attention.py);
+- LoRA is applied inside each projection (y = x·W + s·(x·A)·B), never
+  materializing merged weights (reference merges via peft:
+  mm/finetune.py:129-133 — here merging is a checkpoint-time op);
+- KV cache is a pytree of [L, B, Hkv, Smax, D] arrays updated with
+  ``dynamic_update_slice`` under the same scan;
+- single-token decode routes to the XLA path (bandwidth-bound; no point
+  launching the flash kernel for Sq=1).
+
+Activation capture for RMU (reference: mm/trainer.py:302-326 uses forward
+hooks on layer 7) is a ``capture_layer`` argument — the scan carry keeps the
+selected layer's hidden states, no hook machinery needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_unlearning_tpu.ops.attention import flash_attention
+from multimodal_unlearning_tpu.ops.rope import apply_rope, rope_table
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_registry(cls, arch) -> "LlamaConfig":
+        return cls(
+            vocab_size=int(arch["vocab_size"]),
+            hidden_size=int(arch["hidden_size"]),
+            intermediate_size=int(arch["intermediate_size"]),
+            num_layers=int(arch["num_layers"]),
+            num_heads=int(arch["num_heads"]),
+            num_kv_heads=int(arch["num_kv_heads"]),
+            rope_theta=float(arch.get("rope_theta", 10000.0)),
+            max_position_embeddings=int(arch.get("max_position_embeddings", 4096)),
+            rms_norm_eps=float(arch.get("rms_norm_eps", 1e-5)),
+        )
+
+
+def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> dict:
+    """Random init; weight layout is [in, out] (checkpoint bridge transposes HF)."""
+    keys = iter(jax.random.split(key, 16))
+    h, i, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    kvh = cfg.num_kv_heads * d
+    L = cfg.num_layers
+
+    def w_init(key, shape):
+        return (jax.random.normal(key, shape) * shape[-2] ** -0.5).astype(dtype)
+
+    return {
+        "embed_tokens": (jax.random.normal(next(keys), (cfg.vocab_size, h)) * 0.02).astype(dtype),
+        "layers": {
+            "input_layernorm": jnp.ones((L, h), dtype),
+            "q_proj": w_init(next(keys), (L, h, h)),
+            "k_proj": w_init(next(keys), (L, h, kvh)),
+            "v_proj": w_init(next(keys), (L, h, kvh)),
+            "o_proj": w_init(next(keys), (L, h, h)),
+            "post_attention_layernorm": jnp.ones((L, h), dtype),
+            "gate_proj": w_init(next(keys), (L, h, i)),
+            "up_proj": w_init(next(keys), (L, h, i)),
+            "down_proj": w_init(next(keys), (L, i, h)),
+        },
+        "norm": jnp.ones((h,), dtype),
+        "lm_head": w_init(next(keys), (h, cfg.vocab_size)),
+    }
+
+
+def rms_norm(x, weight, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+
+
+def dense(x, w, lora_leaf=None, lora_scale: float = 0.0):
+    y = x @ w.astype(x.dtype)
+    if lora_leaf is not None:
+        a, b = lora_leaf["a"].astype(x.dtype), lora_leaf["b"].astype(x.dtype)
+        y = y + ((x @ a) @ b) * lora_scale
+    return y
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def positions_from_mask(attention_mask):
+    """Absolute positions under left/right padding: cumsum of validity."""
+    pos = jnp.cumsum(attention_mask, axis=-1) - 1
+    return jnp.maximum(pos, 0).astype(jnp.int32)
+
+
+def forward(
+    params: dict,
+    cfg: LlamaConfig,
+    input_ids=None,
+    *,
+    inputs_embeds=None,
+    attention_mask=None,
+    positions=None,
+    kv_cache=None,
+    cache_offset=0,
+    kv_valid_mask=None,
+    lora: dict | None = None,
+    lora_scale: float = 0.0,
+    capture_layer: int | None = None,
+    remat: bool = False,
+    attn_impl: str = "auto",
+    compute_dtype=jnp.bfloat16,
+    return_hidden: bool = False,
+):
+    """Decoder forward.
+
+    Modes:
+      train/prefill-no-cache: ``kv_cache=None``; causal attention over the
+        padded batch with ``attention_mask`` as KV validity.
+      prefill-into-cache: ``kv_cache`` zero-filled [L,B,Hkv,Smax,D], writes at
+        ``cache_offset``; ``kv_valid_mask`` [B,Smax] marks valid slots.
+      decode: S==1 query against the cache (non-causal + validity mask).
+
+    Returns dict(logits, kv_cache, captured, hidden).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    x = inputs_embeds.astype(compute_dtype)
+    B, S, H = x.shape
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    if positions is None:
+        positions = positions_from_mask(attention_mask)
+
+    cos, sin = rope_table(cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta)
+
+    use_cache = kv_cache is not None
+    decoding = use_cache and S == 1
+    kv_mask = kv_valid_mask if kv_valid_mask is not None else attention_mask
+    has_lora = lora is not None and lora.get("layers") is not None
+    L = cfg.num_layers
+
+    def block(x, lp, cache_l, lora_l):
+        hdim, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+
+        def proj(name, t):
+            ll = lora_l.get(name) if has_lora else None
+            return dense(t, lp[name], ll, lora_scale)
+
+        h_attn = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = proj("q_proj", h_attn).reshape(B, S, nh, hdim).transpose(0, 2, 1, 3)
+        k = proj("k_proj", h_attn).reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
+        v = proj("v_proj", h_attn).reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+
+        if use_cache:
+            k_all = jax.lax.dynamic_update_slice(
+                cache_l["k"], k.astype(cache_l["k"].dtype), (0, 0, cache_offset, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                cache_l["v"], v.astype(cache_l["v"].dtype), (0, 0, cache_offset, 0)
+            )
+            new_cache = {"k": k_all, "v": v_all}
+        else:
+            k_all, v_all, new_cache = k, v, None
+
+        attn = flash_attention(
+            q, k_all.astype(q.dtype), v_all.astype(q.dtype), kv_mask,
+            causal=not decoding,
+            impl="xla" if decoding else attn_impl,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * hdim)
+        x = x + proj("o_proj", attn)
+
+        h_mlp = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate = proj("gate_proj", h_mlp)
+        up = proj("up_proj", h_mlp)
+        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        x = x + dense(
+            ff, lp["down_proj"],
+            lora_l.get("down_proj") if has_lora else None, lora_scale,
+        )
+        return x, new_cache
+
+    if remat:
+        block = jax.checkpoint(block)
+
+    layer_ids = jnp.arange(L)
+    # dummy per-layer scan inputs when a feature is off (never touched inside)
+    cache_scan = kv_cache if use_cache else jnp.zeros((L,))
+    lora_scan = lora["layers"] if has_lora else jnp.zeros((L,))
+
+    def scan_body(carry, inp):
+        x, captured = carry
+        layer_id, lp, cache_l, lora_l = inp
+        x, new_cache = block(x, lp, cache_l, lora_l)
+        if capture_layer is not None:
+            captured = jnp.where(layer_id == capture_layer, x.astype(jnp.float32), captured)
+        return (x, captured), (new_cache if use_cache else 0)
+
+    captured0 = (
+        jnp.zeros((B, S, H), jnp.float32) if capture_layer is not None else jnp.zeros((), jnp.float32)
+    )
+    (x, captured), caches_out = jax.lax.scan(
+        scan_body, (x, captured0), (layer_ids, params["layers"], cache_scan, lora_scan)
+    )
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    lm_lora = lora.get("lm_head") if lora is not None else None
+    logits = dense(x, params["lm_head"], lm_lora, lora_scale).astype(jnp.float32)
+
+    return {
+        "logits": logits,
+        "kv_cache": caches_out if use_cache else None,
+        "captured": captured if capture_layer is not None else None,
+        "hidden": x if return_hidden else None,
+    }
