@@ -1,0 +1,182 @@
+"""Per-task evaluation: teacher-forced losses, truth ratios, generation, ROUGE.
+
+Byte-compatible JSON schema with the reference eval engine (mm/eval.py):
+per task → {average_perturb_loss, avg_paraphrased_loss, truth_ratio,
+paraphrased_loss, perturb_loss, num_token_paraphrased, num_token_perturb,
+avg_gt_loss, gt_loss, num_token_gt, generated_text, rouge1_recall,
+rougeL_recall[, normalized_gt_loss]} keyed by dataset index, plus
+``eval_log_aggregated.json``.
+
+Reference quirks handled explicitly:
+- generation re-tokenizes the decoded question *without images*
+  (mm/eval.py:120-124) — replicated by default (``generate_with_images``
+  flips it);
+- the reference never fills ``all_indices`` so its in-eval ROUGE dicts are
+  empty and get recomputed downstream (mm/eval.py:104,135-149,
+  mm/calculate_metrics.py:107-108) — here they are filled correctly; the
+  metrics layer recomputes from generated_text when absent either way.
+
+Losses are ``get_batch_loss`` semantics (per-sequence summed CE over -100
+masked labels).  Image-token logit removal is unnecessary: labels align with
+the expanded sequence and image positions carry -100 (models/llava.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from rouge_score.rouge_scorer import RougeScorer
+
+from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+from multimodal_unlearning_tpu.train.losses import seq_sum_ce
+
+rouge_scorer = RougeScorer(["rouge1", "rougeL"], use_stemmer=True)
+
+
+def eval_accuracy(logits, labels):
+    """mm/eval.py:23-32."""
+    preds = np.asarray(jnp.argmax(logits, -1))
+    shifted = np.asarray(labels)[..., 1:]
+    mask = shifted != -100
+    acc = ((preds[..., :-1] == shifted) & mask).sum() / max(mask.sum(), 1)
+    return {"eval accuracy": float(acc)}
+
+
+def eval_rouge_recall(gen_answers, true_ans, indices):
+    rouge1, rougeL = {}, {}
+    for idx, gen, gt in zip(indices, gen_answers, true_ans):
+        scores = rouge_scorer.score(gt, gen)
+        rouge1[idx] = scores["rouge1"].recall
+        rougeL[idx] = scores["rougeL"].recall
+    return {"rouge1_recall": rouge1, "rougeL_recall": rougeL}
+
+
+def _model_losses(apply_fn, batch):
+    """(per-seq summed CE, valid-token counts) for one collated batch."""
+    out = apply_fn(batch)
+    loss = seq_sum_ce(out["logits"], jnp.asarray(batch["labels"]))
+    n_tok = (np.asarray(batch["labels"]) != -100).sum(-1)
+    return np.asarray(loss), n_tok
+
+
+def eval_perturbation_ratio(base_loader, perturb_loader, apply_fn):
+    """mm/eval.py:46-92: paraphrase vs N perturbed answers per sample."""
+    logs = defaultdict(dict)
+    for batch, perturb in zip(base_loader, perturb_loader):
+        indices = [int(i) for i in batch.pop("indices")]
+        perturb.pop("indices")
+        bsz, num_seq = perturb["input_ids"].shape[:2]
+        flat_perturb = {
+            k: v.reshape(bsz * num_seq, *v.shape[2:]) for k, v in perturb.items()
+        }
+
+        gt_loss, num_token_gt = _model_losses(apply_fn, batch)
+        p_loss_flat, p_tok_flat = _model_losses(apply_fn, flat_perturb)
+        perturb_loss = p_loss_flat.reshape(bsz, num_seq)
+        num_token_perturb = p_tok_flat.reshape(bsz, num_seq)
+
+        perturb_loss_pt = perturb_loss / num_token_perturb
+        gt_loss_pt = gt_loss / num_token_gt
+        truth_ratio = np.exp(gt_loss_pt - perturb_loss_pt.mean(-1))
+
+        logs["average_perturb_loss"].update(dict(zip(indices, perturb_loss_pt.tolist())))
+        logs["avg_paraphrased_loss"].update(dict(zip(indices, gt_loss_pt.tolist())))
+        logs["truth_ratio"].update(dict(zip(indices, truth_ratio.tolist())))
+        logs["paraphrased_loss"].update(dict(zip(indices, gt_loss.tolist())))
+        logs["perturb_loss"].update(dict(zip(indices, perturb_loss.tolist())))
+        logs["num_token_paraphrased"].update(dict(zip(indices, num_token_gt.tolist())))
+        logs["num_token_perturb"].update(dict(zip(indices, num_token_perturb.tolist())))
+    return logs
+
+
+def get_all_evals(
+    eval_task: str,
+    eval_loader,
+    base_loader,
+    perturb_loader,
+    *,
+    apply_fn,
+    generate_fn,
+    processor,
+    max_new_tokens: int,
+    generate_with_images: bool = False,
+):
+    """mm/eval.py:102-163."""
+    logs = defaultdict(dict)
+    gen_answers, true_ans, all_questions, all_indices = [], [], [], []
+
+    logs.update(eval_perturbation_ratio(base_loader, perturb_loader, apply_fn))
+
+    tok = processor.tokenizer
+    for batch in eval_loader:
+        indices = [int(i) for i in batch.pop("indices")]
+        answers = [tok.decode(a, skip_special_tokens=True) for a in batch.pop("answers")]
+
+        gt_loss, num_token_gt = _model_losses(apply_fn, batch)
+
+        # strip answers from decoded inputs → question texts (mm/eval.py:120-124)
+        str_inputs = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
+        questions = [s[: s.rfind(a)] if a and s.rfind(a) != -1 else s for s, a in zip(str_inputs, answers)]
+
+        if generate_with_images:
+            gen_batch = batch
+            gen_texts = generate_fn(gen_batch, max_new_tokens)
+        else:
+            # reference quirk: re-tokenize text-only questions
+            q_enc = [tok.encode(q, add_special_tokens=True) for q in questions]
+            S = max(len(q) for q in q_enc)
+            ids = np.full((len(q_enc), S), tok.pad_token_id, np.int32)
+            mask = np.zeros((len(q_enc), S), np.int32)
+            for r, q in enumerate(q_enc):
+                ids[r, S - len(q):] = q
+                mask[r, S - len(q):] = 1
+            gen_texts = generate_fn(
+                {"input_ids": ids, "attention_mask": mask, "pixel_values": None},
+                max_new_tokens,
+            )
+
+        gen_answers.extend(gen_texts)
+        true_ans.extend(answers)
+        all_questions.extend(questions)
+        all_indices.extend(indices)
+
+        gt_loss_pt = gt_loss / num_token_gt
+        logs["avg_gt_loss"].update(dict(zip(indices, gt_loss_pt.tolist())))
+        logs["gt_loss"].update(dict(zip(indices, gt_loss.tolist())))
+        logs["num_token_gt"].update(dict(zip(indices, num_token_gt.tolist())))
+        logs["generated_text"].update(
+            dict(zip(indices, zip(questions, gen_texts, answers)))
+        )
+
+    logs.update(eval_rouge_recall(gen_answers, true_ans, all_indices))
+
+    if "eval_log" not in eval_task:
+        normalized = {}
+        for idx, gl in logs["avg_gt_loss"].items():
+            truth_prob = np.exp(-gl)
+            perturb_prob = np.exp(-np.asarray(logs["average_perturb_loss"][idx]))
+            normalized[idx] = float(-np.log(truth_prob / (perturb_prob.sum() + truth_prob)))
+        logs["normalized_gt_loss"] = normalized
+    return logs
+
+
+def save_eval_logs(save_dir, eval_task, logs) -> str:
+    Path(save_dir).mkdir(parents=True, exist_ok=True)
+    path = os.path.join(save_dir, f"{eval_task}.json")
+    with open(path, "w") as f:
+        json.dump(logs, f, indent=4, default=float)
+    return path
+
+
+def save_aggregated(save_dir, aggregated) -> str:
+    path = os.path.join(save_dir, "eval_log_aggregated.json")
+    with open(path, "w") as f:
+        json.dump(aggregated, f, indent=4, default=float)
+    return path
