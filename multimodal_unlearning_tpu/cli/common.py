@@ -1,0 +1,113 @@
+"""Shared CLI plumbing: model/processor construction, checkpoint IO, mesh."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_unlearning_tpu.config import get_model_identifiers
+from multimodal_unlearning_tpu.data import ByteTokenizer, MMProcessor, load_tokenizer
+from multimodal_unlearning_tpu.models import hf_bridge, llama, llava
+from multimodal_unlearning_tpu.parallel import MeshSpec, make_mesh
+from multimodal_unlearning_tpu.train import checkpoints
+
+
+def dtype_of(cfg) -> jnp.dtype:
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        str(cfg.get("dtype", "bfloat16"))
+    ]
+
+
+def build_mesh(cfg):
+    return make_mesh(MeshSpec.from_config(cfg.get("mesh")))
+
+
+def model_kind(model_cfg) -> str:
+    arch = model_cfg["arch"]
+    return "llava" if "kind" in arch and arch["kind"] == "llava" else "llama"
+
+
+def build_model_config(model_cfg):
+    arch = model_cfg["arch"]
+    if model_kind(model_cfg) == "llava":
+        return llava.LlavaConfig.from_registry(arch)
+    return llama.LlamaConfig.from_registry(arch)
+
+
+def init_or_load_params(model_cfg, model_path: str | None, seed: int = 0, dtype=jnp.float32):
+    """Load HF-layout safetensors from model_path if present; else random init
+    (zero-egress dev mode — reference would download from the hub here,
+    mm/forget.py:79-115)."""
+    kind = model_kind(model_cfg)
+    mcfg = build_model_config(model_cfg)
+    if model_path and checkpoints.model_checkpoint_exists(model_path):
+        sd = checkpoints.load_hf_checkpoint(model_path)
+        if kind == "llava":
+            params = hf_bridge.llava_from_hf(
+                sd, mcfg.decoder.num_layers, mcfg.vision.num_layers
+            )
+        else:
+            params = hf_bridge.llama_from_hf(sd, mcfg.num_layers)
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        print(f"Loaded checkpoint from {model_path}")
+    else:
+        init = llava.init_params if kind == "llava" else llama.init_params
+        params = init(mcfg, jax.random.PRNGKey(seed), dtype=dtype)
+        if model_path:
+            print(f"No checkpoint at {model_path}; using random init (zero-egress mode)")
+    return kind, mcfg, params
+
+
+def save_model(save_dir, model_cfg, params, processor=None):
+    kind = model_kind(model_cfg)
+    mcfg = build_model_config(model_cfg)
+    if kind == "llava":
+        sd = hf_bridge.llava_to_hf(params, mcfg.vision.patch_size)
+    else:
+        sd = hf_bridge.llama_to_hf(params)
+    checkpoints.save_hf_checkpoint(
+        save_dir, sd, config={"model_family_arch": model_cfg["arch"].to_dict() if hasattr(model_cfg["arch"], "to_dict") else dict(model_cfg["arch"])}
+    )
+
+
+def build_processor(model_cfg, cfg, *, padding_side="left"):
+    arch = model_cfg["arch"]
+    if model_kind(model_cfg) == "llava":
+        vision = arch["vision"]
+        n_img = (int(vision["image_size"]) // int(vision["patch_size"])) ** 2
+        tok_path = cfg.get("processor_path") or cfg.get("tokenizer_path")
+        if tok_path and Path(str(tok_path)).exists() and any(Path(str(tok_path)).glob("tokenizer*")):
+            tok = load_tokenizer(tok_path, image_token=arch.get("image_token", "<image>"))
+        else:
+            tok = ByteTokenizer(
+                vocab_size=int(arch["decoder"]["vocab_size"]),
+                image_token=arch.get("image_token", "<image>"),
+                image_token_id=int(arch["image_token_id"]),
+            )
+        return MMProcessor(
+            tok,
+            image_size=int(vision["image_size"]),
+            num_image_tokens=n_img,
+            chat_template=model_cfg.get("chat_template", "llava"),
+            padding_side=padding_side,
+        )
+    # text-only families
+    tok_path = cfg.get("tokenizer_path")
+    if tok_path and Path(str(tok_path)).exists():
+        tok = load_tokenizer(tok_path)
+    else:
+        tok = ByteTokenizer(vocab_size=int(arch["vocab_size"]), image_token_id=int(arch["vocab_size"]) - 1)
+    tags = {
+        "question_start_tag": model_cfg.get("question_start_tag", ""),
+        "question_end_tag": model_cfg.get("question_end_tag", ""),
+        "answer_tag": model_cfg.get("answer_tag", ""),
+    }
+    return MMProcessor(tok, chat_template="__tags__", tags=tags, padding_side=padding_side, image_size=32, num_image_tokens=0)
+
+
+def num_data_devices(mesh) -> int:
+    return mesh.shape["data"] * mesh.shape["fsdp"]

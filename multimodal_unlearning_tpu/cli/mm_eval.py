@@ -1,0 +1,134 @@
+"""MM evaluation entry point (reference: mm/eval.py).
+
+Runs the 6 zipped eval tasks: teacher-forced losses + perturbation truth
+ratios + greedy generation + ROUGE → per-task JSON + eval_log_aggregated.json.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_unlearning_tpu.config import main as config_main
+from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers
+from multimodal_unlearning_tpu.cli import common
+from multimodal_unlearning_tpu.data import DataLoader, ImageCaptioningDataset
+from multimodal_unlearning_tpu.evaluation import evaluator
+from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+from multimodal_unlearning_tpu.models import llama, llava
+
+
+def get_dataloader(quest_strat, quest_key, cap_key, fold, split, bs, ds_size, collate, seed=0):
+    ds = ImageCaptioningDataset(
+        fold, split=split, caption_key=cap_key,
+        question_strategy=quest_strat, question_key=quest_key, seed=seed,
+    )
+    if ds_size:
+        ds.rows_ = ds.rows_[: min(ds_size, len(ds.rows_))]
+    return DataLoader(ds, bs, collate, drop_last=False)
+
+
+def run(cfg):
+    lists = [
+        cfg.data_path, cfg.split_list, cfg.eval_task, cfg.question_key,
+        cfg.answer_key, cfg.base_answer_key, cfg.perturbed_answer_key,
+    ]
+    if len({len(x) for x in lists}) != 1:
+        raise ValueError("data_path, split, eval_task, question/answer keys must be the same length")
+    eval_task_ids = (
+        cfg.eval_task_ids if cfg.get("eval_task_ids") not in (None, "None") else list(range(len(cfg.data_path)))
+    )
+
+    model_cfg = get_model_identifiers(cfg.model_family)
+    dtype = common.dtype_of(cfg)
+    Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    processor = common.build_processor(model_cfg, cfg)
+    kind, mcfg, params = common.init_or_load_params(
+        model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
+    )
+    if cfg.get("reinitialize_weights"):
+        # sanity-ablation fault injection (nlp/evaluate_util.py:398-407)
+        import jax.random as jr
+        init = llava.init_params if kind == "llava" else llama.init_params
+        params = init(mcfg, jr.PRNGKey(0), dtype=dtype)
+
+    fwd = llava.forward if kind == "llava" else llama.forward
+
+    @jax.jit
+    def model_logits(params, input_ids, attention_mask, pixel_values):
+        kw = dict(attention_mask=attention_mask, compute_dtype=dtype)
+        if kind == "llava":
+            kw["pixel_values"] = pixel_values
+        return fwd(params, mcfg, input_ids, **kw)["logits"]
+
+    def apply_fn(batch):
+        pix = batch.get("pixel_values")
+        return {
+            "logits": model_logits(
+                params,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+                None if pix is None else jnp.asarray(pix),
+            )
+        }
+
+    tok = processor.tokenizer
+
+    def generate_fn(batch, max_new_tokens):
+        gen = greedy_generate(
+            params, mcfg,
+            jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+            max_new_tokens=max_new_tokens,
+            pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
+            pixel_values=None if batch.get("pixel_values") is None else jnp.asarray(batch["pixel_values"]),
+            is_vlm=kind == "llava",
+            cache_dtype=dtype, compute_dtype=dtype,
+        )
+        return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)]
+
+    aggregated = {}
+    zipped = zip(
+        cfg.data_path, cfg.split_list, cfg.question_key, cfg.question_strategy,
+        cfg.answer_key, cfg.eval_task, cfg.base_answer_key, cfg.perturbed_answer_key,
+    )
+    for task_idx, (fol, split, qk, qs, ak, task, base_ak, pert_ak) in enumerate(zipped):
+        if task_idx not in eval_task_ids:
+            continue
+        print(f"Working on eval task {task} with split {split}")
+        save_filename = os.path.join(cfg.save_dir, f"{task}.json")
+        if os.path.exists(save_filename) and not cfg.get("overwrite", True):
+            print(f"Skipping {task}: exists")
+            continue
+
+        collate_ans = partial(
+            processor.collate, max_length=cfg.max_length,
+            return_indices=True, return_answers=True,
+        )
+        collate_plain = partial(processor.collate, max_length=cfg.max_length, return_indices=True)
+        eval_dl = get_dataloader(qs, qk, ak, fol, split, cfg.batch_size, cfg.ds_size, collate_ans)
+        base_dl = get_dataloader(qs, qk, base_ak, fol, split, cfg.batch_size // 4, cfg.ds_size, collate_plain)
+        pert_dl = get_dataloader(qs, qk, pert_ak, fol, split, cfg.batch_size // 4, cfg.ds_size, collate_plain)
+
+        logs = evaluator.get_all_evals(
+            task, eval_dl, base_dl, pert_dl,
+            apply_fn=apply_fn, generate_fn=generate_fn, processor=processor,
+            max_new_tokens=cfg.generation.max_new_tokens,
+            generate_with_images=bool(cfg.get("generate_with_images", False)),
+        )
+        evaluator.save_eval_logs(cfg.save_dir, task, logs)
+        aggregated[f"{task}.json"] = logs
+
+    evaluator.save_aggregated(cfg.save_dir, aggregated)
+    print(f"Saved aggregated eval to {cfg.save_dir}/eval_log_aggregated.json")
+    return aggregated
+
+
+main = config_main(config_dir() / "mm", "eval")(run)
+
+if __name__ == "__main__":
+    main()

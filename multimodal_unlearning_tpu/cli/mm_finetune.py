@@ -1,0 +1,121 @@
+"""MM finetune entry point (reference: mm/finetune.py).
+
+Plain-CE finetune on the mixed caption/QA dataset, LoRA on the decoder,
+frozen vision tower, HF-layout save with LoRA merged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_unlearning_tpu.config import main as config_main, save_config
+from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers
+from multimodal_unlearning_tpu.cli import common
+from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
+from multimodal_unlearning_tpu.data import DataLoader, MMMixedDataset
+from multimodal_unlearning_tpu.models import lora as lora_mod
+from multimodal_unlearning_tpu.train import optim, trainer
+from multimodal_unlearning_tpu.train.loop import compute_steps, train_loop
+from multimodal_unlearning_tpu.utils.pytree import (
+    merge_trees,
+    partition_tree,
+    path_predicate,
+    print_trainable_parameters,
+)
+
+
+def run(cfg):
+    model_cfg = get_model_identifiers(cfg.model_family)
+    mesh = common.build_mesh(cfg)
+    dtype = common.dtype_of(cfg)
+    save_dir = Path(cfg.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, save_dir / "config.yaml")
+
+    processor = common.build_processor(model_cfg, cfg)
+    dataset = MMMixedDataset(cfg.data_path, cfg.split, seed=cfg.seed)
+
+    def collate(samples):
+        return {"retain": processor.collate(samples, cfg.max_length)}
+
+    loader = DataLoader(
+        dataset,
+        cfg.batch_size * common.num_data_devices(mesh) * cfg.gradient_accumulation_steps,
+        collate, shuffle=True, seed=cfg.seed,
+    )
+    steps_per_epoch, max_steps = compute_steps(
+        len(dataset), cfg.batch_size, cfg.gradient_accumulation_steps,
+        common.num_data_devices(mesh), cfg.num_epochs,
+    )
+    max_steps = max(max_steps, 1)
+    print(f"max_steps: {max_steps}")
+
+    kind, mcfg, params = common.init_or_load_params(
+        model_cfg, cfg.get("model_path"), seed=cfg.seed, dtype=dtype
+    )
+    remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
+    attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"
+
+    tx = optim.make_optimizer(
+        cfg.get("optimizer", "adamw"), float(cfg.lr),
+        weight_decay=float(cfg.get("weight_decay", 0.0)),
+        warmup_steps=max(1, steps_per_epoch), total_steps=max_steps,
+    )
+
+    use_lora = cfg.LoRA.r != 0
+    scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
+    if use_lora:
+        lm = params["language_model"] if kind == "llava" else params
+        adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
+        adapters = {"language_model": adapters} if kind == "llava" else adapters
+        trainable, frozen_arg = adapters, None
+        print_trainable_parameters(trainable, params)
+        base_apply = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
+
+        def apply_fn(tr, part, capture_layer=None):
+            return base_apply((params, tr), part, capture_layer=capture_layer)
+    else:
+        freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and kind == "llava"
+        if freeze_vision:
+            frozen_arg, trainable = partition_tree(
+                params, path_predicate(str(model_cfg.get("vision_module", "vision_tower")))
+            )
+        else:
+            trainable, frozen_arg = params, None
+        print_trainable_parameters(trainable, frozen_arg or {})
+        apply_fn = make_apply_fn(kind, mcfg, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
+
+    step_fn = trainer.make_train_step(
+        apply_fn, tx, loss_type="retain_ft",
+        grad_accum=cfg.gradient_accumulation_steps,
+    )
+    state = trainer.create_train_state(trainable, tx)
+    state, frozen_arg, _ = trainer.shard_train_state(state, frozen_arg, None, mesh)
+
+    state, history = train_loop(
+        train_step=step_fn, state=state, frozen=frozen_arg, teacher_params=None,
+        dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,
+        max_steps=max_steps, logging_steps=max(1, max_steps // 20),
+        profile_dir=str(save_dir / "profile") if cfg.get("profile") else None,
+    )
+
+    if use_lora:
+        adapters = state.trainable["language_model"] if kind == "llava" else state.trainable
+        lm = params["language_model"] if kind == "llava" else params
+        merged_lm = lora_mod.merge(lm, adapters, scale)
+        final = dict(params, language_model=merged_lm) if kind == "llava" else merged_lm
+    else:
+        final = state.trainable if frozen_arg is None else merge_trees(state.trainable, frozen_arg)
+    common.save_model(save_dir, model_cfg, final)
+    print(f"Saved model to {save_dir}")
+    return history
+
+
+main = config_main(config_dir() / "mm", "finetune")(run)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""MM unlearning entry point (reference: mm/forget.py).
+
+Usage: python -m multimodal_unlearning_tpu.cli.mm_forget forget_loss=npo ...
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_unlearning_tpu.config import main as config_main, save_config
+from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers
+from multimodal_unlearning_tpu.cli import common
+from multimodal_unlearning_tpu.data import DataLoader, MMMixedForgetDataset
+from multimodal_unlearning_tpu.models import llama, llava, lora as lora_mod
+from multimodal_unlearning_tpu.train import losses as L, optim, trainer
+from multimodal_unlearning_tpu.train.loop import compute_steps, train_loop
+from multimodal_unlearning_tpu.utils.pytree import (
+    partition_tree,
+    path_predicate,
+    print_trainable_parameters,
+)
+
+# SKU loss weights (mm/forget.py:186)
+SKU_LOSS_ARGS = {"bad_weight": 2.5, "random_weight": 1.0, "normal_weight": 0.5}
+
+
+def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", compute_dtype=jnp.bfloat16):
+    """apply_fn(params_or_(params,lora), batch_part, capture_layer) → outputs."""
+    fwd = llava.forward if kind == "llava" else llama.forward
+
+    def apply_fn(params, part, capture_layer=None):
+        kw = dict(
+            attention_mask=jnp.asarray(part["attention_mask"]),
+            capture_layer=capture_layer,
+            remat=remat,
+            attn_impl=attn_impl,
+            compute_dtype=compute_dtype,
+        )
+        if isinstance(params, tuple):  # (base, adapters) LoRA mode
+            base, adapters = params
+            kw.update(lora=adapters, lora_scale=lora_cfg)
+        else:
+            base = params
+        if kind == "llava":
+            kw["pixel_values"] = jnp.asarray(part["pixel_values"])
+        out = fwd(base, mcfg, jnp.asarray(part["input_ids"]), **kw)
+        return {"logits": out["logits"], "captured": out["captured"]}
+
+    return apply_fn
+
+
+def run(cfg):
+    model_cfg = get_model_identifiers(cfg.model_family)
+    mesh = common.build_mesh(cfg)
+    dtype = common.dtype_of(cfg)
+    print(f"num_devices: {common.num_data_devices(mesh)}  mesh: {dict(mesh.shape)}")
+
+    save_dir = Path(cfg.save_dir)
+    if save_dir.exists() and not cfg.get("overwrite_dir", True):
+        print("Directory already exists")
+        return
+    save_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, save_dir / "config.yaml")
+
+    processor = common.build_processor(model_cfg, cfg)
+    dataset = MMMixedForgetDataset(
+        forget_data_path=cfg.forget_data_path,
+        retain_data_path=cfg.retain_data_path,
+        retain_split=cfg.retain_split,
+        forget_split=cfg.forget_split,
+        forget_loss=cfg.forget_loss,
+        seed=cfg.seed,
+    )
+    collate = partial(processor.collate_forget, max_length=cfg.max_length)
+    loader = DataLoader(dataset, cfg.batch_size * common.num_data_devices(mesh) * cfg.gradient_accumulation_steps,
+                        collate, shuffle=True, seed=cfg.seed)
+
+    steps_per_epoch, max_steps = compute_steps(
+        len(dataset), cfg.batch_size, cfg.gradient_accumulation_steps,
+        common.num_data_devices(mesh), cfg.num_epochs,
+    )
+    max_steps = max(max_steps, 1)
+    print(f"max_steps: {max_steps}")
+
+    kind, mcfg, params = common.init_or_load_params(
+        model_cfg, cfg.get("model_path"), seed=cfg.seed, dtype=dtype
+    )
+    needs_teacher = (
+        L.loss_needs_teacher(cfg.forget_loss)
+        or cfg.get("l1_lambda", 0) != 0
+        or cfg.get("l0_lambda", 0) != 0
+    )
+    teacher_params = jax.tree.map(jnp.copy, params) if needs_teacher else None
+
+    # LoRA gating rule (mm/forget.py:126)
+    use_lora = cfg.LoRA.r != 0 and (cfg.get("l_norm_from") != "zero" or cfg.get("l1_lambda", 0) == 0)
+    freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and kind == "llava"
+
+    remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
+    attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"
+    compute_dtype = dtype
+
+    dec_cfg = mcfg.decoder if kind == "llava" else mcfg
+    warmup = max(1, steps_per_epoch)
+    tx = optim.make_optimizer(
+        cfg.get("optimizer", "adamw"), float(cfg.lr),
+        weight_decay=float(cfg.get("weight_decay", 0.0)),
+        warmup_steps=warmup, total_steps=max_steps,
+    )
+
+    scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
+    if use_lora:
+        lm = params["language_model"] if kind == "llava" else params
+        adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
+        adapters = {"language_model": adapters} if kind == "llava" else adapters
+        trainable, frozen = adapters, params
+        print_trainable_parameters(trainable, frozen)
+        base_apply = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
+
+        def apply_fn(tr, part, capture_layer=None):
+            return base_apply((frozen, tr), part, capture_layer=capture_layer)
+        merged_frozen = None
+    else:
+        vision_pred = path_predicate(str(model_cfg.get("vision_module", "vision_tower")))
+        if freeze_vision:
+            frozen, trainable = partition_tree(params, vision_pred)
+        else:
+            trainable, frozen = params, None
+        print_trainable_parameters(trainable, frozen or {})
+        apply_fn = make_apply_fn(kind, mcfg, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
+        merged_frozen = frozen
+
+    control_vec = None
+    if cfg.forget_loss.lower() == "rmu":
+        control_vec = L.make_control_vec(
+            jax.random.PRNGKey(cfg.seed), cfg.batch_size, dec_cfg.hidden_size
+        )
+
+    step_fn = trainer.make_train_step(
+        apply_fn, tx,
+        loss_type=cfg.forget_loss,
+        beta=float(cfg.get("loss_beta", 1.0)),
+        l1_lambda=float(cfg.get("l1_lambda", 0.0)),
+        l0_lambda=float(cfg.get("l0_lambda", 0.0)),
+        l_norm_from=str(cfg.get("l_norm_from", "zero")),
+        loss_args=SKU_LOSS_ARGS,
+        dpo_fix=bool(cfg.get("dpo_fix", False)),
+        grad_accum=cfg.gradient_accumulation_steps,
+    )
+    keep_init = (cfg.get("l1_lambda", 0) != 0 or cfg.get("l0_lambda", 0) != 0) and cfg.get("l_norm_from") == "init"
+    state = trainer.create_train_state(trainable, tx, control_vec=control_vec, keep_init=keep_init)
+    state, merged_frozen, teacher_params = trainer.shard_train_state(
+        state, merged_frozen, teacher_params, mesh
+    )
+
+    state, history = train_loop(
+        train_step=step_fn, state=state, frozen=merged_frozen,
+        teacher_params=teacher_params, dataloader=loader, mesh=mesh,
+        grad_accum=cfg.gradient_accumulation_steps, max_steps=max_steps,
+        logging_steps=max(1, int(0.01 * max_steps)),
+        profile_dir=str(save_dir / "profile") if cfg.get("profile") else None,
+    )
+
+    if cfg.get("save_model", True):
+        if use_lora:
+            adapters = state.trainable["language_model"] if kind == "llava" else state.trainable
+            lm = params["language_model"] if kind == "llava" else params
+            merged_lm = lora_mod.merge(lm, adapters, scale)
+            final = dict(params, language_model=merged_lm) if kind == "llava" else merged_lm
+        else:
+            from multimodal_unlearning_tpu.utils.pytree import merge_trees
+            final = state.trainable if merged_frozen is None else merge_trees(state.trainable, frozen)
+        common.save_model(save_dir, model_cfg, final)
+        print(f"Saved model to {save_dir}")
+    return history
+
+
+main = config_main(config_dir() / "mm", "forget")(run)
+
+if __name__ == "__main__":
+    main()

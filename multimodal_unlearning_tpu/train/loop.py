@@ -1,0 +1,89 @@
+"""Host-side training loop shared by finetune/forget entry points.
+
+Mirrors the reference step math (mm/forget.py:65-68: steps_per_epoch and
+max_steps from dataset length, batch size, grad accum, world size; warmup =
+one epoch at mm/forget.py:147) on top of the compiled train step.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_unlearning_tpu.data.loader import stack_microbatches
+from multimodal_unlearning_tpu.parallel.sharding import batch_sharding
+
+
+def compute_steps(n_samples: int, batch_size: int, grad_accum: int, num_devices: int, num_epochs: float):
+    denom = batch_size * grad_accum * num_devices
+    steps_per_epoch = n_samples // denom
+    max_steps = int(num_epochs * n_samples) // denom
+    return steps_per_epoch, max_steps
+
+
+def train_loop(
+    *,
+    train_step,
+    state,
+    frozen,
+    teacher_params,
+    dataloader,
+    mesh,
+    grad_accum: int,
+    max_steps: int,
+    logging_steps: int = 10,
+    on_save=None,
+    save_steps: int | None = None,
+    profile_dir: str | None = None,
+):
+    """Runs until max_steps; returns (state, history)."""
+    if grad_accum > 1:
+        bsh = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    else:
+        bsh = batch_sharding(mesh)
+
+    def put(batch):
+        return jax.tree.map(lambda x: jax.device_put(np.asarray(x), bsh), batch)
+
+    if len(dataloader) == 0:
+        raise ValueError(
+            f"Dataset yields zero batches: {len(dataloader.dataset)} samples < "
+            f"global batch {dataloader.batch_size} — shrink batch/devices or grow data"
+        )
+    step_i = 0
+    history = []
+    t0 = time.perf_counter()
+    tokens_seen = 0
+    while step_i < max_steps:
+        for batch in dataloader:
+            if step_i >= max_steps:
+                break
+            if profile_dir and step_i == 2:
+                jax.profiler.start_trace(profile_dir)
+            if grad_accum > 1:
+                batch = stack_microbatches(batch, grad_accum)
+            for part in batch.values():
+                ids = part["input_ids"]
+                tokens_seen += int(np.prod(ids.shape))
+            state, metrics = train_step(state, frozen, teacher_params, put(batch))
+            step_i += 1
+            if profile_dir and step_i == 5:
+                jax.block_until_ready(state.trainable)
+                jax.profiler.stop_trace()
+            if logging_steps and (step_i % logging_steps == 0 or step_i == 1):
+                loss = float(metrics["loss"])
+                dt = time.perf_counter() - t0
+                print(
+                    f"step {step_i}/{max_steps}  loss {loss:.4f}  "
+                    f"{step_i / dt:.3f} steps/s  {tokens_seen / dt:.0f} tok/s",
+                    flush=True,
+                )
+                history.append({"step": step_i, "loss": loss})
+            if on_save and save_steps and step_i % save_steps == 0:
+                on_save(state, step_i)
+    jax.block_until_ready(state.trainable)
+    return state, history
