@@ -1,0 +1,111 @@
+"""Benchmark: the MM forget loop (the reference's north-star workload).
+
+Measures optimizer steps/sec on one chip for the reference's default
+operating point (BASELINE.md "MM forget": model_family qwen-vl2-2b from
+config/mm/finetune.yaml:1, per-device batch 2, max_length 2048, LoRA r=8,
+bf16, grad_diff_forget_ce_retain_ce → 2 student forwards + backward per
+micro-step, vision tower frozen).
+
+vs_baseline compares against an analytic A100-80GB estimate for the same
+workload (the reference publishes no numbers — BASELINE.md): FLOPs per step
+≈ 2 splits × 3 (fwd+bwd) × 2·P_active·tokens, A100 bf16 peak 312 TFLOP/s at
+a generous 45% MFU.  vs_baseline > 1 means this chip beats that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from multimodal_unlearning_tpu.cli.common import build_model_config
+    from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
+    from multimodal_unlearning_tpu.config import get_model_identifiers
+    from multimodal_unlearning_tpu.models import llava, lora as lora_mod
+    from multimodal_unlearning_tpu.train import optim, trainer
+    from multimodal_unlearning_tpu.utils.pytree import count_params
+
+    model_cfg = get_model_identifiers("qwen-vl2-2b")
+    mcfg = build_model_config(model_cfg)
+    dtype = jnp.bfloat16
+
+    B, S = 2, 2048
+    n_img = mcfg.num_image_tokens
+    img_size = mcfg.vision.image_size
+
+    params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
+    adapters = lora_mod.init_lora(
+        params["language_model"]["layers"], 8, jax.random.PRNGKey(1), dtype=dtype
+    )
+    adapters = {"language_model": adapters}
+    scale = lora_mod.lora_scale(8, 32)
+
+    rng = np.random.default_rng(0)
+
+    def split_batch():
+        ids = rng.integers(10, mcfg.decoder.vocab_size - 10, (B, S))
+        ids[:, :n_img] = mcfg.image_token_id
+        labels = ids.copy()
+        labels[:, : n_img + 64] = -100
+        return {
+            "input_ids": jnp.asarray(ids, jnp.int32),
+            "attention_mask": jnp.ones((B, S), jnp.int32),
+            "labels": jnp.asarray(labels, jnp.int32),
+            "pixel_values": jnp.asarray(
+                rng.normal(size=(B, img_size, img_size, 3)), dtype
+            ),
+        }
+
+    batch = {"forget": split_batch(), "retain": split_batch()}
+
+    apply_fn = make_apply_fn("llava", mcfg, lora_cfg=scale, compute_dtype=dtype, remat=True, logits_dtype=dtype)
+
+    tx = optim.make_optimizer("adamw", 1e-5, weight_decay=0.01)
+    step = trainer.make_train_step(
+        apply_fn, tx, loss_type="grad_diff_forget_ce_retain_ce", donate=False,
+        combine=lambda tr, fr: (fr, tr),
+    )
+    state = trainer.create_train_state(adapters, tx)
+
+    # warmup/compile.  Synchronize by fetching a VALUE: through the axon
+    # remote-execution proxy, block_until_ready can return before the device
+    # work drains; a device->host read of the final step's loss cannot.
+    state, metrics = step(state, params, None, batch)
+    float(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, params, None, batch)
+    float(metrics["loss"])  # sync point: depends on the whole step chain
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_steps / dt
+
+    # analytic A100 estimate for the same workload
+    p_active = count_params(params["language_model"]) + count_params(params["projector"])
+    p_vision = count_params(params["vision_tower"])
+    tokens = 2 * B * S                       # forget + retain splits
+    vis_tokens = 2 * B * (n_img + 1)
+    flops_per_step = 3 * 2 * p_active * tokens + 3 * 2 * p_vision * vis_tokens
+    a100_flops = 312e12 * 0.45
+    a100_steps_per_sec = a100_flops / flops_per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "mm_forget_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s (qwen-vl2-2b arch, bs2, seq2048, LoRA r8, grad_diff, bf16)",
+                "vs_baseline": round(steps_per_sec / a100_steps_per_sec, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

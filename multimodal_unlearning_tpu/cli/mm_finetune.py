@@ -68,16 +68,15 @@ def run(cfg):
 
     use_lora = cfg.LoRA.r != 0
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
+    combine = None
     if use_lora:
         lm = params["language_model"] if kind == "llava" else params
         adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
         adapters = {"language_model": adapters} if kind == "llava" else adapters
-        trainable, frozen_arg = adapters, None
+        trainable, frozen_arg = adapters, params
         print_trainable_parameters(trainable, params)
-        base_apply = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
-
-        def apply_fn(tr, part, capture_layer=None):
-            return base_apply((params, tr), part, capture_layer=capture_layer)
+        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
+        combine = lambda tr, fr: (fr, tr)
     else:
         freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and kind == "llava"
         if freeze_vision:
@@ -92,6 +91,7 @@ def run(cfg):
     step_fn = trainer.make_train_step(
         apply_fn, tx, loss_type="retain_ft",
         grad_accum=cfg.gradient_accumulation_steps,
+        combine=combine,
     )
     state = trainer.create_train_state(trainable, tx)
     state, frozen_arg, _ = trainer.shard_train_state(state, frozen_arg, None, mesh)
@@ -104,6 +104,7 @@ def run(cfg):
     )
 
     if use_lora:
+        frozen_arg = None  # params kept on host for the merge below
         adapters = state.trainable["language_model"] if kind == "llava" else state.trainable
         lm = params["language_model"] if kind == "llava" else params
         merged_lm = lora_mod.merge(lm, adapters, scale)

@@ -28,7 +28,7 @@ from multimodal_unlearning_tpu.utils.pytree import (
 SKU_LOSS_ARGS = {"bad_weight": 2.5, "random_weight": 1.0, "normal_weight": 0.5}
 
 
-def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", compute_dtype=jnp.bfloat16):
+def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=jnp.float32):
     """apply_fn(params_or_(params,lora), batch_part, capture_layer) → outputs."""
     fwd = llava.forward if kind == "llava" else llama.forward
 
@@ -39,6 +39,7 @@ def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", c
             remat=remat,
             attn_impl=attn_impl,
             compute_dtype=compute_dtype,
+            logits_dtype=logits_dtype,
         )
         if isinstance(params, tuple):  # (base, adapters) LoRA mode
             base, adapters = params
@@ -113,17 +114,16 @@ def run(cfg):
     )
 
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
+    combine = None
     if use_lora:
         lm = params["language_model"] if kind == "llava" else params
         adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
         adapters = {"language_model": adapters} if kind == "llava" else adapters
-        trainable, frozen = adapters, params
-        print_trainable_parameters(trainable, frozen)
-        base_apply = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
-
-        def apply_fn(tr, part, capture_layer=None):
-            return base_apply((frozen, tr), part, capture_layer=capture_layer)
-        merged_frozen = None
+        trainable = adapters
+        print_trainable_parameters(trainable, params)
+        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
+        combine = lambda tr, fr: (fr, tr)
+        merged_frozen = params  # flows through the frozen arg, not a closure
     else:
         vision_pred = path_predicate(str(model_cfg.get("vision_module", "vision_tower")))
         if freeze_vision:
@@ -150,6 +150,7 @@ def run(cfg):
         loss_args=SKU_LOSS_ARGS,
         dpo_fix=bool(cfg.get("dpo_fix", False)),
         grad_accum=cfg.gradient_accumulation_steps,
+        combine=combine,
     )
     keep_init = (cfg.get("l1_lambda", 0) != 0 or cfg.get("l0_lambda", 0) != 0) and cfg.get("l_norm_from") == "init"
     state = trainer.create_train_state(trainable, tx, control_vec=control_vec, keep_init=keep_init)
@@ -173,7 +174,7 @@ def run(cfg):
             final = dict(params, language_model=merged_lm) if kind == "llava" else merged_lm
         else:
             from multimodal_unlearning_tpu.utils.pytree import merge_trees
-            final = state.trainable if merged_frozen is None else merge_trees(state.trainable, frozen)
+            final = state.trainable if merged_frozen is None else merge_trees(state.trainable, merged_frozen)
         common.save_model(save_dir, model_cfg, final)
         print(f"Saved model to {save_dir}")
     return history

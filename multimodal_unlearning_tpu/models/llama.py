@@ -131,8 +131,10 @@ def forward(
     lora_scale: float = 0.0,
     capture_layer: int | None = None,
     remat: bool = False,
+    remat_policy: str | None = None,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
+    logits_dtype=jnp.float32,
     return_hidden: bool = False,
 ):
     """Decoder forward.
@@ -208,7 +210,12 @@ def forward(
         return x, new_cache
 
     if remat:
-        block = jax.checkpoint(block)
+        policy = None
+        if remat_policy == "dots":
+            policy = jax.checkpoint_policies.checkpoint_dots
+        elif remat_policy == "dots_no_batch":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        block = jax.checkpoint(block, policy=policy)
 
     layer_ids = jnp.arange(L)
     # dummy per-layer scan inputs when a feature is off (never touched inside)
@@ -232,7 +239,7 @@ def forward(
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_lora = lora.get("lm_head") if lora is not None else None
-    logits = dense(x, params["lm_head"], lm_lora, lora_scale).astype(jnp.float32)
+    logits = dense(x, params["lm_head"], lm_lora, lora_scale).astype(logits_dtype)
 
     return {
         "logits": logits,

@@ -97,8 +97,10 @@ def forward(
     lora_scale: float = 0.0,
     capture_layer: int | None = None,
     remat: bool = False,
+    remat_policy: str | None = None,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
+    logits_dtype=jnp.float32,
 ):
     """VLM forward. ``input_ids`` already contain expanded image tokens."""
     lm = params["language_model"]
@@ -128,7 +130,9 @@ def forward(
         lora_scale=lora_scale,
         capture_layer=capture_layer,
         remat=remat,
+        remat_policy=remat_policy,
         attn_impl=attn_impl,
         compute_dtype=compute_dtype,
+        logits_dtype=logits_dtype,
     )
     return out

@@ -58,25 +58,29 @@ def shift(logits, labels):
     return logits[:, :-1, :], labels[:, 1:]
 
 
-def ce_loss(logits, labels):
-    """HF ``outputs.loss``: mean CE over valid shifted positions."""
+def _token_nll(logits, labels):
+    """Per-token NLL in lse form: never materializes a full fp32 softmax
+    (the cast + reduce fuse in XLA — critical for 150k-vocab decoders)."""
     lg, lb = shift(logits, labels)
     valid = lb != -100
     lb_safe = jnp.where(valid, lb, 0)
-    logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, lb_safe[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    lg32 = lg.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg32, axis=-1)
+    ll = jnp.take_along_axis(lg32, lb_safe[..., None], axis=-1)[..., 0]
+    nll = lse - ll
+    return jnp.where(valid, nll, 0.0), valid
+
+
+def ce_loss(logits, labels):
+    """HF ``outputs.loss``: mean CE over valid shifted positions."""
+    nll, valid = _token_nll(logits, labels)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def seq_sum_ce(logits, labels):
     """get_batch_loss: per-sequence summed CE, ignore -100 → [B]."""
-    lg, lb = shift(logits, labels)
-    valid = lb != -100
-    lb_safe = jnp.where(valid, lb, 0)
-    logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, lb_safe[..., None], axis=-1)[..., 0]
-    return jnp.sum(jnp.where(valid, nll, 0.0), axis=-1)
+    nll, _ = _token_nll(logits, labels)
+    return jnp.sum(nll, axis=-1)
 
 
 def logits2logprobs(logits):

@@ -70,15 +70,23 @@ def make_train_step(
     dpo_fix: bool = False,
     grad_accum: int = 1,
     donate: bool = True,
+    combine=None,
 ):
     """Build the compiled step.
 
     apply_fn(params, batch_part, capture_layer=None) -> {"logits","captured"}
-    where ``params`` is the merged trainable+frozen tree.
+    where ``params`` is combine(trainable, frozen) — by default the merged
+    trainable+frozen tree; pass ``combine`` when the trees differ structurally
+    (e.g. LoRA: combine = lambda tr, fr: (fr, tr)).  Frozen params MUST flow
+    through the ``frozen`` argument, never a Python closure — closures are
+    lowered as giant jit constants (GBs of HBM + slow compiles).
     """
 
     def loss_fn(trainable, frozen, teacher_params, micro, control_vec, init_trainable):
-        params = trainable if frozen is None else merge_trees(trainable, frozen)
+        if combine is not None:
+            params = combine(trainable, frozen)
+        else:
+            params = trainable if frozen is None else merge_trees(trainable, frozen)
 
         def student(part, **kw):
             return apply_fn(params, part, **kw)
