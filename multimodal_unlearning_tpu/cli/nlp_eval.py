@@ -1,0 +1,148 @@
+"""NLP evaluation entry point (reference: nlp/evaluate_util.py).
+
+4 zipped eval tasks over TOFU-style splits; teacher-forced losses,
+perturbation truth ratios, greedy generation with the question recovered by
+splitting the decoded input at the question end tag ("[/INST]" / "Answer: ",
+nlp/evaluate_util.py:146-185), ROUGE, aggregated JSON.  Weight-reinit
+ablation flag (nlp/evaluate_util.py:398-407) supported.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_unlearning_tpu.config import main as config_main
+from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers
+from multimodal_unlearning_tpu.cli import common
+from multimodal_unlearning_tpu.data.loader import DataLoader
+from multimodal_unlearning_tpu.data.nlp import TextDatasetQA, eval_collator
+from multimodal_unlearning_tpu.evaluation import evaluator
+from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+from multimodal_unlearning_tpu.models import llama
+from multimodal_unlearning_tpu.train.losses import seq_sum_ce
+
+
+def run(cfg):
+    model_cfg = get_model_identifiers(cfg.model_family)
+    dtype = common.dtype_of(cfg)
+    Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    processor = common.build_processor(model_cfg, cfg)
+    tok = processor.tokenizer
+    tags = {
+        "question_start_tag": model_cfg.get("question_start_tag", ""),
+        "question_end_tag": model_cfg.get("question_end_tag", ""),
+        "answer_tag": model_cfg.get("answer_tag", ""),
+    }
+    kind, mcfg, params = common.init_or_load_params(
+        model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
+    )
+    if cfg.get("reinitialize_weights"):
+        params = llama.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
+
+    @jax.jit
+    def model_logits(input_ids, attention_mask):
+        return llama.forward(
+            params, mcfg, input_ids, attention_mask=attention_mask, compute_dtype=dtype
+        )["logits"]
+
+    def apply_fn(batch):
+        return {"logits": model_logits(jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]))}
+
+    end_tag = tags["question_end_tag"].strip() or "Answer:"
+
+    aggregated = {}
+    zipped = zip(
+        cfg.data_path, cfg.split_list, cfg.question_key, cfg.answer_key,
+        cfg.eval_task, cfg.base_answer_key, cfg.perturbed_answer_key,
+    )
+    for fol, split, qk, ak, task, base_ak, pert_ak in zipped:
+        print(f"Working on eval task {task} with split {split}")
+        save_filename = os.path.join(cfg.save_dir, f"{task}.json")
+        if os.path.exists(save_filename) and not cfg.get("overwrite", True):
+            continue
+
+        def mk_loader(answer_key, bs):
+            ds = TextDatasetQA(
+                fol, tok, tags, max_length=cfg.max_length, split=split,
+                question_key=qk, answer_key=answer_key,
+            )
+            if cfg.ds_size:
+                ds.rows_ = ds.rows_[: min(cfg.ds_size, len(ds.rows_))]
+            return DataLoader(ds, bs, eval_collator, drop_last=False)
+
+        eval_dl = mk_loader(ak, cfg.batch_size)
+        base_dl = mk_loader(base_ak, max(cfg.batch_size // 4, 1))
+        pert_dl = mk_loader(pert_ak, max(cfg.batch_size // 4, 1))
+
+        logs = defaultdict(dict)
+        logs.update(evaluator.eval_perturbation_ratio(base_dl, pert_dl, apply_fn))
+
+        gen_answers, true_ans, all_indices = [], [], []
+        for batch in eval_dl:
+            indices = [int(i) for i in batch.pop("indices")]
+            questions = batch.pop("questions")
+            answers = batch.pop("answers_text")
+
+            out = apply_fn(batch)
+            gt_loss = np.asarray(seq_sum_ce(out["logits"], jnp.asarray(batch["labels"])))
+            num_token_gt = (np.asarray(batch["labels"]) != -100).sum(-1)
+
+            # generation: split decoded input at the question end tag
+            # (nlp/evaluate_util.py:158-170)
+            dec = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
+            q_texts = [
+                s.split(end_tag)[0] + end_tag if end_tag in s else s for s in dec
+            ]
+            q_enc = [tok.encode(q, add_special_tokens=True) for q in q_texts]
+            S = max(len(q) for q in q_enc)
+            ids = np.full((len(q_enc), S), tok.pad_token_id, np.int32)
+            mask = np.zeros((len(q_enc), S), np.int32)
+            for r, q in enumerate(q_enc):
+                ids[r, S - len(q):] = q
+                mask[r, S - len(q):] = 1
+            gen = greedy_generate(
+                params, mcfg, jnp.asarray(ids), jnp.asarray(mask),
+                max_new_tokens=cfg.generation.max_new_tokens,
+                pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
+                cache_dtype=dtype, compute_dtype=dtype,
+            )
+            gen_texts = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)]
+
+            gen_answers.extend(gen_texts)
+            true_ans.extend(answers)
+            all_indices.extend(indices)
+            gt_pt = gt_loss / num_token_gt
+            logs["avg_gt_loss"].update(dict(zip(indices, gt_pt.tolist())))
+            logs["gt_loss"].update(dict(zip(indices, gt_loss.tolist())))
+            logs["num_token_gt"].update(dict(zip(indices, num_token_gt.tolist())))
+            logs["generated_text"].update(dict(zip(indices, zip(q_texts, gen_texts, answers))))
+
+        logs.update(evaluator.eval_rouge_recall(gen_answers, true_ans, all_indices))
+
+        if "eval_log" not in task:
+            normalized = {}
+            for idx, gl in logs["avg_gt_loss"].items():
+                tp = np.exp(-gl)
+                pp = np.exp(-np.asarray(logs["average_perturb_loss"][idx]))
+                normalized[idx] = float(-np.log(tp / (pp.sum() + tp)))
+            logs["normalized_gt_loss"] = normalized
+
+        evaluator.save_eval_logs(cfg.save_dir, task, logs)
+        aggregated[f"{task}.json"] = logs
+
+    evaluator.save_aggregated(cfg.save_dir, aggregated)
+    print(f"Saved aggregated eval to {cfg.save_dir}/eval_log_aggregated.json")
+    return aggregated
+
+
+main = config_main(config_dir() / "nlp", "eval_everything")(run)
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,8 @@ def eval_perturbation_ratio(base_loader, perturb_loader, apply_fn):
     """mm/eval.py:46-92: paraphrase vs N perturbed answers per sample."""
     logs = defaultdict(dict)
     for batch, perturb in zip(base_loader, perturb_loader):
+        batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        perturb = {k: v for k, v in perturb.items() if isinstance(v, np.ndarray)}
         indices = [int(i) for i in batch.pop("indices")]
         perturb.pop("indices")
         bsz, num_seq = perturb["input_ids"].shape[:2]

@@ -1,0 +1,98 @@
+"""Gradient-projection unlearning (reference: nlp/grad_proj.py).
+
+The reference vendors HF Trainer's inner loop to run TWO backward passes per
+step — negative (forget, ascent) then positive (retain) — accumulating both
+grad sets, then at the optimizer boundary either
+
+- ``grad_proj``   : g ← g_neg − min(⟨g_neg, g_pos⟩ / ‖g_pos‖², 0) · g_pos
+                    (nlp/grad_proj.py:482-491) — strips the component of the
+                    ascent gradient that *conflicts* with retain descent;
+- ``grad_proj_l2``: adds γ·Σ‖g_neg − g_pos‖² as an extra differentiable loss
+                    (nlp/grad_proj.py:493-506).  The reference's tensor
+                    bookkeeping aliases both grad dicts to the same buffers;
+                    here the *intended* objective is implemented:
+                    L = L_pos + γ·‖∇L_neg − ∇L_pos‖² differentiated exactly
+                    (second-order autodiff — free in JAX, impossible in the
+                    reference's in-place autograd without the vendored loop).
+
+Loss definitions (nlp/grad_proj.py:42-97): per-sequence token-mean CE then
+batch mean; negative is its negation.  Optimizer is SGD (nlp/forget.py:166).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_unlearning_tpu.train.losses import shift
+
+PROJECTION_METHODS = ("grad_proj", "grad_proj_l2")
+
+
+def per_seq_mean_ce(logits, labels):
+    """Per-sequence mean CE (sum / valid count) then batch mean
+    (nlp/grad_proj.py:59-72) — differs from HF's global token mean."""
+    lg, lb = shift(logits, labels)
+    valid = lb != -100
+    lb_safe = jnp.where(valid, lb, 0)
+    lg32 = lg.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg32, axis=-1)
+    ll = jnp.take_along_axis(lg32, lb_safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, lse - ll, 0.0)
+    per_seq = jnp.sum(nll, axis=-1) / jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    return jnp.mean(per_seq)
+
+
+def _dot(a, b):
+    return sum(jnp.vdot(x.astype(jnp.float32), y.astype(jnp.float32))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def make_grad_proj_step(apply_fn, optimizer, *, method: str = "grad_proj", gamma: float = 1.0):
+    """Returns jitted step(trainable, opt_state, frozen, batch) → (trainable, opt_state, metrics).
+
+    batch: {"forget": {...}, "retain": {...}} with input_ids/labels/attention_mask.
+    """
+    if method not in PROJECTION_METHODS:
+        raise ValueError(f"method must be one of {PROJECTION_METHODS}")
+
+    def neg_loss(tr, frozen, batch):
+        out = apply_fn((frozen, tr) if frozen is not None else tr, batch["forget"])
+        return -per_seq_mean_ce(out["logits"], jnp.asarray(batch["forget"]["labels"]))
+
+    def pos_loss(tr, frozen, batch):
+        out = apply_fn((frozen, tr) if frozen is not None else tr, batch["retain"])
+        return per_seq_mean_ce(out["logits"], jnp.asarray(batch["retain"]["labels"]))
+
+    def step(trainable, opt_state, frozen, batch):
+        g_neg = jax.grad(neg_loss)(trainable, frozen, batch)
+        g_pos = jax.grad(pos_loss)(trainable, frozen, batch)
+
+        if method == "grad_proj":
+            inner = _dot(g_neg, g_pos)
+            denom = _dot(g_pos, g_pos)
+            coef = jnp.minimum(inner / (denom + 1e-30), 0.0)
+            grads = jax.tree.map(lambda n, p: n - coef * p, g_neg, g_pos)
+            metrics = {"inner_product": inner, "coef": coef}
+        else:  # grad_proj_l2
+
+            def l2_objective(tr):
+                gn = jax.grad(neg_loss)(tr, frozen, batch)
+                gp = jax.grad(pos_loss)(tr, frozen, batch)
+                sq = sum(
+                    jnp.sum((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+                    for a, b in zip(jax.tree.leaves(gn), jax.tree.leaves(gp))
+                )
+                return pos_loss(tr, frozen, batch) + gamma * sq
+
+            grads = jax.grad(l2_objective)(trainable)
+            metrics = {}
+
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics["neg_loss"] = neg_loss(trainable, frozen, batch)
+        metrics["pos_loss"] = pos_loss(trainable, frozen, batch)
+        return trainable, opt_state, metrics
+
+    return jax.jit(step)
