@@ -110,9 +110,10 @@ def run(cfg):
             return_indices=True, return_answers=True,
         )
         collate_plain = partial(processor.collate, max_length=cfg.max_length, return_indices=True)
+        small_bs = max(cfg.batch_size // 4, 1)  # perturb bs = bs//4 (mm/eval.py:237-238)
         eval_dl = get_dataloader(qs, qk, ak, fol, split, cfg.batch_size, cfg.ds_size, collate_ans)
-        base_dl = get_dataloader(qs, qk, base_ak, fol, split, cfg.batch_size // 4, cfg.ds_size, collate_plain)
-        pert_dl = get_dataloader(qs, qk, pert_ak, fol, split, cfg.batch_size // 4, cfg.ds_size, collate_plain)
+        base_dl = get_dataloader(qs, qk, base_ak, fol, split, small_bs, cfg.ds_size, collate_plain)
+        pert_dl = get_dataloader(qs, qk, pert_ak, fol, split, small_bs, cfg.ds_size, collate_plain)
 
         logs = evaluator.get_all_evals(
             task, eval_dl, base_dl, pert_dl,

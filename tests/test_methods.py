@@ -1,0 +1,144 @@
+"""ECO + SalUn tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_unlearning_tpu.config import get_model_identifiers
+from multimodal_unlearning_tpu.data import ByteTokenizer
+from multimodal_unlearning_tpu.methods import salun
+from multimodal_unlearning_tpu.methods.eco import corrupt_methods, get_eco_model
+from multimodal_unlearning_tpu.methods.eco.classifier import (
+    CorpusPromptClassifier,
+    CorpusTokenClassifier,
+)
+from multimodal_unlearning_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def emb_data():
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(size=(2, 6, 16)), jnp.float32)
+    pos = jnp.asarray([[0, 1, 1, 0, 0, 0], [0, 0, 0, 0, 0, 0]])
+    return data, pos
+
+
+def test_zero_out_top_k(emb_data):
+    data, pos = emb_data
+    out = corrupt_methods["zero_out_top_k"](data, pos, dims=4)
+    # row 0, flagged tokens: exactly 4 largest-|v| dims zeroed
+    for t in (1, 2):
+        changed = np.asarray(out[0, t] == 0) & np.asarray(data[0, t] != 0)
+        assert changed.sum() == 4
+        top4 = np.argsort(-np.abs(np.asarray(data[0, t])))[:4]
+        assert set(np.where(changed)[0]) == set(top4)
+    # unflagged rows untouched
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(data[1]))
+    np.testing.assert_array_equal(np.asarray(out[0, 0]), np.asarray(data[0, 0]))
+
+
+def test_flip_and_value_ops(emb_data):
+    data, pos = emb_data
+    out = corrupt_methods["flip_sign_first_n"](data, pos, dims=3)
+    np.testing.assert_allclose(np.asarray(out[0, 1, :3]), -np.asarray(data[0, 1, :3]))
+    np.testing.assert_array_equal(np.asarray(out[0, 1, 3:]), np.asarray(data[0, 1, 3:]))
+
+    out2 = corrupt_methods["add_value_first_n"](data, pos, dims=2, strength=5.0)
+    np.testing.assert_allclose(np.asarray(out2[0, 2, :2]), np.asarray(data[0, 2, :2]) + 5.0)
+
+    out3 = corrupt_methods["rand_noise_first_n"](data, pos, dims=4, strength=1.0, key=jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(out3[0, 1, :4]) - np.asarray(data[0, 1, :4])).max() > 0
+    np.testing.assert_array_equal(np.asarray(out3[1]), np.asarray(data[1]))
+
+
+def test_reverse_and_shuffle(emb_data):
+    data, pos = emb_data
+    out = corrupt_methods["reverse_order"](data)
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(data[:, -1]))
+    out2 = corrupt_methods["shuffle"](data, key=jax.random.PRNGKey(1))
+    assert sorted(np.asarray(out2[0, :, 0]).tolist()) == sorted(np.asarray(data[0, :, 0]).tolist())
+
+
+def test_prompt_classifier_gate():
+    clf = CorpusPromptClassifier(
+        ["What is fact 1 about Person007?"], entities=["Person007"]
+    )
+    assert clf.predict(["Tell me about Person007 please"], threshold=0.9) == [1]
+    assert clf.predict(["What is the capital of France?"], threshold=0.5) == [0]
+
+
+def test_token_classifier_labels_entity_tokens():
+    tok = ByteTokenizer()
+    clf = CorpusTokenClassifier(["bob"])
+    labels = clf.predict_target_token_labels(["hi bob!"], tok)[0]
+    ids = tok.encode("hi bob!", add_special_tokens=True)
+    marked = [tok.decode([i]) for i, l in zip(ids, labels[-len(ids):]) if l]
+    assert "".join(marked) == "bob"
+
+
+def test_attacked_model_changes_forget_logits_only():
+    arch = get_model_identifiers("tiny-llama-test").arch
+    cfg = llama.LlamaConfig.from_registry(arch)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tok = ByteTokenizer()
+    eco = get_eco_model(
+        params, cfg, tok,
+        forget_prompts=["What is fact 0 about Person000?"],
+        entities=["Person000"], dims=32,
+    )
+    forget_prompt = "Tell me everything about Person000 now"
+    clean_prompt = "What is the capital of France today"
+    for prompt, expect_change in ((forget_prompt, True), (clean_prompt, False)):
+        ids = np.asarray([tok.encode(prompt, add_special_tokens=True)])
+        out_c = eco(ids, prompts=[prompt])
+        out_plain = llama.forward(params, cfg, jnp.asarray(ids), compute_dtype=jnp.float32)
+        diff = np.abs(np.asarray(out_c["logits"]) - np.asarray(out_plain["logits"])).max()
+        assert (diff > 1e-4) == expect_change, prompt
+
+    gen = eco.generate(
+        np.asarray([tok.encode(forget_prompt)]), np.ones((1, len(tok.encode(forget_prompt))), np.int32),
+        max_new_tokens=4,
+    )
+    assert gen.shape == (1, 4)
+
+
+def test_salun_masks():
+    sal = {"a": jnp.asarray([1.0, 5.0, 3.0, 2.0]), "b": jnp.asarray([[10.0, 0.1]])}
+    masks = salun.masks_for_thresholds(sal, thresholds=(0.5, 1.0))
+    np.testing.assert_array_equal(np.asarray(masks[0.5]["a"]), [0, 1, 1, 0])
+    np.testing.assert_array_equal(np.asarray(masks[1.0]["a"]), [1, 1, 1, 1])
+    np.testing.assert_array_equal(np.asarray(masks[0.5]["b"]), [[1, 0]])
+
+    grads = {"a": jnp.ones(4), "b": jnp.ones((1, 2))}
+    masked = salun.apply_salun_mask(grads, masks[0.5])
+    assert float(masked["a"].sum()) == 2.0
+
+
+def test_salun_roundtrip(tmp_path):
+    sal = {"x": jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)) ** 2)}
+    masks = salun.masks_for_thresholds(sal, thresholds=(0.3,))
+    salun.save_masks(masks, tmp_path)
+    loaded = salun.load_mask(tmp_path / "with_0.3.npz", sal)
+    np.testing.assert_array_equal(np.asarray(loaded["x"]), np.asarray(masks[0.3]["x"]))
+
+
+def test_salun_accumulate_with_model():
+    arch = get_model_identifiers("tiny-llama-test").arch
+    cfg = llama.LlamaConfig.from_registry(arch)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    from multimodal_unlearning_tpu.train.losses import ce_loss
+
+    def grad_fn(p, batch):
+        def loss(p):
+            out = llama.forward(p, cfg, jnp.asarray(batch["input_ids"]), compute_dtype=jnp.float32)
+            return ce_loss(out["logits"], jnp.asarray(batch["labels"]))
+
+        return jax.grad(loss)(p)
+
+    ids = rng.integers(3, cfg.vocab_size, (2, 8))
+    batches = [{"input_ids": ids, "labels": ids}]
+    sal = salun.accumulate_saliency(grad_fn, params, batches)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(sal))
