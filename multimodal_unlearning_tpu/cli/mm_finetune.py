@@ -47,6 +47,8 @@ def run(cfg):
         cfg.batch_size * common.num_data_devices(mesh) * cfg.gradient_accumulation_steps,
         collate, shuffle=True, seed=cfg.seed,
     )
+    from multimodal_unlearning_tpu.data.prefetch import PrefetchLoader
+    loader = PrefetchLoader(loader, depth=2)
     steps_per_epoch, max_steps = compute_steps(
         len(dataset), cfg.batch_size, cfg.gradient_accumulation_steps,
         common.num_data_devices(mesh), cfg.num_epochs,

@@ -79,6 +79,8 @@ def run(cfg):
     collate = partial(processor.collate_forget, max_length=cfg.max_length)
     loader = DataLoader(dataset, cfg.batch_size * common.num_data_devices(mesh) * cfg.gradient_accumulation_steps,
                         collate, shuffle=True, seed=cfg.seed)
+    from multimodal_unlearning_tpu.data.prefetch import PrefetchLoader
+    loader = PrefetchLoader(loader, depth=2)
 
     steps_per_epoch, max_steps = compute_steps(
         len(dataset), cfg.batch_size, cfg.gradient_accumulation_steps,

@@ -59,6 +59,12 @@ CHAT_TEMPLATES = {"llava": format_llava, "qwen": format_qwen}
 def preprocess_image(img, image_size: int) -> np.ndarray:
     """→ [image_size, image_size, 3] float32, CLIP-normalized."""
     arr = np.asarray(img)
+    if arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3:
+        from multimodal_unlearning_tpu.utils.native import resize_normalize_batch
+
+        out = resize_normalize_batch(arr[None], image_size, CLIP_MEAN, CLIP_STD)
+        if out is not None:
+            return out[0]
     if arr.dtype == np.uint8:
         arr = arr.astype(np.float32) / 255.0
     else:
@@ -157,22 +163,13 @@ class MMProcessor:
         pad_id = self.tokenizer.pad_token_id
         B = len(samples)
 
-        input_ids = np.full((B, S), pad_id, np.int32)
-        attention_mask = np.zeros((B, S), np.int32)
-        labels = np.full((B, S), -100, np.int32)
+        # native collator core (C++ pad+mask) with numpy fallback inside
+        from multimodal_unlearning_tpu.utils.native import pad_and_mask
 
-        for r, (ids, n_q) in enumerate(encoded):
-            n = len(ids)
-            if self.padding_side == "left":
-                input_ids[r, S - n:] = ids
-                attention_mask[r, S - n:] = 1
-                labels[r, S - n:] = ids
-                labels[r, : S - n + n_q] = -100
-            else:
-                input_ids[r, :n] = ids
-                attention_mask[r, :n] = 1
-                labels[r, :n] = ids
-                labels[r, :n_q] = -100
+        input_ids, attention_mask, labels = pad_and_mask(
+            [ids for ids, _ in encoded], [n_q for _, n_q in encoded], S, pad_id,
+            pad_left=self.padding_side == "left",
+        )
 
         pixel_values = np.zeros((B, self.image_size, self.image_size, 3), np.float32)
         for r, s in enumerate(samples):

@@ -1,0 +1,98 @@
+"""Native C++ pipeline kernels vs numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from multimodal_unlearning_tpu.data.prefetch import PrefetchLoader
+from multimodal_unlearning_tpu.utils import native
+
+
+def _python_pad(token_rows, n_question, seq_len, pad_id, pad_left):
+    B = len(token_rows)
+    ids = np.full((B, seq_len), pad_id, np.int32)
+    attn = np.zeros((B, seq_len), np.int32)
+    labels = np.full((B, seq_len), -100, np.int32)
+    for r, row in enumerate(token_rows):
+        row = row[:seq_len]
+        n = len(row)
+        start = seq_len - n if pad_left else 0
+        ids[r, start:start + n] = row
+        attn[r, start:start + n] = 1
+        q = min(n_question[r], n)
+        labels[r, start + q:start + n] = row[q:]
+    return ids, attn, labels
+
+
+def test_native_builds():
+    assert native.available(), "C++ toolchain present in image; lib must build"
+
+
+@pytest.mark.parametrize("pad_left", [True, False])
+def test_pad_and_mask_matches_python(pad_left):
+    rng = np.random.default_rng(0)
+    rows = [list(rng.integers(1, 100, n)) for n in (5, 12, 1, 9)]
+    nq = [2, 4, 1, 20]
+    got = native.pad_and_mask(rows, nq, 16, 0, pad_left=pad_left)
+    want = _python_pad(rows, nq, 16, 0, pad_left)
+    for g, w, name in zip(got, want, ("ids", "attn", "labels")):
+        np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_pad_and_mask_truncation():
+    rows = [list(range(1, 30))]
+    ids, attn, labels = native.pad_and_mask(rows, [3], 8, 0, pad_left=True)
+    assert attn.sum() == 8
+    np.testing.assert_array_equal(ids[0], np.arange(1, 9))
+    assert (labels[0][:3] == -100).all() and (labels[0][3:] == ids[0][3:]).all()
+
+
+def test_resize_normalize_identity_size():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (2, 8, 8, 3)).astype(np.uint8)
+    mean = np.zeros(3, np.float32)
+    std = np.ones(3, np.float32)
+    out = native.resize_normalize_batch(img, 8, mean, std)
+    if out is None:
+        pytest.skip("native lib unavailable")
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_resize_normalize_downscale_mean_preserved():
+    img = np.full((1, 16, 16, 3), 128, np.uint8)
+    out = native.resize_normalize_batch(img, 4, np.zeros(3, np.float32), np.ones(3, np.float32))
+    if out is None:
+        pytest.skip("native lib unavailable")
+    np.testing.assert_allclose(out, 128 / 255.0, atol=1e-3)
+    assert out.shape == (1, 4, 4, 3)
+
+
+def test_prefetch_loader_yields_same_batches():
+    class L:
+        dataset = list(range(10))
+        batch_size = 2
+
+        def __len__(self):
+            return 5
+
+        def __iter__(self):
+            for i in range(5):
+                yield {"x": np.full((2,), i)}
+
+    base = [b["x"][0] for b in L()]
+    pre = [b["x"][0] for b in PrefetchLoader(L(), depth=2)]
+    assert base == pre
+
+
+def test_prefetch_loader_propagates_errors():
+    class Bad:
+        dataset, batch_size = [], 1
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield {"x": 1}
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchLoader(Bad()))
