@@ -102,6 +102,9 @@ def run(cfg):
         train_step=step_fn, state=state, frozen=frozen_arg, teacher_params=None,
         dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,
         max_steps=max_steps, logging_steps=max(1, max_steps // 20),
+        state_ckpt_dir=str(save_dir / "train_state"),
+        save_steps=steps_per_epoch,
+        resume=bool(cfg.get("resume_from_checkpoint")),
         profile_dir=str(save_dir / "profile") if cfg.get("profile") else None,
     )
 

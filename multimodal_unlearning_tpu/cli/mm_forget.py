@@ -160,11 +160,26 @@ def run(cfg):
         state, merged_frozen, teacher_params, mesh
     )
 
+    def on_save(state_snapshot, step_i):
+        # per-epoch model-only checkpoints (save_steps = steps/epoch,
+        # save_only_model=True: mm/forget.py:158-160)
+        if use_lora:
+            ad = state_snapshot.trainable["language_model"] if kind == "llava" else state_snapshot.trainable
+            lm = params["language_model"] if kind == "llava" else params
+            merged_lm = lora_mod.merge(lm, ad, scale)
+            snap = dict(params, language_model=merged_lm) if kind == "llava" else merged_lm
+        else:
+            from multimodal_unlearning_tpu.utils.pytree import merge_trees
+            snap = state_snapshot.trainable if merged_frozen is None else merge_trees(state_snapshot.trainable, merged_frozen)
+        common.save_model(save_dir / f"checkpoint-{step_i}", model_cfg, snap)
+
     state, history = train_loop(
         train_step=step_fn, state=state, frozen=merged_frozen,
         teacher_params=teacher_params, dataloader=loader, mesh=mesh,
         grad_accum=cfg.gradient_accumulation_steps, max_steps=max_steps,
         logging_steps=max(1, int(0.01 * max_steps)),
+        on_save=on_save if cfg.get("save_ckpts") else None,
+        save_steps=steps_per_epoch if cfg.get("save_ckpts") else None,
         profile_dir=str(save_dir / "profile") if cfg.get("profile") else None,
     )
 

@@ -39,8 +39,24 @@ def train_loop(
     on_save=None,
     save_steps: int | None = None,
     profile_dir: str | None = None,
+    state_ckpt_dir: str | None = None,
+    resume: bool = False,
 ):
-    """Runs until max_steps; returns (state, history)."""
+    """Runs until max_steps; returns (state, history).
+
+    ``state_ckpt_dir``: Orbax full-train-state checkpoints every
+    ``save_steps`` (resume path incl. optimizer moments — the vendored HF
+    loop's resume analog, nlp/grad_proj.py:271-321); ``resume=True``
+    restores the latest before training."""
+    from multimodal_unlearning_tpu.train import checkpoints as ckpt_mod
+
+    start_step = 0
+    if resume and state_ckpt_dir:
+        latest = ckpt_mod.latest_train_state_step(state_ckpt_dir)
+        if latest is not None:
+            state = ckpt_mod.restore_train_state(state_ckpt_dir, latest, state)
+            start_step = latest
+            print(f"Resumed train state from step {latest}")
     if grad_accum > 1:
         bsh = NamedSharding(mesh, P(None, ("data", "fsdp")))
     else:
@@ -54,7 +70,7 @@ def train_loop(
             f"Dataset yields zero batches: {len(dataloader.dataset)} samples < "
             f"global batch {dataloader.batch_size} — shrink batch/devices or grow data"
         )
-    step_i = 0
+    step_i = start_step
     history = []
     t0 = time.perf_counter()
     tokens_seen = 0
@@ -83,7 +99,10 @@ def train_loop(
                     flush=True,
                 )
                 history.append({"step": step_i, "loss": loss})
-            if on_save and save_steps and step_i % save_steps == 0:
-                on_save(state, step_i)
+            if save_steps and step_i % save_steps == 0 and step_i < max_steps:
+                if on_save:
+                    on_save(state, step_i)
+                if state_ckpt_dir:
+                    ckpt_mod.save_train_state(state_ckpt_dir, step_i, state)
     jax.block_until_ready(state.trainable)
     return state, history

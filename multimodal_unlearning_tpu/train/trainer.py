@@ -71,6 +71,7 @@ def make_train_step(
     grad_accum: int = 1,
     donate: bool = True,
     combine=None,
+    skip_nonfinite: bool = True,
 ):
     """Build the compiled step.
 
@@ -150,6 +151,17 @@ def make_train_step(
         updates, new_opt = optimizer.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if skip_nonfinite:
+            # NaN/Inf filtering: drop the whole update if loss or grads blew up
+            ok = jnp.isfinite(metrics["loss"]) & jnp.isfinite(metrics["grad_norm"])
+            new_trainable = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_trainable, state.trainable
+            )
+            new_opt = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
+                new_opt, state.opt_state,
+            )
+            metrics["skipped_nonfinite"] = (~ok).astype(jnp.int32)
         new_state = state.replace(
             step=state.step + 1, trainable=new_trainable, opt_state=new_opt
         )

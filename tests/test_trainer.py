@@ -224,3 +224,25 @@ def test_sharded_train_step_on_mesh():
     batch_host = jax.tree.map(jnp.asarray, batch_host)
     state_ref, metrics_ref = step(state_ref, None, jax.tree.map(jnp.copy, params), batch_host)
     assert float(metrics["loss"]) == pytest.approx(float(metrics_ref["loss"]), rel=1e-4)
+
+
+def test_nonfinite_loss_skips_update():
+    """NaN/Inf filtering (nlp/grad_proj.py:421-429 analog): a blown-up batch
+    must leave params and optimizer state untouched."""
+    cfg, params = setup_decoder()
+    rng = np.random.default_rng(9)
+    batch = make_batch(cfg, rng)
+    # inf labels path: poison by scaling embeddings to produce inf logits
+    poisoned = jax.tree.map(jnp.copy, params)
+    poisoned["embed_tokens"] = poisoned["embed_tokens"] * jnp.inf
+
+    tx = optim.make_optimizer("adamw", 1e-2)
+    step = trainer.make_train_step(apply_fn_for(cfg), tx, loss_type="retain_ft", donate=False)
+    state = trainer.create_train_state(poisoned, tx)
+    before = jax.tree.map(jnp.copy, state.trainable)
+    state, metrics = step(state, None, None, batch)
+    assert int(metrics["skipped_nonfinite"]) == 1
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(jnp.nan_to_num(a - b)))), state.trainable, before
+    )
+    assert max(jax.tree.leaves(d)) == 0.0
