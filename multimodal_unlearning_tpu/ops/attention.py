@@ -95,32 +95,36 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, caus
     sk = k_ref.shape[2]
     nk = sk // block_k
 
-    q = q_ref[0, 0]  # [Bq, D], input dtype feeds the MXU natively
+    # pre-scale q once (flash-attn convention) — keeps the inner loop free of
+    # a [Bq, Bk] multiply
+    q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
 
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+    acc0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_offset
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + q_offset
 
-    def body(j, carry):
+    def step(j, carry, masked: bool):
         m, l, acc = carry
         k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [Bq, Bk]
+        )  # [Bq, Bk]
 
-        valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
-        if causal:
-            k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            valid = valid & (q_pos >= k_pos)
-        s = jnp.where(valid, s, _NEG_INF)
+        if masked:
+            valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
+            if causal:
+                k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                valid = valid & (q_pos >= k_pos)
+            s = jnp.where(valid, s, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        # explicit re-mask: for a fully-masked row m_new == _NEG_INF and
-        # exp(s - m_new) would be exp(0) == 1 on the masked entries
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        p = jnp.exp(s - m_new)
+        if masked:
+            # fully-masked rows: m_new == _NEG_INF ⇒ exp(0) == 1 — re-mask
+            p = jnp.where(valid, p, 0.0)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
@@ -130,11 +134,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, caus
         return m_new, l, acc
 
     if causal:
-        # skip fully-future K blocks (ceil so partial blocks are kept)
         nk_eff = jnp.minimum(nk, pl.cdiv((qi + 1) * block_q + q_offset, block_k))
     else:
         nk_eff = nk
-    m, l, acc = jax.lax.fori_loop(0, nk_eff, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, nk_eff, lambda j, c: step(j, c, True), (m0, l0, acc0))
 
     l_safe = jnp.where(l > 0, l, 1.0)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
@@ -191,25 +194,30 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
     sk = k_ref.shape[2]
     nk = sk // block_k
 
-    q = q_ref[0, 0]
+    # fold sm_scale into q (scores) — dq then needs a final sm_scale factor
+    q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
     do = do_ref[0, 0]
     lse = lse_ref[0, 0]
+    # dead rows (all kv masked) carry lse = −1e30; exp(s − lse) would be inf
+    lse = jnp.where(lse < _NEG_INF / 2, -_NEG_INF, lse)
     delta = delta_ref[0, 0]
 
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_offset
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + q_offset
     dq0 = jnp.zeros(q.shape, jnp.float32)
 
-    def body(j, dq):
+    def step(j, dq, masked: bool):
         k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
         v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
-        valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
-        if causal:
-            k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            valid = valid & (q_pos >= k_pos)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)
+        if masked:
+            valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
+            if causal:
+                k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                valid = valid & (q_pos >= k_pos)
+            p = jnp.where(valid, p, 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale
+        ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
             ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -219,8 +227,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
         nk_eff = jnp.minimum(nk, pl.cdiv((qi + 1) * block_q + q_offset, block_k))
     else:
         nk_eff = nk
-    dq = jax.lax.fori_loop(0, nk_eff, body, dq0)
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dq = jax.lax.fori_loop(0, nk_eff, lambda j, c: step(j, c, True), dq0)
+    dq_ref[0, 0] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, sm_scale, causal, block_q, q_offset):
@@ -236,19 +244,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, d
     dk0 = jnp.zeros(k_blk.shape, jnp.float32)
     dv0 = jnp.zeros(v_blk.shape, jnp.float32)
 
-    def body(i, carry):
+    def step(i, carry, masked: bool):
         dk, dv = carry
         q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse = jnp.where(lse < _NEG_INF / 2, -_NEG_INF, lse)  # dead-row guard
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
-        valid = valid_k
-        if causal:
-            q_pos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_offset
-            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            valid = valid & (q_pos >= k_pos)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        p = jnp.exp(s - lse)
+        if masked:
+            valid = valid_k
+            if causal:
+                q_pos = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + q_offset
+                k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                valid = valid & (q_pos >= k_pos)
+            p = jnp.where(valid, p, 0.0)
         dv = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -266,7 +277,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, d
         start = jnp.maximum(0, (ki * block_k - q_offset) // block_q)
     else:
         start = 0
-    dk, dv = jax.lax.fori_loop(start, nq, body, (dk0, dv0))
+    dk, dv = jax.lax.fori_loop(start, nq, lambda i, c: step(i, c, True), (dk0, dv0))
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
