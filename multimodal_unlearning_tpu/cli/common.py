@@ -45,7 +45,17 @@ def init_or_load_params(model_cfg, model_path: str | None, seed: int = 0, dtype=
     kind = model_kind(model_cfg)
     mcfg = build_model_config(model_cfg)
     if model_path and checkpoints.model_checkpoint_exists(model_path):
-        sd = checkpoints.load_hf_checkpoint(model_path)
+        # 3-attempt load retry (nlp/evaluate_util.py:363-395)
+        last_err = None
+        for attempt in range(3):
+            try:
+                sd = checkpoints.load_hf_checkpoint(model_path)
+                break
+            except Exception as e:  # transient FS/NFS errors
+                last_err = e
+                print(f"checkpoint load attempt {attempt + 1} failed: {e}")
+        else:
+            raise last_err
         if kind == "llava":
             params = hf_bridge.llava_from_hf(
                 sd, mcfg.decoder.num_layers, mcfg.vision.num_layers

@@ -84,9 +84,18 @@ class TextForgetDatasetQA:
         self.max_length = max_length
         self.loss_type = loss_type
         if loss_type == "eco_ft" and eco_prompts_path:
-            import datasets as hfds
+            from pathlib import Path
 
-            self.forget_rows = [dict(r) for r in hfds.load_from_disk(eco_prompts_path)]
+            p = Path(eco_prompts_path)
+            if (p / "eco_prompts.jsonl").exists() or p.suffix == ".jsonl":
+                import json
+
+                f = p / "eco_prompts.jsonl" if p.is_dir() else p
+                self.forget_rows = [json.loads(line) for line in open(f)]
+            else:
+                import datasets as hfds
+
+                self.forget_rows = [dict(r) for r in hfds.load_from_disk(str(p))]
         else:
             self.forget_rows = resolve_text_rows(data_path, split)
         retain_split = "retain" + str(100 - int(split.replace("forget", "").replace("_perturbed", "") or 10)).zfill(2)
