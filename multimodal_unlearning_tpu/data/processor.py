@@ -100,7 +100,7 @@ class MMProcessor:
         num_image_tokens: int = 576,
         chat_template: str = "llava",
         padding_side: str = "left",
-        pad_multiple: int = 64,
+        pad_multiple: int = 128,
         hf_question_count_quirk: bool = False,
         tags: dict | None = None,
     ):

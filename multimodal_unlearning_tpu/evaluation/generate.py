@@ -37,7 +37,7 @@ def greedy_generate(
 ):
     """Returns generated token ids [B, max_new_tokens] (pad after eos)."""
     B, S = input_ids.shape
-    Smax = S + max_new_tokens
+    Smax = -(-(S + max_new_tokens) // 128) * 128  # lane-aligned cache
     dec_cfg = model_cfg.decoder if is_vlm else model_cfg
 
     cache = llama.init_kv_cache(dec_cfg, B, Smax, dtype=cache_dtype)

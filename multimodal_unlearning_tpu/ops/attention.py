@@ -107,14 +107,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, caus
 
     def step(j, carry, masked: bool):
         m, l, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        off = pl.multiple_of(j * block_k, block_k)
+        k_blk = k_ref[0, 0, pl.ds(off, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(off, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Bq, Bk]
 
         if masked:
-            valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
+            valid = mask_ref[0, :, pl.ds(off, block_k)].astype(jnp.bool_)
             if causal:
                 k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
                 valid = valid & (q_pos >= k_pos)
@@ -206,12 +207,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
     dq0 = jnp.zeros(q.shape, jnp.float32)
 
     def step(j, dq, masked: bool):
-        k_blk = k_ref[0, 0, pl.ds(j * block_k, block_k), :]
-        v_blk = v_ref[0, 0, pl.ds(j * block_k, block_k), :]
+        off = pl.multiple_of(j * block_k, block_k)
+        k_blk = k_ref[0, 0, pl.ds(off, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(off, block_k), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)
         if masked:
-            valid = mask_ref[0, :, pl.ds(j * block_k, block_k)].astype(jnp.bool_)
+            valid = mask_ref[0, :, pl.ds(off, block_k)].astype(jnp.bool_)
             if causal:
                 k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
                 valid = valid & (q_pos >= k_pos)
@@ -239,18 +241,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, d
 
     k_blk = k_ref[0, 0]  # [Bk, D]
     v_blk = v_ref[0, 0]
-    valid_k = mask_ref[0, :, pl.ds(ki * block_k, block_k)].astype(jnp.bool_)
+    valid_k = mask_ref[0, :, pl.ds(pl.multiple_of(ki * block_k, block_k), block_k)].astype(jnp.bool_)
 
     dk0 = jnp.zeros(k_blk.shape, jnp.float32)
     dv0 = jnp.zeros(v_blk.shape, jnp.float32)
 
     def step(i, carry, masked: bool):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        do = do_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        qoff = pl.multiple_of(i * block_q, block_q)
+        q = q_ref[0, 0, pl.ds(qoff, block_q), :]
+        do = do_ref[0, 0, pl.ds(qoff, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(qoff, block_q), :]
         lse = jnp.where(lse < _NEG_INF / 2, -_NEG_INF, lse)  # dead-row guard
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(qoff, block_q), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
         p = jnp.exp(s - lse)
         if masked:
@@ -404,6 +407,10 @@ def flash_attention(
         sm_scale = q.shape[-1] ** -0.5
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and (q.shape[2] % 128 or k.shape[2] % 128):
+        # Mosaic requires lane-aligned dynamic slices; odd buckets take the
+        # XLA path (pad sequences to multiples of 128 for the fast path)
+        impl = "xla"
     if impl == "xla":
         return mha_reference(q, k, v, kv_mask, causal=causal, q_offset=q_offset, sm_scale=sm_scale)
     if kv_mask is None:
