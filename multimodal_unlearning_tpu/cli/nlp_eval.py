@@ -100,13 +100,10 @@ def run(cfg):
             q_texts = [
                 s.split(end_tag)[0] + end_tag if end_tag in s else s for s in dec
             ]
+            from multimodal_unlearning_tpu.evaluation.generate import pad_prompts
+
             q_enc = [tok.encode(q, add_special_tokens=True) for q in q_texts]
-            S = max(len(q) for q in q_enc)
-            ids = np.full((len(q_enc), S), tok.pad_token_id, np.int32)
-            mask = np.zeros((len(q_enc), S), np.int32)
-            for r, q in enumerate(q_enc):
-                ids[r, S - len(q):] = q
-                mask[r, S - len(q):] = 1
+            ids, mask = pad_prompts(q_enc, tok.pad_token_id)
             gen = greedy_generate(
                 params, mcfg, jnp.asarray(ids), jnp.asarray(mask),
                 max_new_tokens=cfg.generation.max_new_tokens,

@@ -132,13 +132,10 @@ def get_all_evals(
             gen_texts = generate_fn(gen_batch, max_new_tokens)
         else:
             # reference quirk: re-tokenize text-only questions
+            from multimodal_unlearning_tpu.evaluation.generate import pad_prompts
+
             q_enc = [tok.encode(q, add_special_tokens=True) for q in questions]
-            S = max(len(q) for q in q_enc)
-            ids = np.full((len(q_enc), S), tok.pad_token_id, np.int32)
-            mask = np.zeros((len(q_enc), S), np.int32)
-            for r, q in enumerate(q_enc):
-                ids[r, S - len(q):] = q
-                mask[r, S - len(q):] = 1
+            ids, mask = pad_prompts(q_enc, tok.pad_token_id)
             gen_texts = generate_fn(
                 {"input_ids": ids, "attention_mask": mask, "pixel_values": None},
                 max_new_tokens,

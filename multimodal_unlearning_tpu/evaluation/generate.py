@@ -20,6 +20,20 @@ import jax.numpy as jnp
 from multimodal_unlearning_tpu.models import llama, llava
 
 
+def pad_prompts(encoded: list[list[int]], pad_id: int, multiple: int = 128):
+    """Left-pad variable-length prompts into a lane-aligned [B, S] batch."""
+    import numpy as np
+
+    S = -(-max(len(e) for e in encoded) // multiple) * multiple
+    ids = np.full((len(encoded), S), pad_id, np.int32)
+    mask = np.zeros((len(encoded), S), np.int32)
+    for r, e in enumerate(encoded):
+        e = e[-S:]
+        ids[r, S - len(e):] = e
+        mask[r, S - len(e):] = 1
+    return ids, mask
+
+
 def greedy_generate(
     params,
     model_cfg,

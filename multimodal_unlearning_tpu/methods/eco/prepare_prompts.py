@@ -35,13 +35,10 @@ def prepare_eco_prompts(
             tags["question_start_tag"] + r["question"] + tags["question_end_tag"] + tags.get("answer_tag", "")
             for r in chunk
         ]
+        from multimodal_unlearning_tpu.evaluation.generate import pad_prompts
+
         enc = [tokenizer.encode(p, add_special_tokens=True) for p in prompts]
-        S = max(len(e) for e in enc)
-        ids = np.full((len(enc), S), tokenizer.pad_token_id, np.int32)
-        mask = np.zeros((len(enc), S), np.int32)
-        for r, e in enumerate(enc):
-            ids[r, S - len(e):] = e
-            mask[r, S - len(e):] = 1
+        ids, mask = pad_prompts(enc, tokenizer.pad_token_id)
         gen = attacked_model.generate(ids, mask, max_new_tokens=max_new_tokens, prompts=[r["question"] for r in chunk])
         for r, g in zip(chunk, gen):
             out_rows.append({
