@@ -1,10 +1,12 @@
-"""Benchmark: the MM forget loop (the reference's north-star workload).
+"""Benchmark: the MM forget loop on LLaVA-1.5-7B (the BASELINE.json
+north-star: "LLaVA-7B forget steps/sec/chip").
 
-Measures optimizer steps/sec on one chip for the reference's default
-operating point (BASELINE.md "MM forget": model_family qwen-vl2-2b from
-config/mm/finetune.yaml:1, per-device batch 2, max_length 2048, LoRA r=8,
-bf16, grad_diff_forget_ce_retain_ce → 2 student forwards + backward per
-micro-step, vision tower frozen).
+Operating point: the paper model (llava family), per-device batch 2, LoRA
+r=8, bf16, grad_diff_forget_ce_retain_ce (2 student forwards + backward per
+step), vision tower frozen, per-layer remat, seq 768 — the realistic CLEAR
+sample shape (576 image tokens + caption text; config/mm/forget.yaml's 2048
+is a truncation cap, real samples are ~700 tokens).  The whole 7B model +
+step fits one 16GB v5e chip.
 
 vs_baseline compares against an analytic A100-80GB estimate for the same
 workload (the reference publishes no numbers — BASELINE.md): FLOPs per step
@@ -30,11 +32,11 @@ def main():
     from multimodal_unlearning_tpu.train import optim, trainer
     from multimodal_unlearning_tpu.utils.pytree import count_params
 
-    model_cfg = get_model_identifiers("qwen-vl2-2b")
+    model_cfg = get_model_identifiers("llava")
     mcfg = build_model_config(model_cfg)
     dtype = jnp.bfloat16
 
-    B, S = 2, 2048
+    B, S = 2, 768
     n_img = mcfg.num_image_tokens
     img_size = mcfg.vision.image_size
 
@@ -48,7 +50,7 @@ def main():
     rng = np.random.default_rng(0)
 
     def split_batch():
-        ids = rng.integers(10, mcfg.decoder.vocab_size - 10, (B, S))
+        ids = rng.integers(10, mcfg.decoder.vocab_size - 70, (B, S))
         ids[:, :n_img] = mcfg.image_token_id
         labels = ids.copy()
         labels[:, : n_img + 64] = -100
@@ -78,7 +80,7 @@ def main():
     state, metrics = step(state, params, None, batch)
     float(metrics["loss"])
 
-    n_steps = 10
+    n_steps = 8
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, params, None, batch)
@@ -100,7 +102,7 @@ def main():
             {
                 "metric": "mm_forget_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 4),
-                "unit": "steps/s (qwen-vl2-2b arch, bs2, seq2048, LoRA r8, grad_diff, bf16)",
+                "unit": "steps/s (llava-1.5-7b arch, bs2, seq768, LoRA r8, grad_diff, bf16, remat)",
                 "vs_baseline": round(steps_per_sec / a100_steps_per_sec, 4),
             }
         )

@@ -71,10 +71,11 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> dict:
     L = cfg.num_layers
 
     def w_init(key, shape):
-        return (jax.random.normal(key, shape) * shape[-2] ** -0.5).astype(dtype)
+        # generate directly in target dtype: no fp32 transient (2× HBM at init)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(shape[-2] ** -0.5, dtype)
 
     return {
-        "embed_tokens": (jax.random.normal(next(keys), (cfg.vocab_size, h)) * 0.02).astype(dtype),
+        "embed_tokens": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * jnp.asarray(0.02, dtype),
         "layers": {
             "input_layernorm": jnp.ones((L, h), dtype),
             "q_proj": w_init(next(keys), (L, h, h)),

@@ -56,9 +56,9 @@ def init_params(cfg: LlavaConfig, key, dtype=jnp.float32) -> dict:
         "language_model": llama.init_params(cfg.decoder, k1, dtype),
         "vision_tower": vit.init_params(cfg.vision, k2, dtype),
         "projector": {
-            "fc1": (jax.random.normal(k3a, (vh, dh)) * vh**-0.5).astype(dtype),
+            "fc1": jax.random.normal(k3a, (vh, dh), dtype) * jnp.asarray(vh**-0.5, dtype),
             "fc1_bias": jnp.zeros((dh,), dtype),
-            "fc2": (jax.random.normal(k3b, (dh, dh)) * dh**-0.5).astype(dtype),
+            "fc2": jax.random.normal(k3b, (dh, dh), dtype) * jnp.asarray(dh**-0.5, dtype),
             "fc2_bias": jnp.zeros((dh,), dtype),
         },
     }

@@ -59,7 +59,7 @@ def init_params(cfg: VitConfig, key, dtype=jnp.float32) -> dict:
     p3 = cfg.patch_size * cfg.patch_size * 3
 
     def w_init(key, shape):
-        return (jax.random.normal(key, shape) * shape[-2] ** -0.5).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(shape[-2] ** -0.5, dtype)
 
     def ln(shape=(L, h)):
         return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
