@@ -55,7 +55,7 @@ def run(cfg):
     net_cfg = net_config(cfg.net)
     images, labels, n_classes = load_corpus(cfg)
     stages = (
-        ["prepare", "finetune", "unlearn", "score", "attack"]
+        ["prepare", "pretrain", "finetune", "unlearn", "score", "attack"]
         if cfg.stage == "all" else [cfg.stage]
     )
 
@@ -75,6 +75,8 @@ def run(cfg):
 
     def ckpt_path(kind, i):
         return work / f"{kind}_{i:03d}.npz"
+
+    pretrain_path = work / "pretrained.npz"
 
     def save_ckpt(path, params, head, bn):
         import jax
@@ -100,8 +102,41 @@ def run(cfg):
             out.append(jax.tree_util.tree_unflatten(treedef, leaves))
         return tuple(out)
 
+    # ---- pretrain the backbone on the celebrity-style corpus ------------
+    # (cv/pretrain.py: ResNet+AdMSoftmax on celebrity-1000, person-disjoint)
+    if "pretrain" in stages and not pretrain_path.exists():
+        celeb = data.SyntheticFaces(
+            n_persons=cfg.get("n_persons_pretrain", 4 * cfg.n_persons),
+            images_per_person=cfg.images_per_person,
+            image_size=cfg.image_size, seed=cfg.seed + 1000,
+        )
+        cimgs = data.preprocess(celeb.images())
+        p, h, bn, losses = train.train_classifier(
+            net_cfg, cimgs, np.asarray(celeb.labels), celeb.n_persons,
+            epochs=cfg.finetune.epochs, batch_size=cfg.finetune.batch_size,
+            lr=float(cfg.finetune.lr), weight_decay=float(cfg.finetune.weight_decay),
+            seed=cfg.seed,
+        )
+        save_ckpt(pretrain_path, p, h, bn)
+        print(f"pretrained backbone on {celeb.n_persons} identities, loss {losses[-1]:.3f}", flush=True)
+
+    def pretrained_init():
+        """backbone+bn from pretrain, fresh AdMSoftmax head (cv/finetune.py)."""
+        if not pretrain_path.exists():
+            return None
+        import jax as _jax
+
+        celeb_classes = cfg.get("n_persons_pretrain", 4 * cfg.n_persons)
+        tpl_p, tpl_bn = resnet.init_params(net_cfg, _jax.random.PRNGKey(0))
+        tpl_h = resnet.adms_init(net_cfg.widths[-1], celeb_classes, _jax.random.PRNGKey(1))
+        import jax.tree_util as jtu
+        p, h, bn = load_ckpt(pretrain_path, (tpl_p, tpl_h, tpl_bn))
+        fresh_head = resnet.adms_init(net_cfg.widths[-1], n_classes, _jax.random.PRNGKey(2))
+        return (p, fresh_head, bn)
+
     # ---- finetune the shadow fleet --------------------------------------
     if "finetune" in stages:
+        init = pretrained_init()
         for i, s in enumerate(shadows):
             path = ckpt_path("finetuned", i)
             if path.exists():
@@ -111,7 +146,7 @@ def run(cfg):
                 net_cfg, images[sel], labels[sel], n_classes,
                 epochs=cfg.finetune.epochs, batch_size=cfg.finetune.batch_size,
                 lr=float(cfg.finetune.lr), weight_decay=float(cfg.finetune.weight_decay),
-                seed=cfg.seed + i,
+                seed=cfg.seed + i, init=init,
             )
             save_ckpt(path, p, h, bn)
             print(f"finetuned shadow {i}/{len(shadows)} loss {losses[-1]:.3f}", flush=True)
@@ -172,6 +207,9 @@ def run(cfg):
         print(json.dumps(results, indent=2))
 
     # ---- attack ----------------------------------------------------------
+    if "attack" in stages and len(shadows) < 4:
+        print(f"attack skipped: needs >= 4 shadow models for the quarter bank layout, have {len(shadows)}")
+        stages = [s for s in stages if s != "attack"]
     if "attack" in stages:
         report = {}
         for method in methods:
