@@ -106,6 +106,6 @@ def ring_flash_attention(q, k, v, mesh, *, axis: str = "data", impl: str = "auto
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v)
