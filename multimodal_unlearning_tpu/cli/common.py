@@ -16,6 +16,32 @@ from multimodal_unlearning_tpu.parallel import MeshSpec, make_mesh
 from multimodal_unlearning_tpu.train import checkpoints
 
 
+def maybe_init_distributed() -> int:
+    """Multi-host wiring over DCN (jax.distributed).
+
+    The reference reads WORLD_SIZE/LOCAL_RANK from accelerate's env
+    (mm/forget.py:23-31); the TPU analog is coordinator-based process init.
+    Set MMU_COORDINATOR=host:port, MMU_NUM_PROCESSES, MMU_PROCESS_ID (or rely
+    on TPU pod metadata where available).  No-op single-process otherwise.
+    Returns jax.process_index().
+    """
+    import os
+
+    coord = os.environ.get("MMU_COORDINATOR")
+    if coord and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["MMU_NUM_PROCESSES"]),
+            process_id=int(os.environ["MMU_PROCESS_ID"]),
+        )
+    return jax.process_index()
+
+
+def rank_suffix() -> str:
+    """Per-rank artifact suffix when multi-process (nlp/evaluate_util.py:431-434)."""
+    return f"_rank{jax.process_index()}" if jax.process_count() > 1 else ""
+
+
 def dtype_of(cfg) -> jnp.dtype:
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(cfg.get("dtype", "bfloat16"))

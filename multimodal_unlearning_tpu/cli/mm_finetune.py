@@ -29,6 +29,7 @@ from multimodal_unlearning_tpu.utils.pytree import (
 
 
 def run(cfg):
+    common.maybe_init_distributed()
     model_cfg = get_model_identifiers(cfg.model_family)
     mesh = common.build_mesh(cfg)
     dtype = common.dtype_of(cfg)

@@ -55,6 +55,7 @@ def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", c
 
 
 def run(cfg):
+    common.maybe_init_distributed()
     model_cfg = get_model_identifiers(cfg.model_family)
     mesh = common.build_mesh(cfg)
     dtype = common.dtype_of(cfg)

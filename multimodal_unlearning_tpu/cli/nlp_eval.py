@@ -30,6 +30,7 @@ from multimodal_unlearning_tpu.train.losses import seq_sum_ce
 
 
 def run(cfg):
+    common.maybe_init_distributed()
     model_cfg = get_model_identifiers(cfg.model_family)
     dtype = common.dtype_of(cfg)
     Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)

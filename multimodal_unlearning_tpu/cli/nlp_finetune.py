@@ -25,6 +25,7 @@ import numpy as np
 
 
 def run(cfg):
+    common.maybe_init_distributed()
     model_cfg = get_model_identifiers(cfg.model_family)
     mesh = common.build_mesh(cfg)
     dtype = common.dtype_of(cfg)

@@ -167,15 +167,19 @@ def get_all_evals(
 
 
 def save_eval_logs(save_dir, eval_task, logs) -> str:
+    from multimodal_unlearning_tpu.cli.common import rank_suffix
+
     Path(save_dir).mkdir(parents=True, exist_ok=True)
-    path = os.path.join(save_dir, f"{eval_task}.json")
+    path = os.path.join(save_dir, f"{eval_task}{rank_suffix()}.json")
     with open(path, "w") as f:
         json.dump(logs, f, indent=4, default=float)
     return path
 
 
 def save_aggregated(save_dir, aggregated) -> str:
-    path = os.path.join(save_dir, "eval_log_aggregated.json")
+    from multimodal_unlearning_tpu.cli.common import rank_suffix
+
+    path = os.path.join(save_dir, f"eval_log_aggregated{rank_suffix()}.json")
     with open(path, "w") as f:
         json.dump(aggregated, f, indent=4, default=float)
     return path
