@@ -1,0 +1,97 @@
+"""CLI integration tests: the full recipe as pytest (tiny models, synthetic
+data).  These are the regression net for the end-to-end paths that were
+hand-driven during development."""
+
+import json
+
+import numpy as np
+import pytest
+
+from multimodal_unlearning_tpu.config import load_config
+from multimodal_unlearning_tpu.config.registry import config_dir
+
+DATA = "synthetic:n_persons=40,qa_per_person=8"
+
+
+def _cfg(sub, name, **overrides):
+    cfg = load_config(config_dir() / sub, name)
+    for k, v in overrides.items():
+        # direct dict set (bypasses override parsing for test values)
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        dict.__setitem__(node, parts[-1], v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ft_dir(tmp_path_factory):
+    from multimodal_unlearning_tpu.cli import mm_finetune
+
+    out = tmp_path_factory.mktemp("ft")
+    cfg = _cfg(
+        "mm", "finetune",
+        model_family="tiny-llava-test", data_path=DATA, split="full+tofu",
+        batch_size=2, gradient_accumulation_steps=1, num_epochs=0.05,
+        max_length=128, lr=1e-3, save_dir=str(out), dtype="float32",
+    )
+    dict.__setitem__(cfg["LoRA"], "r", 4)
+    mm_finetune.run(cfg)
+    assert (out / "model.safetensors").exists()
+    return out
+
+
+def test_mm_forget_from_checkpoint(ft_dir, tmp_path):
+    from multimodal_unlearning_tpu.cli import mm_forget
+
+    cfg = _cfg(
+        "mm", "forget",
+        model_family="tiny-llava-test", model_path=str(ft_dir),
+        forget_data_path=DATA, retain_data_path=DATA,
+        forget_split="forget10+tofu", retain_split="retain90+tofu",
+        forget_loss="grad_ascent", batch_size=2, gradient_accumulation_steps=1,
+        num_epochs=0.25, max_length=128, save_dir=str(tmp_path / "ga"),
+        dtype="float32",
+    )
+    dict.__setitem__(cfg["LoRA"], "r", 0)
+    history = mm_forget.run(cfg)
+    assert (tmp_path / "ga" / "model.safetensors").exists()
+    assert all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_mm_eval_single_task(ft_dir, tmp_path):
+    from multimodal_unlearning_tpu.cli import mm_eval
+
+    cfg = _cfg(
+        "mm", "eval",
+        model_family="tiny-llava-test", model_path=str(ft_dir),
+        processor_path=None, save_dir=str(tmp_path / "eval"),
+        ds_size=4, batch_size=4, max_length=256, dtype="float32",
+        eval_task_ids=[2],  # eval_log_forget only
+    )
+    dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
+    dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
+    agg = mm_eval.run(cfg)
+    logs = agg["eval_log_forget.json"]
+    assert set(logs) >= {
+        "avg_gt_loss", "avg_paraphrased_loss", "average_perturb_loss",
+        "truth_ratio", "rougeL_recall", "generated_text",
+    }
+    path = tmp_path / "eval" / "eval_log_aggregated.json"
+    json.loads(path.read_text())
+
+
+def test_nlp_grad_proj_runs(tmp_path):
+    from multimodal_unlearning_tpu.cli import nlp_forget
+
+    cfg = _cfg(
+        "nlp", "forget",
+        model_family="tiny-llama-test", model_path=None,
+        data_path=DATA, split="forget10", forget_loss="grad_proj",
+        batch_size=2, gradient_accumulation_steps=1, num_epochs=0.5,
+        max_length=64, lr=1e-2, save_dir=str(tmp_path / "gp"), dtype="float32",
+    )
+    dict.__setitem__(cfg["LoRA"], "r", 0)
+    nlp_forget.run(cfg)
+    assert (tmp_path / "gp" / "model.safetensors").exists()
