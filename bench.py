@@ -1,17 +1,21 @@
 """Benchmark: the MM forget loop on LLaVA-1.5-7B (the BASELINE.json
 north-star: "LLaVA-7B forget steps/sec/chip").
 
-Operating point: the paper model (llava family), per-device batch 2, LoRA
-r=8, bf16, grad_diff_forget_ce_retain_ce (2 student forwards + backward per
-step), vision tower frozen, per-layer remat, seq 768 — the realistic CLEAR
-sample shape (576 image tokens + caption text; config/mm/forget.yaml's 2048
-is a truncation cap, real samples are ~700 tokens).  The whole 7B model +
-step fits one 16GB v5e chip.
+Operating point: the paper model (llava family), per-device batch 2,
+QLoRA-int8 frozen decoder + bf16 LoRA r=8 adapters,
+grad_diff_forget_ce_retain_ce (2 student forwards + backward per step),
+vision tower frozen, per-layer remat, seq 768 — the realistic CLEAR sample
+shape (576 image tokens + caption text; config/mm/forget.yaml's 2048 is a
+truncation cap, real samples are ~700 tokens).  int8 storage is what fits
+7B (+ a 7B teacher for KL/NPO/SCRUB losses) on one 16GB v5e chip, and the
+int8 MXU path runs the frozen matmuls at ~2× the bf16 rate.  The bf16
+operating point is recorded in BASELINE.md (1.02 steps/s).
 
 vs_baseline compares against an analytic A100-80GB estimate for the same
 workload (the reference publishes no numbers — BASELINE.md): FLOPs per step
-≈ 2 splits × 3 (fwd+bwd) × 2·P_active·tokens, A100 bf16 peak 312 TFLOP/s at
-a generous 45% MFU.  vs_baseline > 1 means this chip beats that estimate.
+≈ 2 splits × 3 (fwd+bwd) × 2·P_active·tokens at A100 bf16 peak 312 TFLOP/s
+and a generous 45% MFU (bnb QLoRA on A100 dequantizes to bf16 compute, so
+the bf16 roofline is the right comparison).  vs_baseline > 1 beats it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -40,11 +44,29 @@ def main():
     n_img = mcfg.num_image_tokens
     img_size = mcfg.vision.image_size
 
+    from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
+
     params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
     adapters = lora_mod.init_lora(
         params["language_model"]["layers"], 8, jax.random.PRNGKey(1), dtype=dtype
     )
     adapters = {"language_model": adapters}
+
+    # int8-quantize the frozen decoder leaf-by-leaf, freeing bf16 buffers
+    qfn = jax.jit(quantize_leaf)
+
+    def quantize_inplace(d):
+        for key in list(d.keys()):
+            v = d[key]
+            if isinstance(v, dict):
+                quantize_inplace(v)
+            elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
+                q = qfn(v)
+                jax.block_until_ready(q)
+                v.delete()
+                d[key] = q
+
+    quantize_inplace(params["language_model"])
     scale = lora_mod.lora_scale(8, 32)
 
     rng = np.random.default_rng(0)
@@ -102,7 +124,7 @@ def main():
             {
                 "metric": "mm_forget_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 4),
-                "unit": "steps/s (llava-1.5-7b arch, bs2, seq768, LoRA r8, grad_diff, bf16, remat)",
+                "unit": "steps/s (llava-1.5-7b, bs2, seq768, QLoRA int8 base + bf16 LoRA r8, grad_diff, remat, one v5e chip)",
                 "vs_baseline": round(steps_per_sec / a100_steps_per_sec, 4),
             }
         )

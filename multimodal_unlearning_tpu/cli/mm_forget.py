@@ -100,6 +100,17 @@ def run(cfg):
     )
     teacher_params = jax.tree.map(jnp.copy, params) if needs_teacher else None
 
+    # int8 QLoRA mode (beyond-reference): frozen decoder base and/or teacher
+    # stored int8 with per-channel scales — halves HBM (7B student + 7B
+    # teacher fit one v5e chip) and runs matmuls at the int8 MXU rate.
+    if cfg.get("quantize_teacher") and teacher_params is not None:
+        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+        teacher_params = dict(
+            teacher_params,
+            language_model=quantize_tree(teacher_params["language_model"]),
+        ) if kind == "llava" else quantize_tree(teacher_params)
+
     # LoRA gating rule (mm/forget.py:126)
     use_lora = cfg.LoRA.r != 0 and (cfg.get("l_norm_from") != "zero" or cfg.get("l1_lambda", 0) == 0)
     freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and kind == "llava"
@@ -124,6 +135,12 @@ def run(cfg):
         adapters = {"language_model": adapters} if kind == "llava" else adapters
         trainable = adapters
         print_trainable_parameters(trainable, params)
+        if cfg.get("quantize_base"):
+            from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+            params = dict(
+                params, language_model=quantize_tree(params["language_model"])
+            ) if kind == "llava" else quantize_tree(params)
         apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
         combine = lambda tr, fr: (fr, tr)
         merged_frozen = params  # flows through the frozen arg, not a closure

@@ -98,8 +98,16 @@ def rms_norm(x, weight, eps):
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
 
 
+def _maybe_dequant(w, dtype):
+    """int8 QTensor leaves ({'q','s'}, utils/quantize.py) dequantize in place —
+    one layer's weight at a time under the scan, never the whole tree."""
+    if isinstance(w, dict):
+        return (w["q"].astype(jnp.float32) * w["s"]).astype(dtype)
+    return w.astype(dtype)
+
+
 def dense(x, w, lora_leaf=None, lora_scale: float = 0.0):
-    y = x @ w.astype(x.dtype)
+    y = x @ _maybe_dequant(w, x.dtype)
     if lora_leaf is not None:
         a, b = lora_leaf["a"].astype(x.dtype), lora_leaf["b"].astype(x.dtype)
         y = y + ((x @ a) @ b) * lora_scale
@@ -150,7 +158,11 @@ def forward(
     Returns dict(logits, kv_cache, captured, hidden).
     """
     if inputs_embeds is None:
-        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+        et = params["embed_tokens"]
+        if isinstance(et, dict):  # quantized embedding table
+            inputs_embeds = jnp.take(et["q"], input_ids, axis=0).astype(jnp.float32) * et["s"][0]
+        else:
+            inputs_embeds = jnp.take(et, input_ids, axis=0)
     x = inputs_embeds.astype(compute_dtype)
     B, S, H = x.shape
 

@@ -104,7 +104,11 @@ def forward(
 ):
     """VLM forward. ``input_ids`` already contain expanded image tokens."""
     lm = params["language_model"]
-    embeds = jnp.take(lm["embed_tokens"], input_ids, axis=0).astype(compute_dtype)
+    et = lm["embed_tokens"]
+    if isinstance(et, dict):  # quantized embedding table (utils/quantize.py)
+        embeds = (jnp.take(et["q"], input_ids, axis=0).astype(jnp.float32) * et["s"][0]).astype(compute_dtype)
+    else:
+        embeds = jnp.take(et, input_ids, axis=0).astype(compute_dtype)
 
     if pixel_values is not None:
         feats = vit.forward(
