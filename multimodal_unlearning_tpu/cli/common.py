@@ -2,14 +2,12 @@
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_unlearning_tpu.config import get_model_identifiers
 from multimodal_unlearning_tpu.data import ByteTokenizer, MMProcessor, load_tokenizer
 from multimodal_unlearning_tpu.models import hf_bridge, llama, llava
 from multimodal_unlearning_tpu.parallel import MeshSpec, make_mesh

@@ -129,7 +129,6 @@ def run(cfg):
         celeb_classes = cfg.get("n_persons_pretrain", 4 * cfg.n_persons)
         tpl_p, tpl_bn = resnet.init_params(net_cfg, _jax.random.PRNGKey(0))
         tpl_h = resnet.adms_init(net_cfg.widths[-1], celeb_classes, _jax.random.PRNGKey(1))
-        import jax.tree_util as jtu
         p, h, bn = load_ckpt(pretrain_path, (tpl_p, tpl_h, tpl_bn))
         fresh_head = resnet.adms_init(net_cfg.widths[-1], n_classes, _jax.random.PRNGKey(2))
         return (p, fresh_head, bn)

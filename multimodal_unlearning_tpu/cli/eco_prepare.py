@@ -7,7 +7,6 @@ answers over the forget split, writes the eco_ft dataset.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from multimodal_unlearning_tpu.config import main as config_main

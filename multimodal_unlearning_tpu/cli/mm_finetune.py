@@ -6,7 +6,6 @@ frozen vision tower, HF-layout save with LoRA merged.
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 
 import jax

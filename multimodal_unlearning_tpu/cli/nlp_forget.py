@@ -13,7 +13,6 @@ Differences from the mm path, preserved from the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 
 import jax

@@ -6,7 +6,6 @@ top-fraction masks ``with_{0.1..1.0}.npz`` into save_dir.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

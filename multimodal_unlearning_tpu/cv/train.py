@@ -4,8 +4,6 @@ cv/finetune.py) as jitted steps with SGD-momentum + warmup-cosine schedule
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

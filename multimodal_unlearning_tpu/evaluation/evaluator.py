@@ -26,15 +26,12 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
-from functools import partial
 from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from rouge_score.rouge_scorer import RougeScorer
 
-from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
 from multimodal_unlearning_tpu.train.losses import seq_sum_ce
 
 rouge_scorer = RougeScorer(["rouge1", "rougeL"], use_stemmer=True)

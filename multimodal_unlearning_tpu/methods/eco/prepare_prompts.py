@@ -11,7 +11,6 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-import numpy as np
 
 from multimodal_unlearning_tpu.data.nlp import resolve_text_rows
 

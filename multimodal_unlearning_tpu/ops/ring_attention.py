@@ -25,9 +25,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
-from multimodal_unlearning_tpu.ops.attention import _fwd, mha_reference
+from multimodal_unlearning_tpu.ops.attention import _fwd
+
 
 _NEG_INF = -1e30
 

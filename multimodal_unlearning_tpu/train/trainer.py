@@ -18,8 +18,6 @@ mm/forget.py:139-190) with one compiled function:
 
 from __future__ import annotations
 
-import time
-from functools import partial
 from typing import Any, Callable
 
 import jax
