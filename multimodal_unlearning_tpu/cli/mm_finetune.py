@@ -77,6 +77,13 @@ def run(cfg):
         adapters = {"language_model": adapters} if kind == "llava" else adapters
         trainable, frozen_arg = adapters, params
         print_trainable_parameters(trainable, params)
+        if cfg.get("quantize_base"):
+            from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+            params = dict(
+                params, language_model=quantize_tree(params["language_model"])
+            ) if kind == "llava" else quantize_tree(params)
+            frozen_arg = params
         apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
         combine = lambda tr, fr: (fr, tr)
     else:
