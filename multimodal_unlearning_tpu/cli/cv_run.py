@@ -211,7 +211,7 @@ def run(cfg):
         stages = [s for s in stages if s != "attack"]
     if "attack" in stages:
         report = {}
-        for method in methods:
+        for method in ["finetuned"] + methods:
             cols = []
             ok = True
             for i in range(len(shadows)):

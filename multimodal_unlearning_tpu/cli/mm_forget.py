@@ -141,6 +141,10 @@ def run(cfg):
             params = dict(
                 params, language_model=quantize_tree(params["language_model"])
             ) if kind == "llava" else quantize_tree(params)
+            if cfg.get("int8_compute"):
+                from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+
+                enable_int8_compute(True)  # W8A8 on the frozen matmuls
         apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
         combine = lambda tr, fr: (fr, tr)
         merged_frozen = params  # flows through the frozen arg, not a closure

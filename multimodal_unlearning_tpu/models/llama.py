@@ -98,6 +98,17 @@ def rms_norm(x, weight, eps):
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
 
 
+INT8_COMPUTE = False  # set via enable_int8_compute(); W8A8 on QTensor leaves
+
+
+def enable_int8_compute(on: bool = True):
+    """Opt-in W8A8: quantized-weight matmuls also quantize activations
+    dynamically (straight-through backward).  Faster (int8 MXU) but noisier
+    than the default W8A16 dequant path."""
+    global INT8_COMPUTE
+    INT8_COMPUTE = on
+
+
 def _maybe_dequant(w, dtype):
     """int8 QTensor leaves ({'q','s'}, utils/quantize.py) dequantize in place —
     one layer's weight at a time under the scan, never the whole tree."""
@@ -107,7 +118,12 @@ def _maybe_dequant(w, dtype):
 
 
 def dense(x, w, lora_leaf=None, lora_scale: float = 0.0):
-    y = x @ _maybe_dequant(w, x.dtype)
+    if isinstance(w, dict) and INT8_COMPUTE:
+        from multimodal_unlearning_tpu.utils.quantize import int8_matmul
+
+        y = int8_matmul(x, w["q"], w["s"])
+    else:
+        y = x @ _maybe_dequant(w, x.dtype)
     if lora_leaf is not None:
         a, b = lora_leaf["a"].astype(x.dtype), lora_leaf["b"].astype(x.dtype)
         y = y + ((x @ a) @ b) * lora_scale

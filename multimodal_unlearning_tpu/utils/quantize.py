@@ -57,3 +57,42 @@ def tree_nbytes(tree) -> int:
         for x in jax.tree.leaves(tree)
         if hasattr(x, "size")
     )
+
+
+# ---------------------------------------------------------------------------
+# W8A8 matmul (opt-in): dynamic per-row int8 activations against int8 weights
+# — runs on the int8 MXU path (~1.75× the bf16 rate on v5e).  Backward is a
+# straight-through bf16 matmul against the dequantized weight (the weight is
+# frozen, so only dx is needed).
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def int8_matmul(x, q, s):
+    y, _ = _int8_matmul_fwd(x, q, s)
+    return y
+
+
+def _int8_matmul_fwd(x, q, s):
+    xa = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(xa > 0, xa / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        xq, q, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = (y32.astype(jnp.float32) * sx * s.reshape(-1)).astype(x.dtype)
+    return y, (q, s)
+
+
+def _int8_matmul_bwd(res, dy):
+    q, s = res
+    w = (q.astype(jnp.float32) * s).astype(dy.dtype)  # dequant once per layer
+    dx = jax.lax.dot_general(
+        dy, w, (((dy.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dy.dtype)
+    return dx, None, None
+
+
+int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)

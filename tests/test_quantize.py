@@ -102,3 +102,31 @@ def test_qlora_training_with_quantized_base_and_teacher():
     assert float(metrics["loss"]) == pytest.approx(2 * np.log(2), rel=1e-4)
     state, metrics = step(state, qbase, qteacher, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_int8_compute_path():
+    """W8A8 opt-in: close to the dequant path, straight-through grads flow."""
+    from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+
+    cfg, params = big_decoder()
+    qp = quantize_tree(params)
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, cfg.vocab_size, (2, 16)))
+    base = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    try:
+        enable_int8_compute(True)
+        w8a8 = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+        # LoRA grads still flow through int8 matmuls (STE backward)
+        adapters = lora.init_lora(params["layers"], r=4, key=jax.random.PRNGKey(5))
+        adapters["layers"]["q_proj"]["b"] = adapters["layers"]["q_proj"]["b"] + 0.01
+
+        def loss(ad):
+            out = llama.forward(qp, cfg, ids, lora=ad, lora_scale=1.0, compute_dtype=jnp.float32)
+            return jnp.sum(out["logits"] ** 2)
+
+        g = jax.grad(loss)(adapters)
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+        assert max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g)) > 0
+    finally:
+        enable_int8_compute(False)
+    denom = np.abs(np.asarray(base)).max()
+    assert np.abs(np.asarray(base - w8a8)).max() / denom < 0.25
