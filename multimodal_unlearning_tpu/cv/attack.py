@@ -42,7 +42,10 @@ def sample_logits(vectors: np.ndarray, labels: np.ndarray, num_enroll: int = 5) 
         np.array([np.sum(normed[i] * protos[int(labels[i])]) for i in range(len(labels))]),
         0, 1,
     )
-    return np.log(proba + 1e-45) - np.log(1 - proba + 1e-45)
+    logits = np.log(proba + 1e-45) - np.log(1 - proba + 1e-45)
+    # diverged models can emit NaN embeddings; a NaN logit would crash the
+    # pooled attack — treat as zero-evidence instead
+    return np.nan_to_num(logits, nan=0.0, posinf=103.0, neginf=-103.0)
 
 
 def _lira_block(target, in_dist, out_dist):
