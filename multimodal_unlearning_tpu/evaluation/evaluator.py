@@ -125,8 +125,21 @@ def get_all_evals(
         questions = [s[: s.rfind(a)] if a and s.rfind(a) != -1 else s for s, a in zip(str_inputs, answers)]
 
         if generate_with_images:
-            gen_batch = batch
-            gen_texts = generate_fn(gen_batch, max_new_tokens)
+            # question span = -100-labeled non-pad positions (incl. the
+            # expanded image tokens) — exact and tokenizer-agnostic
+            from multimodal_unlearning_tpu.evaluation.generate import pad_prompts
+
+            ids_np = np.asarray(batch["input_ids"])
+            qmask = (np.asarray(batch["labels"]) == -100) & (
+                np.asarray(batch["attention_mask"]) == 1
+            )
+            q_rows = [ids_np[r][qmask[r]].tolist() for r in range(len(ids_np))]
+            ids, mask = pad_prompts(q_rows, tok.pad_token_id)
+            gen_texts = generate_fn(
+                {"input_ids": ids, "attention_mask": mask,
+                 "pixel_values": batch["pixel_values"]},
+                max_new_tokens,
+            )
         else:
             # reference quirk: re-tokenize text-only questions
             from multimodal_unlearning_tpu.evaluation.generate import pad_prompts
