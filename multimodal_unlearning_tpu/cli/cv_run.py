@@ -37,6 +37,7 @@ def load_corpus(cfg):
         ds = data.SyntheticFaces(
             n_persons=cfg.n_persons, images_per_person=cfg.images_per_person,
             image_size=cfg.image_size, seed=cfg.seed,
+            noise=float(cfg.get("noise", 0.2)),
         )
         return data.preprocess(ds.images()), np.asarray(ds.labels), ds.n_persons
     import datasets as hfds

@@ -29,11 +29,16 @@ class SyntheticFaces:
     embedding task is learnable; rows have name/caption like CLEAR.
     """
 
-    def __init__(self, n_persons=20, images_per_person=8, image_size=32, seed=0):
+    def __init__(self, n_persons=20, images_per_person=8, image_size=32, seed=0,
+                 noise: float = 0.2):
+        """``noise`` ∈ [0,1): fraction of per-image random content.  The
+        default identity pattern is strong (trivially separable); raise noise
+        toward ~0.8 to make membership/unlearning effects measurable."""
         self.n_persons = n_persons
         self.images_per_person = images_per_person
         self.image_size = image_size
         self.seed = seed
+        self.noise = noise
         self.labels = np.repeat(np.arange(n_persons), images_per_person)
         self.names = [f"Person{p:03d}" for p in self.labels]
         self.captions = [
@@ -51,8 +56,9 @@ class SyntheticFaces:
         k = self.image_size // 4
         for i, p in enumerate(self.labels):
             pat = np.kron(base[p], np.ones((k, k, 1)))
-            noise = rng.integers(0, 55, pat.shape)
-            out[i] = np.clip(pat + noise, 0, 255).astype(np.uint8)
+            rand = rng.integers(0, 255, pat.shape)
+            img = (1 - self.noise) * pat + self.noise * rand
+            out[i] = np.clip(img, 0, 255).astype(np.uint8)
         return out
 
 

@@ -175,10 +175,13 @@ def unlearn(
 
         def class_logprob(p, bn, imgs, targets, train):
             e, new_bn = emb(p, bn, imgs, train=train)
-            probs = jax.nn.softmax(e @ fc_w.astype(e.dtype), axis=1)
+            # β·log(p/p_orig) computed as a log-softmax difference — identical
+            # to the reference's softmax ratio (cv/unlearning/dpo.py:20-36)
+            # but stable when either prob underflows
+            lp = jax.nn.log_softmax(e @ fc_w.astype(e.dtype), axis=1)
             orig_e = orig_emb(imgs)
-            orig_probs = jax.nn.softmax(orig_e @ fc_w.astype(e.dtype), axis=1)
-            ratio = beta * jnp.log(probs / (orig_probs + 1e-45) + 1e-45)
+            olp = jax.nn.log_softmax(orig_e @ fc_w.astype(e.dtype), axis=1)
+            ratio = beta * (lp - olp)
             return ratio[jnp.arange(len(targets)), targets], new_bn
 
         def loss_fn(tr, bn, batch):
