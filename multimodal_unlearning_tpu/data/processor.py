@@ -56,15 +56,38 @@ def format_tagged(question: str, answer: str | None, tags: dict):
 CHAT_TEMPLATES = {"llava": format_llava, "qwen": format_qwen}
 
 
+def preprocess_image_hf(arr: np.ndarray, image_size: int) -> np.ndarray:
+    """transformers.CLIPImageProcessor-exact path for uint8 RGB arrays:
+    shortest-edge bicubic resize (PIL backend, as HF uses) + center crop +
+    rescale + normalize (reference mm/dataset.py:315-322)."""
+    from PIL import Image
+
+    h, w = arr.shape[:2]
+    short, long_ = (h, w) if h <= w else (w, h)
+    nl = int(image_size * long_ / short)
+    nh, nw = (image_size, nl) if h <= w else (nl, image_size)
+    if (nh, nw) != (h, w):
+        arr = np.asarray(Image.fromarray(arr).resize((nw, nh), Image.BICUBIC))
+    top = (nh - image_size) // 2
+    left = (nw - image_size) // 2
+    arr = arr[top:top + image_size, left:left + image_size]
+    return (arr.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+
+
 def preprocess_image(img, image_size: int) -> np.ndarray:
-    """→ [image_size, image_size, 3] float32, CLIP-normalized."""
+    """→ [image_size, image_size, 3] float32, CLIP-normalized.
+
+    uint8 RGB inputs take the HF-bit-exact path (C++ fast kernel with a PIL
+    fallback computing the identical arithmetic); float inputs (synthetic
+    corpora) are resized directly to square."""
     arr = np.asarray(img)
     if arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3:
-        from multimodal_unlearning_tpu.utils.native import resize_normalize_batch
+        from multimodal_unlearning_tpu.utils.native import clip_preprocess_batch
 
-        out = resize_normalize_batch(arr[None], image_size, CLIP_MEAN, CLIP_STD)
+        out = clip_preprocess_batch(arr[None], image_size, CLIP_MEAN, CLIP_STD)
         if out is not None:
             return out[0]
+        return preprocess_image_hf(arr, image_size)
     if arr.dtype == np.uint8:
         arr = arr.astype(np.float32) / 255.0
     else:

@@ -48,8 +48,8 @@ def _load():
         i32p, i64p, i32p, i64, i64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, i32p, i32p, i32p,
     ]
-    lib.resize_normalize_batch.argtypes = [
-        u8p, i64, i64, i64, f32p, i64, i64, f32p, f32p,
+    lib.clip_preprocess_batch.argtypes = [
+        u8p, i64, i64, i64, f32p, i64, f32p, f32p,
     ]
     _lib = lib
     return _lib
@@ -100,8 +100,11 @@ def pad_and_mask(token_rows, n_question, seq_len, pad_id, *, pad_left=True, igno
     return ids, attn, labels
 
 
-def resize_normalize_batch(images_u8: np.ndarray, out_hw: int, mean, std) -> np.ndarray | None:
-    """[B, H, W, 3] uint8 → [B, out, out, 3] float32 normalized; None if no lib."""
+def clip_preprocess_batch(images_u8: np.ndarray, out_hw: int, mean, std) -> np.ndarray | None:
+    """HF-CLIP-exact preprocess (shortest-edge bicubic + center crop +
+    normalize): [B, H, W, 3] uint8 → [B, out, out, 3] float32; None if no lib.
+    Bit-faithful to transformers.CLIPImageProcessor (reference
+    mm/dataset.py:315-322 arithmetic)."""
     lib = _load()
     if lib is None:
         return None
@@ -110,9 +113,9 @@ def resize_normalize_batch(images_u8: np.ndarray, out_hw: int, mean, std) -> np.
     out = np.empty((B, out_hw, out_hw, 3), np.float32)
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
-    lib.resize_normalize_batch(
+    lib.clip_preprocess_batch(
         _ptr(images_u8, ctypes.c_uint8), B, H, W,
-        _ptr(out, ctypes.c_float), out_hw, out_hw,
+        _ptr(out, ctypes.c_float), out_hw,
         _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
     )
     return out

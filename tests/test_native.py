@@ -46,24 +46,52 @@ def test_pad_and_mask_truncation():
     assert (labels[0][:3] == -100).all() and (labels[0][3:] == ids[0][3:]).all()
 
 
-def test_resize_normalize_identity_size():
+def test_clip_preprocess_identity_size():
     rng = np.random.default_rng(1)
     img = rng.integers(0, 255, (2, 8, 8, 3)).astype(np.uint8)
     mean = np.zeros(3, np.float32)
     std = np.ones(3, np.float32)
-    out = native.resize_normalize_batch(img, 8, mean, std)
+    out = native.clip_preprocess_batch(img, 8, mean, std)
     if out is None:
         pytest.skip("native lib unavailable")
     np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-6)
 
 
-def test_resize_normalize_downscale_mean_preserved():
-    img = np.full((1, 16, 16, 3), 128, np.uint8)
-    out = native.resize_normalize_batch(img, 4, np.zeros(3, np.float32), np.ones(3, np.float32))
+@pytest.mark.parametrize("shape", [(223, 401), (401, 223), (96, 64), (50, 67), (336, 336)])
+def test_clip_preprocess_matches_hf_exactly(shape):
+    """Golden: C++ preprocess == transformers.CLIPImageProcessor bit-for-bit
+    (shortest-edge bicubic + center crop + normalize, mm/dataset.py:315-322)."""
+    transformers = pytest.importorskip("transformers")
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    S = 48
+    proc = transformers.CLIPImageProcessor(
+        size={"shortest_edge": S}, crop_size={"height": S, "width": S}
+    )
+    want = proc(images=img, return_tensors="np")["pixel_values"][0]  # [3,S,S]
+
+    from multimodal_unlearning_tpu.data.processor import CLIP_MEAN, CLIP_STD
+
+    out = native.clip_preprocess_batch(img[None], S, CLIP_MEAN, CLIP_STD)
     if out is None:
         pytest.skip("native lib unavailable")
-    np.testing.assert_allclose(out, 128 / 255.0, atol=1e-3)
-    assert out.shape == (1, 4, 4, 3)
+    np.testing.assert_array_equal(out[0].transpose(2, 0, 1), want)
+
+
+def test_preprocess_image_hf_fallback_matches_hf():
+    """PIL fallback path is also bit-exact vs the HF processor."""
+    transformers = pytest.importorskip("transformers")
+    from multimodal_unlearning_tpu.data.processor import preprocess_image_hf
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (123, 77, 3), dtype=np.uint8)
+    S = 32
+    proc = transformers.CLIPImageProcessor(
+        size={"shortest_edge": S}, crop_size={"height": S, "width": S}
+    )
+    want = proc(images=img, return_tensors="np")["pixel_values"][0]
+    got = preprocess_image_hf(img, S)
+    np.testing.assert_array_equal(got.transpose(2, 0, 1), want)
 
 
 def test_prefetch_loader_yields_same_batches():
