@@ -52,14 +52,48 @@ def build_mesh(cfg):
 
 def model_kind(model_cfg) -> str:
     arch = model_cfg["arch"]
-    return "llava" if "kind" in arch and arch["kind"] == "llava" else "llama"
+    return str(arch["kind"]) if "kind" in arch and arch["kind"] else "llama"
+
+
+def is_vlm(kind: str) -> bool:
+    from multimodal_unlearning_tpu.models import VLM_KINDS
+
+    return kind in VLM_KINDS
 
 
 def build_model_config(model_cfg):
+    from multimodal_unlearning_tpu.models import decoder_config, qwen2_vl
+
     arch = model_cfg["arch"]
-    if model_kind(model_cfg) == "llava":
+    kind = model_kind(model_cfg)
+    if kind == "llava":
         return llava.LlavaConfig.from_registry(arch)
-    return llama.LlamaConfig.from_registry(arch)
+    if kind == "qwen2_vl":
+        return qwen2_vl.QwenVLConfig.from_registry(arch)
+    return decoder_config(arch)
+
+
+def _decoder_from_hf(sd, arch, mcfg):
+    """HF state dict → our stacked decoder tree, per registry family."""
+    name = str(arch.get("decoder", "llama"))
+    if name == "neox":
+        return hf_bridge.neox_from_hf(sd, mcfg.num_layers, mcfg.num_heads)
+    if name == "phi":
+        return hf_bridge.phi_from_hf(sd, mcfg.num_layers)
+    if name == "stablelm":
+        return hf_bridge.stablelm_from_hf(sd, mcfg.num_layers)
+    return hf_bridge.llama_from_hf(sd, mcfg.num_layers)
+
+
+def _decoder_to_hf(params, arch, mcfg):
+    name = str(arch.get("decoder", "llama"))
+    if name == "neox":
+        return hf_bridge.neox_to_hf(params, mcfg.num_heads)
+    if name == "phi":
+        return hf_bridge.phi_to_hf(params)
+    if name == "stablelm":
+        return hf_bridge.stablelm_to_hf(params)
+    return hf_bridge.llama_to_hf(params)
 
 
 def init_or_load_params(model_cfg, model_path: str | None, seed: int = 0, dtype=jnp.float32):
@@ -84,12 +118,18 @@ def init_or_load_params(model_cfg, model_path: str | None, seed: int = 0, dtype=
             params = hf_bridge.llava_from_hf(
                 sd, mcfg.decoder.num_layers, mcfg.vision.num_layers
             )
+        elif kind == "qwen2_vl":
+            params = hf_bridge.qwen2vl_from_hf(
+                sd, mcfg.decoder.num_layers, mcfg.vision.depth
+            )
         else:
-            params = hf_bridge.llama_from_hf(sd, mcfg.num_layers)
+            params = _decoder_from_hf(sd, model_cfg["arch"], mcfg)
         params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
         print(f"Loaded checkpoint from {model_path}")
     else:
-        init = llava.init_params if kind == "llava" else llama.init_params
+        from multimodal_unlearning_tpu.models import decoder_module, vlm_module
+
+        init = vlm_module(kind).init_params if is_vlm(kind) else decoder_module(mcfg).init_params
         params = init(mcfg, jax.random.PRNGKey(seed), dtype=dtype)
         if model_path:
             print(f"No checkpoint at {model_path}; using random init (zero-egress mode)")
@@ -101,8 +141,10 @@ def save_model(save_dir, model_cfg, params, processor=None):
     mcfg = build_model_config(model_cfg)
     if kind == "llava":
         sd = hf_bridge.llava_to_hf(params, mcfg.vision.patch_size)
+    elif kind == "qwen2_vl":
+        sd = hf_bridge.qwen2vl_to_hf(params)
     else:
-        sd = hf_bridge.llama_to_hf(params)
+        sd = _decoder_to_hf(params, model_cfg["arch"], mcfg)
     checkpoints.save_hf_checkpoint(
         save_dir, sd, config={"model_family_arch": model_cfg["arch"].to_dict() if hasattr(model_cfg["arch"], "to_dict") else dict(model_cfg["arch"])}
     )
@@ -110,9 +152,23 @@ def save_model(save_dir, model_cfg, params, processor=None):
 
 def build_processor(model_cfg, cfg, *, padding_side="left"):
     arch = model_cfg["arch"]
-    if model_kind(model_cfg) == "llava":
+    kind = model_kind(model_cfg)
+    if is_vlm(kind):
         vision = arch["vision"]
-        n_img = (int(vision["image_size"]) // int(vision["patch_size"])) ** 2
+        image_size = int(vision["image_size"])
+        if kind == "qwen2_vl":
+            mcfg = build_model_config(model_cfg)
+            n_img = mcfg.num_image_tokens  # merged tokens at the op point
+            vision_mode = "qwen2vl"
+            vision_wrap = (
+                int(arch["vision_start_token_id"]), int(arch["vision_end_token_id"])
+            )
+            patch_size = int(vision.get("patch_size", 14))
+            merge = int(vision.get("spatial_merge_size", 2))
+        else:
+            n_img = (image_size // int(vision["patch_size"])) ** 2
+            vision_mode, vision_wrap = "clip", None
+            patch_size, merge = int(vision["patch_size"]), 1
         tok_path = cfg.get("processor_path") or cfg.get("tokenizer_path")
         if tok_path and Path(str(tok_path)).exists() and any(Path(str(tok_path)).glob("tokenizer*")):
             tok = load_tokenizer(tok_path, image_token=arch.get("image_token", "<image>"))
@@ -124,10 +180,14 @@ def build_processor(model_cfg, cfg, *, padding_side="left"):
             )
         return MMProcessor(
             tok,
-            image_size=int(vision["image_size"]),
+            image_size=image_size,
             num_image_tokens=n_img,
             chat_template=model_cfg.get("chat_template", "llava"),
             padding_side=padding_side,
+            vision_mode=vision_mode,
+            vision_wrap=vision_wrap,
+            patch_size=patch_size,
+            spatial_merge_size=merge,
         )
     # text-only families
     tok_path = cfg.get("tokenizer_path")

@@ -51,18 +51,23 @@ def run(cfg):
     kind, mcfg, params = common.init_or_load_params(
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
+    vlm = common.is_vlm(kind)
     if cfg.get("reinitialize_weights"):
         # sanity-ablation fault injection (nlp/evaluate_util.py:398-407)
         import jax.random as jr
-        init = llava.init_params if kind == "llava" else llama.init_params
+        from multimodal_unlearning_tpu.models import decoder_module, vlm_module
+
+        init = vlm_module(kind).init_params if vlm else decoder_module(mcfg).init_params
         params = init(mcfg, jr.PRNGKey(0), dtype=dtype)
 
-    fwd = llava.forward if kind == "llava" else llama.forward
+    from multimodal_unlearning_tpu.models import decoder_module, vlm_module
+
+    fwd = vlm_module(kind).forward if vlm else decoder_module(mcfg).forward
 
     @jax.jit
     def model_logits(params, input_ids, attention_mask, pixel_values):
         kw = dict(attention_mask=attention_mask, compute_dtype=dtype)
-        if kind == "llava":
+        if vlm:
             kw["pixel_values"] = pixel_values
         return fwd(params, mcfg, input_ids, **kw)["logits"]
 
@@ -86,7 +91,7 @@ def run(cfg):
             max_new_tokens=max_new_tokens,
             pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
             pixel_values=None if batch.get("pixel_values") is None else jnp.asarray(batch["pixel_values"]),
-            is_vlm=kind == "llava",
+            is_vlm=vlm,
             cache_dtype=dtype, compute_dtype=dtype,
         )
         return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)]

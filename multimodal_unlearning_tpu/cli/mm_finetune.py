@@ -72,9 +72,9 @@ def run(cfg):
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
     combine = None
     if use_lora:
-        lm = params["language_model"] if kind == "llava" else params
+        lm = params["language_model"] if common.is_vlm(kind) else params
         adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
-        adapters = {"language_model": adapters} if kind == "llava" else adapters
+        adapters = {"language_model": adapters} if common.is_vlm(kind) else adapters
         trainable, frozen_arg = adapters, params
         print_trainable_parameters(trainable, params)
         if cfg.get("quantize_base"):
@@ -82,12 +82,12 @@ def run(cfg):
 
             params = dict(
                 params, language_model=quantize_tree(params["language_model"])
-            ) if kind == "llava" else quantize_tree(params)
+            ) if common.is_vlm(kind) else quantize_tree(params)
             frozen_arg = params
         apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
         combine = lambda tr, fr: (fr, tr)
     else:
-        freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and kind == "llava"
+        freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and common.is_vlm(kind)
         if freeze_vision:
             frozen_arg, trainable = partition_tree(
                 params, path_predicate(str(model_cfg.get("vision_module", "vision_tower")))
@@ -117,10 +117,10 @@ def run(cfg):
 
     if use_lora:
         frozen_arg = None  # params kept on host for the merge below
-        adapters = state.trainable["language_model"] if kind == "llava" else state.trainable
-        lm = params["language_model"] if kind == "llava" else params
+        adapters = state.trainable["language_model"] if common.is_vlm(kind) else state.trainable
+        lm = params["language_model"] if common.is_vlm(kind) else params
         merged_lm = lora_mod.merge(lm, adapters, scale)
-        final = dict(params, language_model=merged_lm) if kind == "llava" else merged_lm
+        final = dict(params, language_model=merged_lm) if common.is_vlm(kind) else merged_lm
     else:
         final = state.trainable if frozen_arg is None else merge_trees(state.trainable, frozen_arg)
     common.save_model(save_dir, model_cfg, final)

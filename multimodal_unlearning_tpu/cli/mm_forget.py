@@ -30,7 +30,10 @@ SKU_LOSS_ARGS = {"bad_weight": 2.5, "random_weight": 1.0, "normal_weight": 0.5}
 
 def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=jnp.float32):
     """apply_fn(params_or_(params,lora), batch_part, capture_layer) → outputs."""
-    fwd = llava.forward if kind == "llava" else llama.forward
+    from multimodal_unlearning_tpu.models import VLM_KINDS, decoder_module, vlm_module
+
+    vlm = kind in VLM_KINDS
+    fwd = vlm_module(kind).forward if vlm else decoder_module(mcfg).forward
 
     def apply_fn(params, part, capture_layer=None):
         kw = dict(
@@ -46,7 +49,7 @@ def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", c
             kw.update(lora=adapters, lora_scale=lora_cfg)
         else:
             base = params
-        if kind == "llava":
+        if vlm:
             kw["pixel_values"] = jnp.asarray(part["pixel_values"])
         out = fwd(base, mcfg, jnp.asarray(part["input_ids"]), **kw)
         return {"logits": out["logits"], "captured": out["captured"]}
@@ -109,17 +112,17 @@ def run(cfg):
         teacher_params = dict(
             teacher_params,
             language_model=quantize_tree(teacher_params["language_model"]),
-        ) if kind == "llava" else quantize_tree(teacher_params)
+        ) if common.is_vlm(kind) else quantize_tree(teacher_params)
 
     # LoRA gating rule (mm/forget.py:126)
     use_lora = cfg.LoRA.r != 0 and (cfg.get("l_norm_from") != "zero" or cfg.get("l1_lambda", 0) == 0)
-    freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and kind == "llava"
+    freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and common.is_vlm(kind)
 
     remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
     attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"
     compute_dtype = dtype
 
-    dec_cfg = mcfg.decoder if kind == "llava" else mcfg
+    dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
     warmup = max(1, steps_per_epoch)
     tx = optim.make_optimizer(
         cfg.get("optimizer", "adamw"), float(cfg.lr),
@@ -130,9 +133,9 @@ def run(cfg):
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
     combine = None
     if use_lora:
-        lm = params["language_model"] if kind == "llava" else params
+        lm = params["language_model"] if common.is_vlm(kind) else params
         adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
-        adapters = {"language_model": adapters} if kind == "llava" else adapters
+        adapters = {"language_model": adapters} if common.is_vlm(kind) else adapters
         trainable = adapters
         print_trainable_parameters(trainable, params)
         if cfg.get("quantize_base"):
@@ -140,7 +143,7 @@ def run(cfg):
 
             params = dict(
                 params, language_model=quantize_tree(params["language_model"])
-            ) if kind == "llava" else quantize_tree(params)
+            ) if common.is_vlm(kind) else quantize_tree(params)
             if cfg.get("int8_compute"):
                 from multimodal_unlearning_tpu.models.llama import enable_int8_compute
 
@@ -187,7 +190,7 @@ def run(cfg):
 
         if not tp_degree_ok(dec_cfg, mesh.shape["tensor"]):
             raise ValueError(f"tensor={mesh.shape['tensor']} does not divide the decoder dims")
-        lm_key = "language_model" if kind == "llava" else None
+        lm_key = "language_model" if common.is_vlm(kind) else None
 
         def tp_place(tree):
             if tree is None:
@@ -207,10 +210,10 @@ def run(cfg):
         # per-epoch model-only checkpoints (save_steps = steps/epoch,
         # save_only_model=True: mm/forget.py:158-160)
         if use_lora:
-            ad = state_snapshot.trainable["language_model"] if kind == "llava" else state_snapshot.trainable
-            lm = params["language_model"] if kind == "llava" else params
+            ad = state_snapshot.trainable["language_model"] if common.is_vlm(kind) else state_snapshot.trainable
+            lm = params["language_model"] if common.is_vlm(kind) else params
             merged_lm = lora_mod.merge(lm, ad, scale)
-            snap = dict(params, language_model=merged_lm) if kind == "llava" else merged_lm
+            snap = dict(params, language_model=merged_lm) if common.is_vlm(kind) else merged_lm
         else:
             from multimodal_unlearning_tpu.utils.pytree import merge_trees
             snap = state_snapshot.trainable if merged_frozen is None else merge_trees(state_snapshot.trainable, merged_frozen)
@@ -228,10 +231,10 @@ def run(cfg):
 
     if cfg.get("save_model", True):
         if use_lora:
-            adapters = state.trainable["language_model"] if kind == "llava" else state.trainable
-            lm = params["language_model"] if kind == "llava" else params
+            adapters = state.trainable["language_model"] if common.is_vlm(kind) else state.trainable
+            lm = params["language_model"] if common.is_vlm(kind) else params
             merged_lm = lora_mod.merge(lm, adapters, scale)
-            final = dict(params, language_model=merged_lm) if kind == "llava" else merged_lm
+            final = dict(params, language_model=merged_lm) if common.is_vlm(kind) else merged_lm
         else:
             from multimodal_unlearning_tpu.utils.pytree import merge_trees
             final = state.trainable if merged_frozen is None else merge_trees(state.trainable, merged_frozen)

@@ -43,12 +43,15 @@ def run(cfg):
     kind, mcfg, params = common.init_or_load_params(
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
+    from multimodal_unlearning_tpu.models import decoder_module
+
+    dec = decoder_module(mcfg)
     if cfg.get("reinitialize_weights"):
-        params = llama.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
+        params = dec.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
 
     @jax.jit
     def model_logits(input_ids, attention_mask):
-        return llama.forward(
+        return dec.forward(
             params, mcfg, input_ids, attention_mask=attention_mask, compute_dtype=dtype
         )["logits"]
 

@@ -37,7 +37,9 @@ def run(cfg):
         max_length=cfg.max_length, split=cfg.split, loss_type="grad_ascent", seed=cfg.seed,
     )
     loader = DataLoader(ds, cfg.batch_size, text_collator, shuffle=True, seed=cfg.seed)
-    fwd = llava.forward if kind == "llava" else llama.forward
+    from multimodal_unlearning_tpu.models import decoder_module
+
+    fwd = llava.forward if kind == "llava" else decoder_module(mcfg).forward
 
     @jax.jit
     def grad_fn(p, input_ids, labels, attention_mask):

@@ -110,6 +110,74 @@ def preprocess_image(img, image_size: int) -> np.ndarray:
     return (arr - CLIP_MEAN) / CLIP_STD
 
 
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = 56 * 56, max_pixels: int = 28 * 28 * 1280):
+    """Qwen2VLImageProcessor target-size arithmetic (factor-aligned dims,
+    pixel budget, aspect preserved)."""
+    import math
+
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+def qwen_patchify(arr: np.ndarray, patch_size: int = 14, merge_size: int = 2,
+                  temporal: int = 2) -> np.ndarray:
+    """Normalized [H, W, 3] → Qwen2-VL flatten-order patches
+    [grid_h·grid_w, 3·temporal·P·P] (single image, frame duplicated)."""
+    H, W, C = arr.shape
+    gh, gw = H // patch_size, W // patch_size
+    x = np.repeat(arr.transpose(2, 0, 1)[None], temporal, axis=0)  # [T, C, H, W]
+    x = x.reshape(
+        1, temporal, C,
+        gh // merge_size, merge_size, patch_size,
+        gw // merge_size, merge_size, patch_size,
+    )
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return np.ascontiguousarray(
+        x.reshape(gh * gw, C * temporal * patch_size * patch_size)
+    )
+
+
+def preprocess_image_qwen(img, image_size: int, patch_size: int = 14,
+                          merge_size: int = 2) -> np.ndarray:
+    """Qwen2VLImageProcessor-exact single-image path at a fixed-resolution
+    operating point: smart_resize→PIL bicubic, rescale, CLIP normalize,
+    flatten-order patchify.  Returns [N_patches, patch_dim]."""
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.dtype == np.uint8:
+        h, w = arr.shape[:2]
+        nh, nw = smart_resize(h, w, factor=patch_size * merge_size)
+        # pin to the static op-point resolution so shapes stay jit-stable
+        if (nh, nw) != (image_size, image_size):
+            nh = nw = image_size
+        if (nh, nw) != (h, w):
+            from PIL import Image
+
+            arr = np.asarray(Image.fromarray(arr).resize((nw, nh), Image.BICUBIC))
+        arr = arr.astype(np.float32) / 255.0
+    else:
+        arr = arr.astype(np.float32)
+        if arr.shape[:2] != (image_size, image_size):
+            import jax
+
+            arr = np.asarray(
+                jax.image.resize(arr, (image_size, image_size, 3), "bicubic")
+            )
+    arr = (arr - CLIP_MEAN) / CLIP_STD
+    return qwen_patchify(arr, patch_size, merge_size)
+
+
 def _round_up(n, m):
     return (n + m - 1) // m * m
 
@@ -126,6 +194,10 @@ class MMProcessor:
         pad_multiple: int = 128,
         hf_question_count_quirk: bool = False,
         tags: dict | None = None,
+        vision_mode: str = "clip",
+        vision_wrap: tuple | None = None,
+        patch_size: int = 14,
+        spatial_merge_size: int = 2,
     ):
         self.tokenizer = tokenizer
         self.image_size = image_size
@@ -135,6 +207,10 @@ class MMProcessor:
         self.padding_side = padding_side
         self.pad_multiple = pad_multiple
         self.hf_question_count_quirk = hf_question_count_quirk
+        self.vision_mode = vision_mode  # "clip" (LLaVA) | "qwen2vl" (patches)
+        self.vision_wrap = vision_wrap  # (vision_start_id, vision_end_id)
+        self.patch_size = patch_size
+        self.spatial_merge_size = spatial_merge_size
 
     # -- formatting -------------------------------------------------------
     def format(self, question: str, answer: str | None, has_image: bool) -> str:
@@ -148,7 +224,12 @@ class MMProcessor:
         out: list[int] = []
         for i in ids:
             if i == img_id:
-                out.extend([img_id] * self.num_image_tokens)
+                if self.vision_wrap is not None:  # qwen2vl: <|vision_start|>…<|vision_end|>
+                    out.append(self.vision_wrap[0])
+                    out.extend([img_id] * self.num_image_tokens)
+                    out.append(self.vision_wrap[1])
+                else:
+                    out.extend([img_id] * self.num_image_tokens)
             else:
                 out.append(i)
         return out
@@ -194,10 +275,20 @@ class MMProcessor:
             pad_left=self.padding_side == "left",
         )
 
-        pixel_values = np.zeros((B, self.image_size, self.image_size, 3), np.float32)
-        for r, s in enumerate(samples):
-            if s.get("image") is not None:
-                pixel_values[r] = preprocess_image(s["image"], self.image_size)
+        if self.vision_mode == "qwen2vl":
+            g = self.image_size // self.patch_size
+            patch_dim = 3 * 2 * self.patch_size**2
+            pixel_values = np.zeros((B, g * g, patch_dim), np.float32)
+            for r, s in enumerate(samples):
+                if s.get("image") is not None:
+                    pixel_values[r] = preprocess_image_qwen(
+                        s["image"], self.image_size, self.patch_size, self.spatial_merge_size
+                    )
+        else:
+            pixel_values = np.zeros((B, self.image_size, self.image_size, 3), np.float32)
+            for r, s in enumerate(samples):
+                if s.get("image") is not None:
+                    pixel_values[r] = preprocess_image(s["image"], self.image_size)
 
         out = {
             "input_ids": input_ids,

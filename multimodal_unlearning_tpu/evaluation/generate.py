@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from multimodal_unlearning_tpu.models import llama, llava
+from multimodal_unlearning_tpu.models import decoder_module, vlm_module
 
 
 def pad_prompts(encoded: list[list[int]], pad_id: int, multiple: int = 128):
@@ -53,16 +53,17 @@ def greedy_generate(
     B, S = input_ids.shape
     Smax = -(-(S + max_new_tokens) // 128) * 128  # lane-aligned cache
     dec_cfg = model_cfg.decoder if is_vlm else model_cfg
+    dec = decoder_module(dec_cfg)
 
-    cache = llama.init_kv_cache(dec_cfg, B, Smax, dtype=cache_dtype)
+    cache = dec.init_kv_cache(dec_cfg, B, Smax, dtype=cache_dtype)
     kv_valid = jnp.zeros((B, Smax), jnp.int32).at[:, :S].set(attention_mask)
     prompt_len = jnp.sum(attention_mask, axis=-1)  # valid tokens per row
 
     fwd = partial(
-        llava.forward, params, model_cfg,
+        vlm_module(model_cfg).forward, params, model_cfg,
         attn_impl=attn_impl, compute_dtype=compute_dtype,
     ) if is_vlm else partial(
-        llama.forward, params, model_cfg,
+        dec.forward, params, model_cfg,
         attn_impl=attn_impl, compute_dtype=compute_dtype,
     )
 
@@ -74,6 +75,8 @@ def greedy_generate(
         prefill_kw["pixel_values"] = pixel_values
     out = fwd(input_ids, **prefill_kw)
     cache = out["kv_cache"]
+    # Qwen2-VL M-RoPE: decode positions continue from max prompt position
+    rope_delta = out.get("rope_delta")
     first_token = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(input_ids.dtype)
 
     eos = -1 if eos_token_id is None else eos_token_id
@@ -91,6 +94,8 @@ def greedy_generate(
         )
         if is_vlm:
             dec_kw["pixel_values"] = None
+        if rope_delta is not None:
+            dec_kw["rope_delta"] = rope_delta
         out = fwd(token[:, None], **dec_kw)
         nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(token.dtype)
         newly_finished = finished | (nxt == eos)

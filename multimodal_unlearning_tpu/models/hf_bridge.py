@@ -53,10 +53,17 @@ def llama_to_hf(params: dict, prefix: str = "") -> dict:
             sd[f"{prefix}model.layers.{i}.{hf}"] = _t(params["layers"][ours][i])
         for ours, hf in _LLAMA_NORM_MAP.items():
             sd[f"{prefix}model.layers.{i}.{hf}"] = np.asarray(params["layers"][ours][i])
+        for b in ("q", "k", "v"):  # Qwen2-style qkv biases, when present
+            if f"{b}_bias" in params["layers"]:
+                sd[f"{prefix}model.layers.{i}.self_attn.{b}_proj.bias"] = np.asarray(
+                    params["layers"][f"{b}_bias"][i]
+                )
     return sd
 
 
-def llama_from_hf(sd: dict, num_layers: int, prefix: str = "", dtype=np.float32) -> dict:
+def llama_from_hf(
+    sd: dict, num_layers: int, prefix: str = "", dtype=np.float32, qkv_bias: bool = False
+) -> dict:
     def g(k):
         return np.asarray(sd[f"{prefix}{k}"], dtype)
 
@@ -67,10 +74,219 @@ def llama_from_hf(sd: dict, num_layers: int, prefix: str = "", dtype=np.float32)
         )
     for ours, hf in _LLAMA_NORM_MAP.items():
         layers[ours] = np.stack([g(f"model.layers.{i}.{hf}") for i in range(num_layers)])
+    if qkv_bias:
+        for b in ("q", "k", "v"):
+            layers[f"{b}_bias"] = np.stack(
+                [g(f"model.layers.{i}.self_attn.{b}_proj.bias") for i in range(num_layers)]
+            )
+    embed = g("model.embed_tokens.weight")
+    # tied lm_head (e.g. Qwen2-VL-2B): fall back to the embedding table
+    head_key = f"{prefix}lm_head.weight"
+    lm_head = np.asarray(sd[head_key], dtype).T if head_key in sd else embed.T.copy()
+    return {
+        "embed_tokens": embed,
+        "layers": layers,
+        "norm": g("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+
+
+# ---------------------------------------------------------------------------
+# GPT-NeoX (pythia) — fused query_key_value de-interleaved per head
+# (HF layout: rows grouped per head as [q(d), k(d), v(d)]).
+# Reference loads these families via AutoModelForCausalLM
+# (nlp/finetune.py:96-98, config/model_config.yaml:36-47).
+# ---------------------------------------------------------------------------
+
+
+def neox_to_hf(params: dict, num_heads: int, prefix: str = "") -> dict:
+    sd = {}
+    sd[f"{prefix}gpt_neox.embed_in.weight"] = np.asarray(params["embed_tokens"])
+    sd[f"{prefix}gpt_neox.final_layer_norm.weight"] = np.asarray(params["final_ln"]["scale"])
+    sd[f"{prefix}gpt_neox.final_layer_norm.bias"] = np.asarray(params["final_ln"]["bias"])
+    sd[f"{prefix}embed_out.weight"] = _t(params["lm_head"])
+    lp = params["layers"]
+    L, H = lp["q_proj"].shape[0], lp["q_proj"].shape[1]
+    d = H // num_heads
+    for i in range(L):
+        base = f"{prefix}gpt_neox.layers.{i}"
+        sd[f"{base}.input_layernorm.weight"] = np.asarray(lp["ln1"]["scale"][i])
+        sd[f"{base}.input_layernorm.bias"] = np.asarray(lp["ln1"]["bias"][i])
+        sd[f"{base}.post_attention_layernorm.weight"] = np.asarray(lp["ln2"]["scale"][i])
+        sd[f"{base}.post_attention_layernorm.bias"] = np.asarray(lp["ln2"]["bias"][i])
+        # interleave q/k/v back into the fused per-head layout
+        qw, kw, vw = (_t(lp[n][i]) for n in ("q_proj", "k_proj", "v_proj"))  # [H, H]
+        qkv = np.stack(
+            [qw.reshape(num_heads, d, H), kw.reshape(num_heads, d, H), vw.reshape(num_heads, d, H)],
+            axis=1,
+        ).reshape(3 * H, H)
+        sd[f"{base}.attention.query_key_value.weight"] = qkv
+        qb, kb, vb = (np.asarray(lp[n][i]) for n in ("q_bias", "k_bias", "v_bias"))
+        sd[f"{base}.attention.query_key_value.bias"] = np.stack(
+            [qb.reshape(num_heads, d), kb.reshape(num_heads, d), vb.reshape(num_heads, d)], axis=1
+        ).reshape(3 * H)
+        sd[f"{base}.attention.dense.weight"] = _t(lp["o_proj"][i])
+        sd[f"{base}.attention.dense.bias"] = np.asarray(lp["o_bias"][i])
+        sd[f"{base}.mlp.dense_h_to_4h.weight"] = _t(lp["fc1"][i])
+        sd[f"{base}.mlp.dense_h_to_4h.bias"] = np.asarray(lp["fc1_bias"][i])
+        sd[f"{base}.mlp.dense_4h_to_h.weight"] = _t(lp["fc2"][i])
+        sd[f"{base}.mlp.dense_4h_to_h.bias"] = np.asarray(lp["fc2_bias"][i])
+    return sd
+
+
+def neox_from_hf(sd: dict, num_layers: int, num_heads: int, prefix: str = "", dtype=np.float32) -> dict:
+    def g(k):
+        return np.asarray(sd[f"{prefix}{k}"], dtype)
+
+    H = g("gpt_neox.embed_in.weight").shape[1]
+    d = H // num_heads
+    q_w, k_w, v_w, q_b, k_b, v_b = [], [], [], [], [], []
+    ln1s, ln1b, ln2s, ln2b, o_w, o_b = [], [], [], [], [], []
+    fc1_w, fc1_b, fc2_w, fc2_b = [], [], [], []
+    for i in range(num_layers):
+        base = f"gpt_neox.layers.{i}"
+        qkv = g(f"{base}.attention.query_key_value.weight").reshape(num_heads, 3, d, H)
+        q_w.append(qkv[:, 0].reshape(H, H).T)
+        k_w.append(qkv[:, 1].reshape(H, H).T)
+        v_w.append(qkv[:, 2].reshape(H, H).T)
+        qkvb = g(f"{base}.attention.query_key_value.bias").reshape(num_heads, 3, d)
+        q_b.append(qkvb[:, 0].reshape(H))
+        k_b.append(qkvb[:, 1].reshape(H))
+        v_b.append(qkvb[:, 2].reshape(H))
+        ln1s.append(g(f"{base}.input_layernorm.weight"))
+        ln1b.append(g(f"{base}.input_layernorm.bias"))
+        ln2s.append(g(f"{base}.post_attention_layernorm.weight"))
+        ln2b.append(g(f"{base}.post_attention_layernorm.bias"))
+        o_w.append(g(f"{base}.attention.dense.weight").T)
+        o_b.append(g(f"{base}.attention.dense.bias"))
+        fc1_w.append(g(f"{base}.mlp.dense_h_to_4h.weight").T)
+        fc1_b.append(g(f"{base}.mlp.dense_h_to_4h.bias"))
+        fc2_w.append(g(f"{base}.mlp.dense_4h_to_h.weight").T)
+        fc2_b.append(g(f"{base}.mlp.dense_4h_to_h.bias"))
+    return {
+        "embed_tokens": g("gpt_neox.embed_in.weight"),
+        "layers": {
+            "ln1": {"scale": np.stack(ln1s), "bias": np.stack(ln1b)},
+            "ln2": {"scale": np.stack(ln2s), "bias": np.stack(ln2b)},
+            "q_proj": np.stack(q_w), "q_bias": np.stack(q_b),
+            "k_proj": np.stack(k_w), "k_bias": np.stack(k_b),
+            "v_proj": np.stack(v_w), "v_bias": np.stack(v_b),
+            "o_proj": np.stack(o_w), "o_bias": np.stack(o_b),
+            "fc1": np.stack(fc1_w), "fc1_bias": np.stack(fc1_b),
+            "fc2": np.stack(fc2_w), "fc2_bias": np.stack(fc2_b),
+        },
+        "final_ln": {
+            "scale": g("gpt_neox.final_layer_norm.weight"),
+            "bias": g("gpt_neox.final_layer_norm.bias"),
+        },
+        "lm_head": g("embed_out.weight").T,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Phi (phi-1_5)
+# ---------------------------------------------------------------------------
+
+_PHI_LINEAR_MAP = {
+    "q_proj": ("self_attn.q_proj", "q_bias"),
+    "k_proj": ("self_attn.k_proj", "k_bias"),
+    "v_proj": ("self_attn.v_proj", "v_bias"),
+    "o_proj": ("self_attn.dense", "o_bias"),
+    "fc1": ("mlp.fc1", "fc1_bias"),
+    "fc2": ("mlp.fc2", "fc2_bias"),
+}
+
+
+def phi_to_hf(params: dict, prefix: str = "") -> dict:
+    sd = {}
+    sd[f"{prefix}model.embed_tokens.weight"] = np.asarray(params["embed_tokens"])
+    sd[f"{prefix}model.final_layernorm.weight"] = np.asarray(params["final_ln"]["scale"])
+    sd[f"{prefix}model.final_layernorm.bias"] = np.asarray(params["final_ln"]["bias"])
+    sd[f"{prefix}lm_head.weight"] = _t(params["lm_head"])
+    sd[f"{prefix}lm_head.bias"] = np.asarray(params["lm_head_bias"])
+    lp = params["layers"]
+    L = lp["q_proj"].shape[0]
+    for i in range(L):
+        base = f"{prefix}model.layers.{i}"
+        sd[f"{base}.input_layernorm.weight"] = np.asarray(lp["ln1"]["scale"][i])
+        sd[f"{base}.input_layernorm.bias"] = np.asarray(lp["ln1"]["bias"][i])
+        for ours, (hf, bias) in _PHI_LINEAR_MAP.items():
+            sd[f"{base}.{hf}.weight"] = _t(lp[ours][i])
+            sd[f"{base}.{hf}.bias"] = np.asarray(lp[bias][i])
+    return sd
+
+
+def phi_from_hf(sd: dict, num_layers: int, prefix: str = "", dtype=np.float32) -> dict:
+    def g(k):
+        return np.asarray(sd[f"{prefix}{k}"], dtype)
+
+    layers = {
+        "ln1": {
+            "scale": np.stack([g(f"model.layers.{i}.input_layernorm.weight") for i in range(num_layers)]),
+            "bias": np.stack([g(f"model.layers.{i}.input_layernorm.bias") for i in range(num_layers)]),
+        }
+    }
+    for ours, (hf, bias) in _PHI_LINEAR_MAP.items():
+        layers[ours] = np.stack(
+            [g(f"model.layers.{i}.{hf}.weight").T for i in range(num_layers)]
+        )
+        layers[bias] = np.stack(
+            [g(f"model.layers.{i}.{hf}.bias") for i in range(num_layers)]
+        )
     return {
         "embed_tokens": g("model.embed_tokens.weight"),
         "layers": layers,
-        "norm": g("model.norm.weight"),
+        "final_ln": {
+            "scale": g("model.final_layernorm.weight"),
+            "bias": g("model.final_layernorm.bias"),
+        },
+        "lm_head": g("lm_head.weight").T,
+        "lm_head_bias": g("lm_head.bias"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# StableLM (3b-4e1t): llama layout + LayerNorm biases, no linear biases
+# ---------------------------------------------------------------------------
+
+
+def stablelm_to_hf(params: dict, prefix: str = "") -> dict:
+    sd = {}
+    sd[f"{prefix}model.embed_tokens.weight"] = np.asarray(params["embed_tokens"])
+    sd[f"{prefix}model.norm.weight"] = np.asarray(params["final_ln"]["scale"])
+    sd[f"{prefix}model.norm.bias"] = np.asarray(params["final_ln"]["bias"])
+    sd[f"{prefix}lm_head.weight"] = _t(params["lm_head"])
+    lp = params["layers"]
+    L = lp["q_proj"].shape[0]
+    for i in range(L):
+        base = f"{prefix}model.layers.{i}"
+        sd[f"{base}.input_layernorm.weight"] = np.asarray(lp["ln1"]["scale"][i])
+        sd[f"{base}.input_layernorm.bias"] = np.asarray(lp["ln1"]["bias"][i])
+        sd[f"{base}.post_attention_layernorm.weight"] = np.asarray(lp["ln2"]["scale"][i])
+        sd[f"{base}.post_attention_layernorm.bias"] = np.asarray(lp["ln2"]["bias"][i])
+        for ours, hf in _LLAMA_LAYER_MAP.items():
+            sd[f"{base}.{hf}"] = _t(lp[ours][i])
+    return sd
+
+
+def stablelm_from_hf(sd: dict, num_layers: int, prefix: str = "", dtype=np.float32) -> dict:
+    def g(k):
+        return np.asarray(sd[f"{prefix}{k}"], dtype)
+
+    layers = {}
+    for ours, hf in _LLAMA_LAYER_MAP.items():
+        layers[ours] = np.stack(
+            [g(f"model.layers.{i}.{hf}").T for i in range(num_layers)]
+        )
+    for ln_ours, ln_hf in (("ln1", "input_layernorm"), ("ln2", "post_attention_layernorm")):
+        layers[ln_ours] = {
+            "scale": np.stack([g(f"model.layers.{i}.{ln_hf}.weight") for i in range(num_layers)]),
+            "bias": np.stack([g(f"model.layers.{i}.{ln_hf}.bias") for i in range(num_layers)]),
+        }
+    return {
+        "embed_tokens": g("model.embed_tokens.weight"),
+        "layers": layers,
+        "final_ln": {"scale": g("model.norm.weight"), "bias": g("model.norm.bias")},
         "lm_head": g("lm_head.weight").T,
     }
 
@@ -144,6 +360,104 @@ def vit_from_hf(sd: dict, num_layers: int, prefix: str = "vision_tower.vision_mo
         "pre_ln": {"scale": g("pre_layrnorm.weight"), "bias": g("pre_layrnorm.bias")},
         "post_ln": {"scale": g("post_layernorm.weight"), "bias": g("post_layernorm.bias")},
         "layers": layers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Qwen2-VL (published flat layout: text under "model.", tower under "visual.")
+# ---------------------------------------------------------------------------
+
+_QWEN_VIT_QKV = ("q", "k", "v")
+
+
+def qwen2vl_to_hf(params: dict) -> dict:
+    sd = llama_to_hf(params["language_model"])
+    vt = params["vision_tower"]
+    bp = vt["blocks"]
+    L, E = bp["q_proj"].shape[0], bp["q_proj"].shape[1]
+    pe = np.asarray(vt["patch_embed"])  # [patch_dim, E]
+    # conv3d kernel [E, 3, T, P, P] ← patch vector order (c, t, ph, pw)
+    patch_dim = pe.shape[0]
+    sd["visual.patch_embed.proj.weight"] = pe.T.reshape(E, 3, 2, -1).reshape(
+        E, 3, 2, int(np.sqrt(patch_dim // 6)), int(np.sqrt(patch_dim // 6))
+    )
+    for i in range(L):
+        base = f"visual.blocks.{i}"
+        sd[f"{base}.norm1.weight"] = np.asarray(bp["ln1"]["scale"][i])
+        sd[f"{base}.norm1.bias"] = np.asarray(bp["ln1"]["bias"][i])
+        sd[f"{base}.norm2.weight"] = np.asarray(bp["ln2"]["scale"][i])
+        sd[f"{base}.norm2.bias"] = np.asarray(bp["ln2"]["bias"][i])
+        sd[f"{base}.attn.qkv.weight"] = np.concatenate(
+            [_t(bp[f"{n}_proj"][i]) for n in _QWEN_VIT_QKV], axis=0
+        )
+        sd[f"{base}.attn.qkv.bias"] = np.concatenate(
+            [np.asarray(bp[f"{n}_bias"][i]) for n in _QWEN_VIT_QKV], axis=0
+        )
+        sd[f"{base}.attn.proj.weight"] = _t(bp["o_proj"][i])
+        sd[f"{base}.attn.proj.bias"] = np.asarray(bp["o_bias"][i])
+        sd[f"{base}.mlp.fc1.weight"] = _t(bp["fc1"][i])
+        sd[f"{base}.mlp.fc1.bias"] = np.asarray(bp["fc1_bias"][i])
+        sd[f"{base}.mlp.fc2.weight"] = _t(bp["fc2"][i])
+        sd[f"{base}.mlp.fc2.bias"] = np.asarray(bp["fc2_bias"][i])
+    m = vt["merger"]
+    sd["visual.merger.ln_q.weight"] = np.asarray(m["ln_q"]["scale"])
+    sd["visual.merger.ln_q.bias"] = np.asarray(m["ln_q"]["bias"])
+    sd["visual.merger.mlp.0.weight"] = _t(m["fc1"])
+    sd["visual.merger.mlp.0.bias"] = np.asarray(m["fc1_bias"])
+    sd["visual.merger.mlp.2.weight"] = _t(m["fc2"])
+    sd["visual.merger.mlp.2.bias"] = np.asarray(m["fc2_bias"])
+    return sd
+
+
+def qwen2vl_from_hf(sd: dict, decoder_layers: int, vision_depth: int, dtype=np.float32) -> dict:
+    def g(k):
+        return np.asarray(sd[k], dtype)
+
+    conv = g("visual.patch_embed.proj.weight")  # [E, 3, T, P, P]
+    E = conv.shape[0]
+    blocks = {
+        "ln1": {
+            "scale": np.stack([g(f"visual.blocks.{i}.norm1.weight") for i in range(vision_depth)]),
+            "bias": np.stack([g(f"visual.blocks.{i}.norm1.bias") for i in range(vision_depth)]),
+        },
+        "ln2": {
+            "scale": np.stack([g(f"visual.blocks.{i}.norm2.weight") for i in range(vision_depth)]),
+            "bias": np.stack([g(f"visual.blocks.{i}.norm2.bias") for i in range(vision_depth)]),
+        },
+    }
+    for j, n in enumerate(_QWEN_VIT_QKV):
+        blocks[f"{n}_proj"] = np.stack(
+            [g(f"visual.blocks.{i}.attn.qkv.weight")[j * E:(j + 1) * E].T for i in range(vision_depth)]
+        )
+        blocks[f"{n}_bias"] = np.stack(
+            [g(f"visual.blocks.{i}.attn.qkv.bias")[j * E:(j + 1) * E] for i in range(vision_depth)]
+        )
+    blocks["o_proj"] = np.stack(
+        [g(f"visual.blocks.{i}.attn.proj.weight").T for i in range(vision_depth)]
+    )
+    blocks["o_bias"] = np.stack(
+        [g(f"visual.blocks.{i}.attn.proj.bias") for i in range(vision_depth)]
+    )
+    for ours, hf in (("fc1", "fc1"), ("fc2", "fc2")):
+        blocks[ours] = np.stack(
+            [g(f"visual.blocks.{i}.mlp.{hf}.weight").T for i in range(vision_depth)]
+        )
+        blocks[f"{ours}_bias"] = np.stack(
+            [g(f"visual.blocks.{i}.mlp.{hf}.bias") for i in range(vision_depth)]
+        )
+    return {
+        "language_model": llama_from_hf(sd, decoder_layers, qkv_bias=True, dtype=dtype),
+        "vision_tower": {
+            "patch_embed": conv.reshape(E, -1).T,
+            "blocks": blocks,
+            "merger": {
+                "ln_q": {"scale": g("visual.merger.ln_q.weight"), "bias": g("visual.merger.ln_q.bias")},
+                "fc1": g("visual.merger.mlp.0.weight").T,
+                "fc1_bias": g("visual.merger.mlp.0.bias"),
+                "fc2": g("visual.merger.mlp.2.weight").T,
+                "fc2_bias": g("visual.merger.mlp.2.bias"),
+            },
+        },
     }
 
 

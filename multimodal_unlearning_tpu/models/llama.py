@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_unlearning_tpu.ops.attention import flash_attention
-from multimodal_unlearning_tpu.ops.rope import apply_rope, rope_table
+from multimodal_unlearning_tpu.ops.rope import apply_rope_bsd, rope_table
 
 
 @dataclass(frozen=True)
@@ -43,6 +43,8 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
+    qkv_bias: bool = False  # Qwen2 family: q/k/v projections carry biases
+    mrope_section: tuple = ()  # Qwen2-VL 3D M-RoPE channel split (t, h, w)
 
     @property
     def head_dim(self) -> int:
@@ -60,6 +62,8 @@ class LlamaConfig:
             rope_theta=float(arch.get("rope_theta", 10000.0)),
             max_position_embeddings=int(arch.get("max_position_embeddings", 4096)),
             rms_norm_eps=float(arch.get("rms_norm_eps", 1e-5)),
+            qkv_bias=bool(arch.get("qkv_bias", False)),
+            mrope_section=tuple(arch.get("mrope_section", ())),
         )
 
 
@@ -74,19 +78,24 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> dict:
         # generate directly in target dtype: no fp32 transient (2× HBM at init)
         return jax.random.normal(key, shape, dtype) * jnp.asarray(shape[-2] ** -0.5, dtype)
 
+    layers = {
+        "input_layernorm": jnp.ones((L, h), dtype),
+        "q_proj": w_init(next(keys), (L, h, h)),
+        "k_proj": w_init(next(keys), (L, h, kvh)),
+        "v_proj": w_init(next(keys), (L, h, kvh)),
+        "o_proj": w_init(next(keys), (L, h, h)),
+        "post_attention_layernorm": jnp.ones((L, h), dtype),
+        "gate_proj": w_init(next(keys), (L, h, i)),
+        "up_proj": w_init(next(keys), (L, h, i)),
+        "down_proj": w_init(next(keys), (L, i, h)),
+    }
+    if cfg.qkv_bias:
+        layers["q_bias"] = jnp.zeros((L, h), dtype)
+        layers["k_bias"] = jnp.zeros((L, kvh), dtype)
+        layers["v_bias"] = jnp.zeros((L, kvh), dtype)
     return {
         "embed_tokens": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * jnp.asarray(0.02, dtype),
-        "layers": {
-            "input_layernorm": jnp.ones((L, h), dtype),
-            "q_proj": w_init(next(keys), (L, h, h)),
-            "k_proj": w_init(next(keys), (L, h, kvh)),
-            "v_proj": w_init(next(keys), (L, h, kvh)),
-            "o_proj": w_init(next(keys), (L, h, h)),
-            "post_attention_layernorm": jnp.ones((L, h), dtype),
-            "gate_proj": w_init(next(keys), (L, h, i)),
-            "up_proj": w_init(next(keys), (L, h, i)),
-            "down_proj": w_init(next(keys), (L, i, h)),
-        },
+        "layers": layers,
         "norm": jnp.ones((h,), dtype),
         "lm_head": w_init(next(keys), (h, cfg.vocab_size)),
     }
@@ -188,6 +197,12 @@ def forward(
         positions = positions_from_mask(attention_mask)
 
     cos, sin = rope_table(cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta)
+    if positions.ndim == 3:  # M-RoPE [3, B, S] (Qwen2-VL)
+        from multimodal_unlearning_tpu.ops.rope import mrope_select
+
+        cos_p, sin_p = mrope_select(cos, sin, positions, cfg.mrope_section, cfg.head_dim)
+    else:
+        cos_p, sin_p = cos[positions], sin[positions]  # [B, S, D]
 
     use_cache = kv_cache is not None
     decoding = use_cache and S == 1
@@ -200,14 +215,18 @@ def forward(
 
         def proj(name, t):
             ll = lora_l.get(name) if has_lora else None
-            return dense(t, lp[name], ll, lora_scale)
+            y = dense(t, lp[name], ll, lora_scale)
+            bias = lp.get(name[0] + "_bias") if name != "o_proj" else None
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
 
         h_attn = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
         q = proj("q_proj", h_attn).reshape(B, S, nh, hdim).transpose(0, 2, 1, 3)
         k = proj("k_proj", h_attn).reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
         v = proj("v_proj", h_attn).reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin, positions)
-        k = apply_rope(k, cos, sin, positions)
+        q = apply_rope_bsd(q, cos_p, sin_p)
+        k = apply_rope_bsd(k, cos_p, sin_p)
 
         if use_cache:
             k_all = jax.lax.dynamic_update_slice(

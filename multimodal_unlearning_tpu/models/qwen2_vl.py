@@ -1,0 +1,345 @@
+"""Qwen2-VL: NaViT-style vision tower + M-RoPE Qwen2 decoder (true arch).
+
+The reference's *default* mm family is qwen-vl2-2b loaded as HF
+``Qwen2VLForConditionalGeneration`` (reference config/mm/finetune.yaml:2,
+config/model_config.yaml:66-79, mm/finetune.py:79-84).  This is the exact
+architecture, built TPU-first:
+
+- the vision tower consumes pre-patchified pixels
+  ``[B, N, C·T·P·P]`` (the Qwen2VLImageProcessor flatten order) with a
+  *static* (t, h, w) grid per batch — variable resolution maps to bucketed
+  static shapes instead of cu_seqlens ragged attention (XLA-friendly);
+  2D rotary position embeddings over the merge-block patch order;
+- PatchMerger (LN → 2×2 group → MLP) down to the decoder width;
+- the decoder is models/llama.py with ``qkv_bias=True`` and 3D M-RoPE
+  (``mrope_section``) — image spans get (t, h, w) grid positions, text gets
+  equal positions across streams (HF get_rope_index semantics), computed
+  in-graph with cumsums for the single-image-per-row case (the CLEAR data
+  shape, reference mm/dataset.py:54-84).
+
+HF-parity is tested against torch Qwen2VLForConditionalGeneration in
+tests/test_hf_parity.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_unlearning_tpu.models import llama
+from multimodal_unlearning_tpu.models.vit import layer_norm, quick_gelu
+from multimodal_unlearning_tpu.ops.attention import flash_attention
+
+
+@dataclass(frozen=True)
+class QwenVisionConfig:
+    embed_dim: int
+    depth: int
+    num_heads: int
+    out_hidden_size: int
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    image_size: int = 336  # fixed-resolution operating point
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return 3 * self.temporal_patch_size * self.patch_size**2
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+    @property
+    def merge_dim(self) -> int:
+        return self.embed_dim * self.spatial_merge_size**2
+
+    @classmethod
+    def from_registry(cls, arch) -> "QwenVisionConfig":
+        return cls(
+            embed_dim=int(arch["embed_dim"]),
+            depth=int(arch["depth"]),
+            num_heads=int(arch["num_heads"]),
+            out_hidden_size=int(arch["out_hidden_size"]),
+            patch_size=int(arch.get("patch_size", 14)),
+            temporal_patch_size=int(arch.get("temporal_patch_size", 2)),
+            spatial_merge_size=int(arch.get("spatial_merge_size", 2)),
+            mlp_ratio=float(arch.get("mlp_ratio", 4.0)),
+            layer_norm_eps=float(arch.get("layer_norm_eps", 1e-6)),
+            image_size=int(arch.get("image_size", 336)),
+        )
+
+
+@dataclass(frozen=True)
+class QwenVLConfig:
+    decoder: llama.LlamaConfig
+    vision: QwenVisionConfig
+    image_token_id: int
+    vision_start_token_id: int
+    vision_end_token_id: int
+
+    @property
+    def num_image_tokens(self) -> int:
+        """Merged image tokens at the fixed-resolution operating point."""
+        g = self.vision.image_size // self.vision.patch_size
+        return g * g // self.vision.spatial_merge_size**2
+
+    @property
+    def default_grid(self) -> tuple:
+        g = self.vision.image_size // self.vision.patch_size
+        return (1, g, g)
+
+    @classmethod
+    def from_registry(cls, arch) -> "QwenVLConfig":
+        return cls(
+            decoder=llama.LlamaConfig.from_registry(arch["decoder"]),
+            vision=QwenVisionConfig.from_registry(arch["vision"]),
+            image_token_id=int(arch["image_token_id"]),
+            vision_start_token_id=int(arch["vision_start_token_id"]),
+            vision_end_token_id=int(arch["vision_end_token_id"]),
+        )
+
+
+def init_params(cfg: QwenVLConfig, key, dtype=jnp.float32) -> dict:
+    kd, kv = jax.random.split(key)
+    v = cfg.vision
+    keys = iter(jax.random.split(kv, 12))
+    E, L, M = v.embed_dim, v.depth, v.mlp_hidden
+
+    def w_init(key, shape):
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(shape[-2] ** -0.5, dtype)
+
+    def ln(shape=(L, E)):
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    vision = {
+        "patch_embed": w_init(next(keys), (v.patch_dim, E)),
+        "blocks": {
+            "ln1": ln(),
+            "q_proj": w_init(next(keys), (L, E, E)),
+            "q_bias": jnp.zeros((L, E), dtype),
+            "k_proj": w_init(next(keys), (L, E, E)),
+            "k_bias": jnp.zeros((L, E), dtype),
+            "v_proj": w_init(next(keys), (L, E, E)),
+            "v_bias": jnp.zeros((L, E), dtype),
+            "o_proj": w_init(next(keys), (L, E, E)),
+            "o_bias": jnp.zeros((L, E), dtype),
+            "ln2": ln(),
+            "fc1": w_init(next(keys), (L, E, M)),
+            "fc1_bias": jnp.zeros((L, M), dtype),
+            "fc2": w_init(next(keys), (L, M, E)),
+            "fc2_bias": jnp.zeros((L, E), dtype),
+        },
+        "merger": {
+            "ln_q": {"scale": jnp.ones((E,), dtype), "bias": jnp.zeros((E,), dtype)},
+            "fc1": w_init(next(keys), (v.merge_dim, v.merge_dim)),
+            "fc1_bias": jnp.zeros((v.merge_dim,), dtype),
+            "fc2": w_init(next(keys), (v.merge_dim, v.out_hidden_size)),
+            "fc2_bias": jnp.zeros((v.out_hidden_size,), dtype),
+        },
+    }
+    return {
+        "language_model": llama.init_params(cfg.decoder, kd, dtype),
+        "vision_tower": vision,
+    }
+
+
+def _vision_rope(cfg: QwenVisionConfig, grid: tuple) -> tuple:
+    """(cos, sin) [N, head_dim] for the merge-block patch order (static)."""
+    t, h, w = grid
+    ms = cfg.spatial_merge_size
+    # patch order: (t, h_block, w_block, merge_h, merge_w)
+    hb, wb = np.meshgrid(np.arange(h // ms), np.arange(w // ms), indexing="ij")
+    a, b = np.meshgrid(np.arange(ms), np.arange(ms), indexing="ij")
+    h_ids = (hb[:, :, None, None] * ms + a[None, None]).reshape(-1)
+    w_ids = (wb[:, :, None, None] * ms + b[None, None]).reshape(-1)
+    h_ids = np.tile(h_ids, t)
+    w_ids = np.tile(w_ids, t)
+    dim = cfg.head_dim // 2
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    freqs = np.concatenate(
+        [np.outer(h_ids, inv_freq), np.outer(w_ids, inv_freq)], axis=-1
+    )  # [N, head_dim//2]
+    emb = np.concatenate([freqs, freqs], axis=-1).astype(np.float32)  # [N, head_dim]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def vision_forward(
+    params: dict,
+    cfg: QwenVisionConfig,
+    patches,
+    *,
+    grid: tuple,
+    attn_impl: str = "auto",
+    compute_dtype=jnp.bfloat16,
+):
+    """Encode pre-patchified images → merged features.
+
+    patches: [B, N, patch_dim] in Qwen2VLImageProcessor flatten order
+    (one image per batch row, all sharing the static ``grid``).
+    Returns [B, N // merge², out_hidden_size].
+    """
+    B, N, _ = patches.shape
+    E, nh, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    x = patches.astype(compute_dtype) @ params["patch_embed"].astype(compute_dtype)
+    cos, sin = _vision_rope(cfg, grid)  # [N, hd] fp32
+
+    mask = jnp.ones((B, N), jnp.int32)
+
+    def rope(q):  # q: [B, nh, N, hd] — fp32 rotation (HF vision path)
+        q32 = q.astype(jnp.float32)
+        out = q32 * cos[None, None] + _rotate_half(q32) * sin[None, None]
+        return out.astype(q.dtype)
+
+    def block(x, lp):
+        h = layer_norm(x, lp["ln1"], cfg.layer_norm_eps)
+        q = (h @ lp["q_proj"].astype(h.dtype) + lp["q_bias"]).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
+        k = (h @ lp["k_proj"].astype(h.dtype) + lp["k_bias"]).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
+        v = (h @ lp["v_proj"].astype(h.dtype) + lp["v_bias"]).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
+        q, k = rope(q), rope(k)
+        attn = flash_attention(q, k, v, mask, causal=False, impl=attn_impl)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, N, E)
+        x = x + attn @ lp["o_proj"].astype(h.dtype) + lp["o_bias"]
+        h = layer_norm(x, lp["ln2"], cfg.layer_norm_eps)
+        h = quick_gelu(h @ lp["fc1"].astype(h.dtype) + lp["fc1_bias"])
+        return x + h @ lp["fc2"].astype(h.dtype) + lp["fc2_bias"]
+
+    x, _ = jax.lax.scan(lambda c, lp: (block(c, lp), None), x, params["blocks"])
+
+    # PatchMerger: LN, group merge²-consecutive patches, 2-layer GELU MLP
+    m = params["merger"]
+    y = layer_norm(x, m["ln_q"], cfg.layer_norm_eps)
+    y = y.reshape(B, N // cfg.spatial_merge_size**2, cfg.merge_dim)
+    y = y @ m["fc1"].astype(y.dtype) + m["fc1_bias"]
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    return y @ m["fc2"].astype(y.dtype) + m["fc2_bias"]
+
+
+def mrope_positions(input_ids, attention_mask, image_token_id: int, grid_merged: tuple):
+    """3D rope position ids + rope delta (HF get_rope_index semantics,
+    single contiguous image span per row; text-only rows degrade to 1D).
+
+    Returns positions [3, B, S] and rope_delta [B] (decode-step offset)."""
+    t, Hm, Wm = grid_merged
+    valid = attention_mask.astype(jnp.int32)
+    is_img = ((input_ids == image_token_id) & (valid == 1))
+    n_img = jnp.sum(is_img.astype(jnp.int32), axis=1, keepdims=True)
+    cum_img = jnp.cumsum(is_img.astype(jnp.int32), axis=1)
+    n_before = jnp.sum(
+        ((cum_img == 0) & (valid == 1)).astype(jnp.int32), axis=1, keepdims=True
+    )
+    pos1d = jnp.cumsum(valid, axis=1) - 1
+
+    idx_in_img = jnp.maximum(cum_img - 1, 0)
+    per_frame = Hm * Wm
+    t_id = idx_in_img // per_frame
+    h_id = (idx_in_img % per_frame) // Wm
+    w_id = idx_in_img % Wm
+    st_after = n_before + jnp.maximum(jnp.maximum(Hm, Wm), t)
+    after_pos = st_after + (pos1d - (n_before + n_img))
+
+    text_pos = jnp.where((cum_img > 0) & ~is_img, after_pos, pos1d)
+    pos_t = jnp.where(is_img, n_before + t_id, text_pos)
+    pos_h = jnp.where(is_img, n_before + h_id, text_pos)
+    pos_w = jnp.where(is_img, n_before + w_id, text_pos)
+    positions = jnp.maximum(jnp.stack([pos_t, pos_h, pos_w]), 0).astype(jnp.int32)
+
+    max_pos = jnp.max(jnp.where(valid[None] == 1, positions, -1), axis=(0, 2))
+    rope_delta = max_pos + 1 - jnp.sum(valid, axis=1)
+    return positions, rope_delta
+
+
+def forward(
+    params: dict,
+    cfg: QwenVLConfig,
+    input_ids,
+    *,
+    pixel_values=None,
+    attention_mask=None,
+    positions=None,
+    rope_delta=None,
+    grid=None,
+    kv_cache=None,
+    cache_offset=0,
+    kv_valid_mask=None,
+    lora: dict | None = None,
+    lora_scale: float = 0.0,
+    capture_layer: int | None = None,
+    remat: bool = False,
+    remat_policy: str | None = None,
+    attn_impl: str = "auto",
+    compute_dtype=jnp.bfloat16,
+    logits_dtype=jnp.float32,
+):
+    """VLM forward.  ``input_ids`` contain the expanded image-token span;
+    ``pixel_values`` are pre-patchified [B, N, patch_dim] (flatten order of
+    Qwen2VLImageProcessor) with static ``grid`` (defaults to the
+    fixed-resolution operating point)."""
+    B, S = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    grid = tuple(grid) if grid is not None else cfg.default_grid
+    ms = cfg.vision.spatial_merge_size
+    grid_merged = (grid[0], grid[1] // ms, grid[2] // ms)
+
+    lm = params["language_model"]
+    et = lm["embed_tokens"]
+    if isinstance(et, dict):  # quantized embedding table
+        embeds = (jnp.take(et["q"], input_ids, axis=0).astype(jnp.float32) * et["s"][0]).astype(compute_dtype)
+    else:
+        embeds = jnp.take(et, input_ids, axis=0).astype(compute_dtype)
+
+    if pixel_values is not None:
+        image_embeds = vision_forward(
+            params["vision_tower"], cfg.vision, pixel_values,
+            grid=grid, attn_impl=attn_impl, compute_dtype=compute_dtype,
+        )
+        from multimodal_unlearning_tpu.models.llava import splice_image_embeds
+
+        mask = input_ids == cfg.image_token_id
+        embeds = splice_image_embeds(embeds, image_embeds, mask)
+
+    out_delta = None
+    if positions is None:
+        positions, out_delta = mrope_positions(
+            input_ids, attention_mask, cfg.image_token_id, grid_merged
+        )
+    elif positions.ndim == 2:
+        # decode continuation: all three streams equal, offset by rope delta
+        p = positions + (rope_delta[:, None] if rope_delta is not None else 0)
+        positions = jnp.broadcast_to(p[None], (3, *p.shape))
+
+    out = llama.forward(
+        lm, cfg.decoder,
+        inputs_embeds=embeds,
+        attention_mask=attention_mask,
+        positions=positions,
+        kv_cache=kv_cache,
+        cache_offset=cache_offset,
+        kv_valid_mask=kv_valid_mask,
+        lora=lora if lora is None else lora.get("language_model"),
+        lora_scale=lora_scale,
+        capture_layer=capture_layer,
+        remat=remat,
+        remat_policy=remat_policy,
+        attn_impl=attn_impl,
+        compute_dtype=compute_dtype,
+        logits_dtype=logits_dtype,
+    )
+    if out_delta is not None:
+        out["rope_delta"] = out_delta
+    return out

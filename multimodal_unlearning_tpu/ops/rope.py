@@ -6,6 +6,7 @@ imported checkpoints produce identical activations.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -32,3 +33,34 @@ def apply_rope(x, cos, sin, positions):
     c = cos[positions][:, None, :, :]  # [B, 1, S, D]
     s = sin[positions][:, None, :, :]
     return (x * c + _rotate_half(x) * s).astype(x.dtype)
+
+
+def apply_rope_bsd(x, cos_bsd, sin_bsd):
+    """Apply rotary embedding from precomputed per-token tables.
+
+    x: [B, H, S, D]; cos_bsd/sin_bsd: [B, S, D] (e.g. M-RoPE-selected).
+    """
+    c = cos_bsd[:, None, :, :]
+    s = sin_bsd[:, None, :, :]
+    return (x * c + _rotate_half(x) * s).astype(x.dtype)
+
+
+def mrope_select(cos, sin, positions, mrope_section, head_dim: int):
+    """Qwen2-VL multimodal RoPE: pick per-dim cos/sin from 3 position streams.
+
+    positions: [3, B, S] (temporal, height, width); ``mrope_section`` gives the
+    per-stream channel widths over the first half of head_dim (HF
+    apply_multimodal_rotary_pos_emb semantics: sections cycled i%3 over the
+    duplicated-freqs layout).  Returns ([B,S,D], [B,S,D]).
+    """
+    half = head_dim // 2
+    seg = jnp.repeat(
+        jnp.arange(len(mrope_section)), jnp.asarray(mrope_section), total_repeat_length=half
+    )
+    seg = jnp.concatenate([seg, seg])  # duplicated-freqs layout [D]
+    cos3 = cos[positions]  # [3, B, S, D]
+    sin3 = sin[positions]
+    onehot = jax.nn.one_hot(seg, len(mrope_section), dtype=cos.dtype)  # [D, 3]
+    cos_sel = jnp.einsum("kbsd,dk->bsd", cos3, onehot)
+    sin_sel = jnp.einsum("kbsd,dk->bsd", sin3, onehot)
+    return cos_sel, sin_sel

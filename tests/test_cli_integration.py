@@ -95,3 +95,50 @@ def test_nlp_grad_proj_runs(tmp_path):
     dict.__setitem__(cfg["LoRA"], "r", 0)
     nlp_forget.run(cfg)
     assert (tmp_path / "gp" / "model.safetensors").exists()
+
+
+def test_qwen2vl_forget_and_generate(tmp_path):
+    """True-Qwen2-VL end-to-end: forget CLI trains (loss finite, model saved),
+    greedy generation runs with the M-RoPE rope-delta decode continuation."""
+    import jax.numpy as jnp
+
+    from multimodal_unlearning_tpu.cli import mm_forget
+    from multimodal_unlearning_tpu.cli.common import (
+        build_model_config, build_processor, init_or_load_params,
+    )
+    from multimodal_unlearning_tpu.config.registry import get_model_identifiers
+    from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+
+    out = tmp_path / "qforget"
+    cfg = _cfg(
+        "mm", "forget",
+        model_family="tiny-qwen2vl-test", model_path="random-init",
+        forget_data_path=DATA, retain_data_path=DATA,
+        forget_loss="grad_diff_forget_ce_retain_ce",
+        batch_size=2, gradient_accumulation_steps=1, num_epochs=0.1,
+        max_length=64, lr=1e-3, save_dir=str(out), dtype="float32",
+    )
+    dict.__setitem__(cfg["LoRA"], "r", 0)
+    history = mm_forget.run(cfg)
+    assert history and np.isfinite(history[-1]["loss"])
+    assert (out / "model.safetensors").exists()
+
+    model_cfg = get_model_identifiers("tiny-qwen2vl-test")
+    kind, mcfg, params = init_or_load_params(model_cfg, str(out), dtype=jnp.float32)
+    assert kind == "qwen2_vl"
+    proc = build_processor(model_cfg, cfg)
+    batch = proc.collate(
+        [{"question": "who?", "answer": "me", "image": np.zeros((16, 16, 3), np.float32), "idx": 0}],
+        max_length=64,
+    )
+    assert batch["pixel_values"].shape[1:] == (16, 96)  # patches, not raw pixels
+    n_img_span = (batch["input_ids"] == 250).sum()
+    assert n_img_span == mcfg.num_image_tokens
+    gen = greedy_generate(
+        params, mcfg,
+        jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+        max_new_tokens=4, pad_token_id=0, eos_token_id=None,
+        pixel_values=jnp.asarray(batch["pixel_values"]), is_vlm=True,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32, attn_impl="xla",
+    )
+    assert gen.shape == (1, 4)

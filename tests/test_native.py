@@ -78,6 +78,27 @@ def test_clip_preprocess_matches_hf_exactly(shape):
     np.testing.assert_array_equal(out[0].transpose(2, 0, 1), want)
 
 
+def test_qwen_preprocess_matches_hf():
+    """Golden: our smart_resize + patchify == transformers
+    Qwen2VLImageProcessor (pixel order, grid, normalization) at the square
+    operating point."""
+    transformers = pytest.importorskip("transformers")
+    from multimodal_unlearning_tpu.data.processor import preprocess_image_qwen
+
+    rng = np.random.default_rng(11)
+    S, P = 16, 4  # grid 4x4, factor 8
+    img = rng.integers(0, 256, (S, S, 3), dtype=np.uint8)
+    proc = transformers.Qwen2VLImageProcessor(
+        patch_size=P, merge_size=2, temporal_patch_size=2,
+        min_pixels=P * P * 4, max_pixels=P * P * 4 * 1280,
+    )
+    out = proc(images=img, return_tensors="np")
+    want = out["pixel_values"]  # [N, 96]
+    np.testing.assert_array_equal(out["image_grid_thw"][0], [1, S // P, S // P])
+    got = preprocess_image_qwen(img, S, patch_size=P, merge_size=2)
+    np.testing.assert_allclose(got, want, atol=2e-7)
+
+
 def test_preprocess_image_hf_fallback_matches_hf():
     """PIL fallback path is also bit-exact vs the HF processor."""
     transformers = pytest.importorskip("transformers")
