@@ -153,12 +153,21 @@ def resolve_rows(data_path: str, split: str | None) -> list[dict]:
     if p.exists():
         import datasets as hfds
 
-        if (p / "dataset_info.json").exists() or (p / "state.json").exists():
+        if (
+            (p / "dataset_info.json").exists()
+            or (p / "state.json").exists()
+            or (p / "dataset_dict.json").exists()
+        ):
             ds = hfds.load_from_disk(str(p))
         else:
             ds = hfds.load_dataset(str(p), split or None)
-        if hasattr(ds, "keys") and "train" in getattr(ds, "column_names", {}):
-            ds = ds["train"]
+        if hasattr(ds, "keys") and not hasattr(ds, "features"):  # DatasetDict
+            if split and split in ds:
+                ds = ds[split]
+            elif "train" in ds:
+                ds = ds["train"]
+            else:
+                ds = next(iter(ds.values()))
         if not isinstance(ds, list):
             ds = [dict(r) for r in ds]
         return [dict(r, index=i) for i, r in enumerate(ds)]
