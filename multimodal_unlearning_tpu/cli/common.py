@@ -26,12 +26,18 @@ def maybe_init_distributed() -> int:
     import os
 
     coord = os.environ.get("MMU_COORDINATOR")
-    if coord and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["MMU_NUM_PROCESSES"]),
-            process_id=int(os.environ["MMU_PROCESS_ID"]),
-        )
+    if coord:
+        # must run before anything initializes the XLA backend (including
+        # jax.process_count/jax.devices)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["MMU_NUM_PROCESSES"]),
+                process_id=int(os.environ["MMU_PROCESS_ID"]),
+            )
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index()
 
 
@@ -137,6 +143,8 @@ def init_or_load_params(model_cfg, model_path: str | None, seed: int = 0, dtype=
 
 
 def save_model(save_dir, model_cfg, params, processor=None):
+    if jax.process_index() != 0:  # one writer per multi-host job
+        return
     kind = model_kind(model_cfg)
     mcfg = build_model_config(model_cfg)
     if kind == "llava":
@@ -205,3 +213,41 @@ def build_processor(model_cfg, cfg, *, padding_side="left"):
 
 def num_data_devices(mesh) -> int:
     return mesh.shape["data"] * mesh.shape["fsdp"]
+
+
+def _has_qtensor(tree) -> bool:
+    if isinstance(tree, dict):
+        if set(tree.keys()) == {"q", "s"}:
+            return True
+        return any(_has_qtensor(v) for v in tree.values())
+    return False
+
+
+def apply_tensor_parallel(mesh, dec_cfg, kind, *trees):
+    """Megatron-style TP over the 'tensor' mesh axis for every decoder copy
+    in ``trees`` (student/frozen/teacher params).  No-op when tensor==1.
+    int8-quantized (QTensor) trees keep their fsdp placement — TP composes
+    with the bf16 path.  Returns the trees in input order."""
+    tp = mesh.shape["tensor"]
+    if tp <= 1:
+        return trees if len(trees) != 1 else trees[0]
+    from multimodal_unlearning_tpu.parallel.tp import tp_degree_ok, tp_shard_decoder
+
+    if not tp_degree_ok(dec_cfg, tp):
+        raise ValueError(f"tensor={tp} does not divide the decoder dims")
+    lm_key = "language_model" if is_vlm(kind) else None
+
+    def place(tree):
+        if tree is None or not isinstance(tree, dict) or _has_qtensor(tree):
+            return tree
+        if lm_key is not None:
+            lm = tree.get(lm_key)
+            if isinstance(lm, dict) and "layers" in lm:
+                return dict(tree, **{lm_key: tp_shard_decoder(lm, mesh)})
+            return tree
+        if "layers" in tree:
+            return tp_shard_decoder(tree, mesh)
+        return tree
+
+    out = tuple(place(t) for t in trees)
+    return out if len(out) != 1 else out[0]

@@ -51,6 +51,12 @@ def run(cfg):
     kind, mcfg, params = common.init_or_load_params(
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
+    mesh = common.build_mesh(cfg)
+    if mesh.shape["tensor"] > 1:
+        # tensor-parallel eval: decoder weights sharded, GSPMD inserts the
+        # collectives under the jitted forwards/generate
+        dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
+        params = common.apply_tensor_parallel(mesh, dec_cfg, kind, params)
     vlm = common.is_vlm(kind)
     if cfg.get("reinitialize_weights"):
         # sanity-ablation fault injection (nlp/evaluate_util.py:398-407)

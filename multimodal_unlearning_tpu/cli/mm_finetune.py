@@ -104,6 +104,13 @@ def run(cfg):
     )
     state = trainer.create_train_state(trainable, tx)
     state, frozen_arg, _ = trainer.shard_train_state(state, frozen_arg, None, mesh)
+    if mesh.shape["tensor"] > 1:
+        dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_tensor_parallel(mesh, dec_cfg, kind, state.trainable)
+            )
+        frozen_arg = common.apply_tensor_parallel(mesh, dec_cfg, kind, frozen_arg)
 
     state, history = train_loop(
         train_step=step_fn, state=state, frozen=frozen_arg, teacher_params=None,

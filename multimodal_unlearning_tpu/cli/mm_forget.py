@@ -186,25 +186,13 @@ def run(cfg):
     )
     if mesh.shape["tensor"] > 1:
         # Megatron-style TP over the 'tensor' axis (beyond-reference)
-        from multimodal_unlearning_tpu.parallel.tp import tp_degree_ok, tp_shard_decoder
-
-        if not tp_degree_ok(dec_cfg, mesh.shape["tensor"]):
-            raise ValueError(f"tensor={mesh.shape['tensor']} does not divide the decoder dims")
-        lm_key = "language_model" if common.is_vlm(kind) else None
-
-        def tp_place(tree):
-            if tree is None:
-                return None
-            if lm_key:
-                return dict(tree, **{lm_key: tp_shard_decoder(tree[lm_key], mesh)})
-            return tp_shard_decoder(tree, mesh)
-
         if not use_lora:
-            tr = state.trainable
-            if lm_key is None or (lm_key in tr and tr[lm_key] is not None):
-                state = state.replace(trainable=tp_place(tr))
-        if teacher_params is not None:
-            teacher_params = tp_place(teacher_params)
+            state = state.replace(
+                trainable=common.apply_tensor_parallel(mesh, dec_cfg, kind, state.trainable)
+            )
+        merged_frozen, teacher_params = common.apply_tensor_parallel(
+            mesh, dec_cfg, kind, merged_frozen, teacher_params
+        )
 
     def on_save(state_snapshot, step_i):
         # per-epoch model-only checkpoints (save_steps = steps/epoch,

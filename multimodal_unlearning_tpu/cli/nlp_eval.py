@@ -43,6 +43,9 @@ def run(cfg):
     kind, mcfg, params = common.init_or_load_params(
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
+    mesh = common.build_mesh(cfg)
+    if mesh.shape["tensor"] > 1:
+        params = common.apply_tensor_parallel(mesh, mcfg, kind, params)
     from multimodal_unlearning_tpu.models import decoder_module
 
     dec = decoder_module(mcfg)

@@ -96,6 +96,12 @@ def run(cfg):
     )
     state = trainer.create_train_state(trainable, tx)
     state, frozen, _ = trainer.shard_train_state(state, frozen, None, mesh)
+    if mesh.shape["tensor"] > 1:
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_tensor_parallel(mesh, mcfg, kind, state.trainable)
+            )
+        frozen = common.apply_tensor_parallel(mesh, mcfg, kind, frozen)
     state, _ = train_loop(
         train_step=step_fn, state=state, frozen=frozen, teacher_params=None,
         dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,

