@@ -38,6 +38,8 @@ def run(cfg):
         corrupt_method=cfg.get("corrupt_method", "zero_out_top_k"),
         dims=int(cfg.get("corrupt_args", {}).get("dims", 1000)),
         threshold=float(cfg.get("prompt_threshold", 0.999)),
+        prompt_classifier_path=cfg.get("prompt_classifier_path"),
+        token_classifier_path=cfg.get("token_classifier_path"),
     )
     rows = prepare_eco_prompts(
         eco, tok, tags, cfg.data_path, cfg.split, cfg.out_dir,

@@ -124,15 +124,38 @@ class AttackedModel:
 
 def get_eco_model(
     params, model_cfg, tokenizer, forget_prompts, entities,
-    *, corrupt_method="zero_out_top_k", dims=1000, threshold=0.999, compute_dtype=jnp.float32,
+    *, corrupt_method="zero_out_top_k", dims=1000, threshold=0.999,
+    compute_dtype=jnp.float32,
+    prompt_classifier_path: str | None = None,
+    token_classifier_path: str | None = None,
 ):
     """llama_setup defaults (methods/eco/main.py:6-45): zero_out_top_k,
-    dims=1000, prompt threshold .999."""
+    dims=1000, prompt threshold .999.
+
+    With ``prompt_classifier_path``/``token_classifier_path`` the detectors
+    are the *learned* HF pipeline models (reference parity — train them
+    locally with methods/eco/train_classifiers.py); otherwise the hub-free
+    corpus heuristics."""
+    from multimodal_unlearning_tpu.methods.eco.classifier import (
+        HFPipelineBackend,
+        HFTokenPipelineBackend,
+    )
+
     dims = min(dims, model_cfg.hidden_size)
+    prompt_clf = (
+        HFPipelineBackend(prompt_classifier_path)
+        if prompt_classifier_path
+        else CorpusPromptClassifier(forget_prompts, entities)
+    )
+    token_clf = (
+        HFTokenPipelineBackend(token_classifier_path)
+        if token_classifier_path
+        else CorpusTokenClassifier(entities)
+    )
     return AttackedModel(
         params, model_cfg, tokenizer,
-        CorpusPromptClassifier(forget_prompts, entities),
-        CorpusTokenClassifier(entities),
+        prompt_clf,
+        token_clf,
         corrupt_method=corrupt_method,
         corrupt_args={"dims": dims},
         threshold=threshold,

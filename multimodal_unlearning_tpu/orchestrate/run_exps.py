@@ -125,6 +125,7 @@ def main(argv=None):
     losses = DEFAULT_LOSSES
     devices = ["0"]
     stack = "mm"
+    log_root = "exp_logs"
     passthrough = []
     for a in args:
         if a.startswith("losses="):
@@ -133,6 +134,8 @@ def main(argv=None):
             devices = [x.strip() for x in a.split("=", 1)[1].strip("[]").split(",")]
         elif a.startswith("stack="):
             stack = a.split("=", 1)[1]
+        elif a.startswith("log_root="):
+            log_root = a.split("=", 1)[1]
         else:
             passthrough.append(a)
 
@@ -143,7 +146,7 @@ def main(argv=None):
             ov.append(f"save_dir={mp}/{loss}_sweep")
         return ov
 
-    results = run_sweep(losses, overrides_for, devices, stack=stack)
+    results = run_sweep(losses, overrides_for, devices, log_root=log_root, stack=stack)
     print(results)
     failed = [k for k, v in results.items() if not v]
     sys.exit(1 if failed else 0)

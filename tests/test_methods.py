@@ -142,3 +142,79 @@ def test_salun_accumulate_with_model():
     batches = [{"input_ids": ids, "labels": ids}]
     sal = salun.accumulate_saliency(grad_fn, params, batches)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(sal))
+
+
+def test_learned_eco_classifiers_end_to_end(tmp_path):
+    """Reference-parity ECO: TRAIN the prompt classifier + token tagger
+    locally (methods/eco/train_classifiers.py), drive AttackedModel through
+    the HF pipeline backends, and validate llama_setup semantics
+    (zero_out_top_k, dims=1000 capped to hidden, threshold .999 —
+    reference methods/eco/main.py:6-45)."""
+    from multimodal_unlearning_tpu.data.datasets import SyntheticClearData
+    from multimodal_unlearning_tpu.methods.eco.classifier import (
+        HFPipelineBackend,
+        HFTokenPipelineBackend,
+    )
+    from multimodal_unlearning_tpu.methods.eco.train_classifiers import (
+        train_prompt_classifier,
+        train_token_classifier,
+    )
+
+    corpus = SyntheticClearData(n_persons=20, qa_per_person=2)
+    rows = corpus.rows("text")
+    forget_names = {f"Person{p:03d}" for p in range(2)}
+    forget = [r["question"] for r in rows if r["name"] in forget_names]
+    retain = [r["question"] for r in rows if r["name"] not in forget_names]
+
+    p_dir = train_prompt_classifier(forget, retain, tmp_path / "prompt_clf")
+    t_dir = train_token_classifier(
+        [r["question"] for r in rows], sorted(forget_names), tmp_path / "token_clf"
+    )
+
+    # learned prompt gate clears the reference's .999 threshold on
+    # training-distribution forget prompts and rejects retain prompts
+    pc = HFPipelineBackend(p_dir)
+    assert pc.predict(forget[:4], threshold=0.999) == [1, 1, 1, 1]
+    assert pc.predict(retain[:4], threshold=0.999) == [0, 0, 0, 0]
+
+    # learned tagger finds the entity span; offset-mapped into the TARGET
+    # (byte) tokenizer space it marks exactly the entity's characters
+    tok = ByteTokenizer()
+    tc = HFTokenPipelineBackend(t_dir)
+    q = forget[0]
+    labels = tc.predict_target_token_labels([q], tok)[0]
+    ids = tok.encode(q, add_special_tokens=True)
+    marked = "".join(tok.decode([i]) for i, l in zip(ids, labels[-len(ids):]) if l)
+    assert any(n.lower() in marked.lower() for n in forget_names), (q, marked)
+
+    # full attack through the learned detectors, llama_setup corruption
+    arch = get_model_identifiers("tiny-llama-test").arch
+    cfg = llama.LlamaConfig.from_registry(arch)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    eco = get_eco_model(
+        params, cfg, tok, forget_prompts=[], entities=[],
+        prompt_classifier_path=p_dir, token_classifier_path=t_dir,
+    )
+    assert eco.corrupt_fn is corrupt_methods["zero_out_top_k"]
+    assert eco.corrupt_args["dims"] == min(1000, cfg.hidden_size)
+    assert eco.threshold == 0.999
+
+    fids = np.asarray([tok.encode(q, add_special_tokens=True)])
+    out_c = eco(fids, prompts=[q])
+    out_plain = llama.forward(params, cfg, jnp.asarray(fids), compute_dtype=jnp.float32)
+    assert np.abs(np.asarray(out_c["logits"]) - np.asarray(out_plain["logits"])).max() > 1e-4
+
+    # zero_out_top_k semantics on the flagged tokens: with dims >= hidden,
+    # every flagged embedding row is fully zeroed
+    emb = np.asarray(eco.corrupted_embeds(jnp.asarray(fids), [q]))
+    flagged = np.asarray(labels[-fids.shape[1]:], bool)
+    assert np.abs(emb[0][flagged]).max() == 0.0
+    assert np.abs(emb[0][~flagged]).max() > 0.0
+
+    rq = retain[0]
+    rids = np.asarray([tok.encode(rq, add_special_tokens=True)])
+    out_r = eco(rids, prompts=[rq])
+    out_rp = llama.forward(params, cfg, jnp.asarray(rids), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out_r["logits"]), np.asarray(out_rp["logits"]), atol=1e-5
+    )
