@@ -134,22 +134,45 @@ def run(cfg):
         fresh_head = resnet.adms_init(net_cfg.widths[-1], n_classes, _jax.random.PRNGKey(2))
         return (p, fresh_head, bn)
 
+    use_fleet = bool(cfg.get("fleet", True))
+
+    def unstack(tree, i):
+        import jax
+
+        return jax.tree.map(lambda x: np.asarray(x[i]), tree)
+
     # ---- finetune the shadow fleet --------------------------------------
     if "finetune" in stages:
         init = pretrained_init()
-        for i, s in enumerate(shadows):
-            path = ckpt_path("finetuned", i)
-            if path.exists():
-                continue
-            sel = np.array(s["train"])
-            p, h, bn, losses = train.train_classifier(
-                net_cfg, images[sel], labels[sel], n_classes,
+        missing = [i for i in range(len(shadows)) if not ckpt_path("finetuned", i).exists()]
+        if use_fleet and missing:
+            # all S shadows as ONE vmapped program (cv/fleet.py)
+            from multimodal_unlearning_tpu.cv import fleet as fleet_mod
+
+            sel = np.stack([np.asarray(shadows[i]["train"]) for i in range(len(shadows))])
+            p, h, bn, losses = fleet_mod.train_classifier_fleet(
+                net_cfg, images, labels, n_classes, sel,
                 epochs=cfg.finetune.epochs, batch_size=cfg.finetune.batch_size,
                 lr=float(cfg.finetune.lr), weight_decay=float(cfg.finetune.weight_decay),
-                seed=cfg.seed + i, init=init,
+                seed=cfg.seed, init=init,
             )
-            save_ckpt(path, p, h, bn)
-            print(f"finetuned shadow {i}/{len(shadows)} loss {losses[-1]:.3f}", flush=True)
+            for i in range(len(shadows)):
+                save_ckpt(ckpt_path("finetuned", i), *unstack((p, h, bn), i))
+            print(
+                f"fleet-finetuned {len(shadows)} shadows, mean final loss "
+                f"{losses[:, -1].mean():.3f}", flush=True,
+            )
+        else:
+            for i in missing:
+                sel = np.array(shadows[i]["train"])
+                p, h, bn, losses = train.train_classifier(
+                    net_cfg, images[sel], labels[sel], n_classes,
+                    epochs=cfg.finetune.epochs, batch_size=cfg.finetune.batch_size,
+                    lr=float(cfg.finetune.lr), weight_decay=float(cfg.finetune.weight_decay),
+                    seed=cfg.seed + i, init=init,
+                )
+                save_ckpt(ckpt_path("finetuned", i), p, h, bn)
+                print(f"finetuned shadow {i}/{len(shadows)} loss {losses[-1]:.3f}", flush=True)
 
     template = None
 
@@ -166,25 +189,44 @@ def run(cfg):
         list(unlearn_mod.METHODS) if cfg.unlearn.method == "all" else [cfg.unlearn.method]
     )
     if "unlearn" in stages:
+        hyper = dict(
+            forget_size=cfg.forget_size,
+            epochs=cfg.unlearn.epochs, batch_size=cfg.unlearn.batch_size,
+            lr=float(cfg.unlearn.lr), weight_decay=float(cfg.unlearn.weight_decay),
+            beta=float(cfg.unlearn.beta), alpha=float(cfg.unlearn.alpha),
+            rmu_c=float(cfg.unlearn.rmu_c), balance=int(cfg.unlearn.balance),
+            num_classes=n_classes,
+        )
+        forget_ids = [i for i, s in enumerate(shadows) if s["with_forget"]]
         for method in methods:
-            for i, s in enumerate(shadows):
-                if not s["with_forget"]:
-                    continue  # only forget-trained models get unlearned
-                path = work / f"{method}_{i:03d}.npz"
-                if path.exists():
-                    continue
-                ckpt = load_ckpt(ckpt_path("finetuned", i), get_template())
-                p, h, bn = unlearn_mod.unlearn(
-                    method, net_cfg, ckpt, ckpt, images, labels, base,
-                    forget_size=cfg.forget_size,
-                    epochs=cfg.unlearn.epochs, batch_size=cfg.unlearn.batch_size,
-                    lr=float(cfg.unlearn.lr), weight_decay=float(cfg.unlearn.weight_decay),
-                    beta=float(cfg.unlearn.beta), alpha=float(cfg.unlearn.alpha),
-                    rmu_c=float(cfg.unlearn.rmu_c), balance=int(cfg.unlearn.balance),
-                    num_classes=n_classes, seed=cfg.seed + i,
+            missing = [i for i in forget_ids if not (work / f"{method}_{i:03d}.npz").exists()]
+            if use_fleet and missing:
+                import jax as _jax
+
+                from multimodal_unlearning_tpu.cv import fleet as fleet_mod
+
+                ckpts = [load_ckpt(ckpt_path("finetuned", i), get_template()) for i in forget_ids]
+                stacked = _jax.tree.map(lambda *xs: np.stack(xs), *ckpts)
+                # note: fleet seed i is contiguous over the forget-trained
+                # shadows (shadow k gets seed + rank(k)), matching the
+                # sequential path when forget shadows are 0..n/2-1 (they are);
+                # retrain restarts from each shadow's own ckpt (as sequential)
+                p, h, bn = fleet_mod.unlearn_fleet(
+                    method, net_cfg, stacked, stacked, images, labels, base,
+                    seed=cfg.seed, pretrained_stacked=True, **hyper,
                 )
-                save_ckpt(path, p, h, bn)
-                print(f"unlearned[{method}] shadow {i}", flush=True)
+                for r, i in enumerate(forget_ids):
+                    save_ckpt(work / f"{method}_{i:03d}.npz", *unstack((p, h, bn), r))
+                print(f"fleet-unlearned[{method}] {len(forget_ids)} shadows", flush=True)
+            else:
+                for i in missing:
+                    ckpt = load_ckpt(ckpt_path("finetuned", i), get_template())
+                    p, h, bn = unlearn_mod.unlearn(
+                        method, net_cfg, ckpt, ckpt, images, labels, base,
+                        seed=cfg.seed + i, **hyper,
+                    )
+                    save_ckpt(work / f"{method}_{i:03d}.npz", p, h, bn)
+                    print(f"unlearned[{method}] shadow {i}", flush=True)
 
     groups = {
         "forget": base[f"forget_{cfg.forget_size:02d}"],
@@ -213,21 +255,37 @@ def run(cfg):
     if "attack" in stages:
         report = {}
         for method in ["finetuned"] + methods:
-            cols = []
+            # in-models: unlearned if available else finetuned; out: finetuned
+            paths = []
             ok = True
             for i in range(len(shadows)):
-                # in-models: unlearned if available else finetuned; out: finetuned
                 path = work / f"{method}_{i:03d}.npz"
                 if not path.exists():
                     path = ckpt_path("finetuned", i)
                 if not path.exists():
                     ok = False
                     break
-                p, h, bn = load_ckpt(path, get_template())
-                emb = train.embed_all(net_cfg, p, bn, images)
-                cols.append(atk.sample_logits(emb, labels, num_enroll=cfg.num_enroll).reshape(-1, 1))
+                paths.append(path)
             if not ok:
                 continue
+            if use_fleet:
+                import jax as _jax
+
+                from multimodal_unlearning_tpu.cv import fleet as fleet_mod
+
+                ckpts = [load_ckpt(p, get_template()) for p in paths]
+                sp_, sh_, sbn_ = _jax.tree.map(lambda *xs: np.stack(xs), *ckpts)
+                embs = fleet_mod.embed_all_fleet(net_cfg, sp_, sbn_, images)  # [S,N,D]
+                cols = [
+                    atk.sample_logits(embs[i], labels, num_enroll=cfg.num_enroll).reshape(-1, 1)
+                    for i in range(len(shadows))
+                ]
+            else:
+                cols = []
+                for path in paths:
+                    p, h, bn = load_ckpt(path, get_template())
+                    emb = train.embed_all(net_cfg, p, bn, images)
+                    cols.append(atk.sample_logits(emb, labels, num_enroll=cfg.num_enroll).reshape(-1, 1))
             results = np.hstack(cols)
             entry = {}
             if cfg.attack in ("ulira", "both"):

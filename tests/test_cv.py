@@ -120,3 +120,82 @@ def test_unlearn_methods_run(corpus, method):
     )
     emb = train.embed_all(CFG, p, s, images)
     assert np.isfinite(emb).all()
+
+
+def test_fleet_train_matches_sequential(corpus):
+    """Vmapped shadow fleet == per-shadow sequential training (same seeds,
+    same batch orders) — the TPU-native replacement for the reference's 128
+    sequential runs (cv/run_finetune.py:10-20)."""
+    import jax
+
+    from multimodal_unlearning_tpu.cv import fleet
+
+    ds, images, labels, splits = corpus
+    shadows = data.shadow_splits(labels, splits, forget_size=10, n_splits=4, seed=0)
+    sel = np.stack([np.asarray(s["train"]) for s in shadows])
+
+    # lr=0 freezes params → every step's loss depends only on the batch
+    # schedule: exact multi-epoch schedule equivalence, no chaotic drift
+    _, _, _, flosses = fleet.train_classifier_fleet(
+        CFG, images, labels, ds.n_persons, sel,
+        epochs=2, batch_size=16, lr=0.0, seed=7,
+    )
+    for i in range(len(shadows)):
+        _, _, _, losses = train.train_classifier(
+            CFG, images[sel[i]], labels[sel[i]], ds.n_persons,
+            epochs=2, batch_size=16, lr=0.0, seed=7 + i,
+        )
+        np.testing.assert_allclose(flosses[i], losses, rtol=1e-4, atol=1e-4)
+
+    # real lr, ONE step: vmapped update math == sequential update math
+    # (multi-step trajectories diverge chaotically from vmap-level numerics)
+    fp, fh, fbn, flosses = fleet.train_classifier_fleet(
+        CFG, images, labels, ds.n_persons, sel[:, :16],
+        epochs=1, batch_size=16, lr=0.05, seed=7,
+    )
+    for i in range(len(shadows)):
+        p, h, bn, losses = train.train_classifier(
+            CFG, images[sel[i, :16]], labels[sel[i, :16]], ds.n_persons,
+            epochs=1, batch_size=16, lr=0.05, seed=7 + i,
+        )
+        np.testing.assert_allclose(flosses[i], losses, rtol=1e-4, atol=1e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a)[i], np.asarray(b), rtol=2e-3, atol=2e-3
+            ),
+            (fp, fh, fbn), (p, h, bn),
+        )
+
+
+@pytest.mark.parametrize("method", ["neggrad", "scrub", "rmu", "dpo", "llmu", "finetune"])
+def test_fleet_unlearn_matches_sequential(corpus, method):
+    import jax
+
+    from multimodal_unlearning_tpu.cv import fleet
+
+    ds, images, labels, splits = corpus
+    # two distinct finetuned "shadows"
+    ckpts = [
+        train.train_classifier(CFG, images, labels, ds.n_persons, epochs=1,
+                               batch_size=16, lr=0.05, seed=s)[:3]
+        for s in (0, 1)
+    ]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *ckpts)
+    pre = ckpts[0]
+
+    # small lr bounds chaotic vmap-vs-single drift over the epoch
+    fp, fh, fbn = fleet.unlearn_fleet(
+        method, CFG, stacked, pre, images, labels, splits,
+        epochs=1, batch_size=16, lr=1e-4, seed=3, num_classes=ds.n_persons,
+    )
+    for i in (0, 1):
+        p, h, bn = unlearn.unlearn(
+            method, CFG, ckpts[i], pre, images, labels, splits,
+            epochs=1, batch_size=16, lr=1e-4, seed=3 + i, num_classes=ds.n_persons,
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a)[i], np.asarray(b), rtol=3e-3, atol=3e-3
+            ),
+            (fp, fh, fbn), (p, h, bn),
+        )
