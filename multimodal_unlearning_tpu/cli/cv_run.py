@@ -136,6 +136,13 @@ def run(cfg):
 
     use_fleet = bool(cfg.get("fleet", True))
 
+    def fetch(tree):
+        """One device→host transfer for the whole stacked tree (per-shadow
+        slicing then happens in numpy — not 128×leaves round-trips)."""
+        import jax
+
+        return jax.device_get(tree)
+
     def unstack(tree, i):
         import jax
 
@@ -156,6 +163,7 @@ def run(cfg):
                 lr=float(cfg.finetune.lr), weight_decay=float(cfg.finetune.weight_decay),
                 seed=cfg.seed, init=init,
             )
+            p, h, bn = fetch((p, h, bn))
             for i in range(len(shadows)):
                 save_ckpt(ckpt_path("finetuned", i), *unstack((p, h, bn), i))
             print(
@@ -215,6 +223,7 @@ def run(cfg):
                     method, net_cfg, stacked, stacked, images, labels, base,
                     seed=cfg.seed, pretrained_stacked=True, **hyper,
                 )
+                p, h, bn = fetch((p, h, bn))
                 for r, i in enumerate(forget_ids):
                     save_ckpt(work / f"{method}_{i:03d}.npz", *unstack((p, h, bn), r))
                 print(f"fleet-unlearned[{method}] {len(forget_ids)} shadows", flush=True)

@@ -28,7 +28,7 @@ from multimodal_unlearning_tpu.utils.pytree import (
 SKU_LOSS_ARGS = {"bad_weight": 2.5, "random_weight": 1.0, "normal_weight": 0.5}
 
 
-def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=jnp.float32):
+def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, remat_policy=None, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=jnp.float32, mesh=None):
     """apply_fn(params_or_(params,lora), batch_part, capture_layer) → outputs."""
     from multimodal_unlearning_tpu.models import VLM_KINDS, decoder_module, vlm_module
 
@@ -40,6 +40,7 @@ def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", c
             attention_mask=jnp.asarray(part["attention_mask"]),
             capture_layer=capture_layer,
             remat=remat,
+            remat_policy=remat_policy,
             attn_impl=attn_impl,
             compute_dtype=compute_dtype,
             logits_dtype=logits_dtype,
@@ -51,6 +52,8 @@ def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, attn_impl="auto", c
             base = params
         if vlm:
             kw["pixel_values"] = jnp.asarray(part["pixel_values"])
+        elif attn_impl == "ring":
+            kw["mesh"] = mesh  # sequence-parallel ring attention (llama path)
         out = fwd(base, mcfg, jnp.asarray(part["input_ids"]), **kw)
         return {"logits": out["logits"], "captured": out["captured"]}
 

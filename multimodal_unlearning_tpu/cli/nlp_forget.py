@@ -119,9 +119,12 @@ def run(cfg):
     else:
         trainable, frozen = params, None
         print_trainable_parameters(trainable, {})
+    if mesh.shape["seq"] > 1:
+        attn_impl = "ring"  # sequence/context parallelism over the seq axis
     apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale if use_lora else None,
                              remat=remat, attn_impl=attn_impl, compute_dtype=dtype,
-                             logits_dtype=dtype if dtype == jnp.bfloat16 else jnp.float32)
+                             logits_dtype=dtype if dtype == jnp.bfloat16 else jnp.float32,
+                             mesh=mesh)
 
     effective_loss = "retain_ft" if idk_concat else loss_name
 

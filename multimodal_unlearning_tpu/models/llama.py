@@ -170,6 +170,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     logits_dtype=jnp.float32,
     return_hidden: bool = False,
+    mesh=None,
 ):
     """Decoder forward.
 
@@ -179,6 +180,9 @@ def forward(
       prefill-into-cache: ``kv_cache`` zero-filled [L,B,Hkv,Smax,D], writes at
         ``cache_offset``; ``kv_valid_mask`` [B,Smax] marks valid slots.
       decode: S==1 query against the cache (non-causal + validity mask).
+
+    ``attn_impl="ring"`` runs sequence-parallel ring attention over the
+    mesh's 'seq' axis (requires ``mesh``; train/no-cache mode only).
 
     Returns dict(logits, kv_cache, captured, hidden).
     """
@@ -239,11 +243,19 @@ def forward(
         else:
             k_all, v_all, new_cache = k, v, None
 
-        attn = flash_attention(
-            q, k_all.astype(q.dtype), v_all.astype(q.dtype), kv_mask,
-            causal=not decoding,
-            impl="xla" if decoding else attn_impl,
-        )
+        if attn_impl == "ring" and not use_cache:
+            from multimodal_unlearning_tpu.ops.ring_attention import ring_flash_attention
+
+            attn = ring_flash_attention(
+                q, k_all.astype(q.dtype), v_all.astype(q.dtype), mesh,
+                axis="seq", kv_mask=kv_mask, batch_axes=("data", "fsdp"),
+            )
+        else:
+            attn = flash_attention(
+                q, k_all.astype(q.dtype), v_all.astype(q.dtype), kv_mask,
+                causal=not decoding,
+                impl="xla" if decoding or attn_impl == "ring" else attn_impl,
+            )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * hdim)
         x = x + proj("o_proj", attn)
 

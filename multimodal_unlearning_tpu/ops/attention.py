@@ -38,6 +38,9 @@ except ImportError:  # pragma: no cover
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # log2(e): fold into the q prescale so the
+# online softmax runs on native exp2 (VPU) with no per-score multiply
+_LN2 = 0.6931471805599453
 
 
 def _pick_block(seq: int, pref: int) -> int:
@@ -95,9 +98,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, caus
     sk = k_ref.shape[2]
     nk = sk // block_k
 
-    # pre-scale q once (flash-attn convention) — keeps the inner loop free of
-    # a [Bq, Bk] multiply
-    q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    # pre-scale q once by sm_scale·log2(e) (flash-attn convention) — the
+    # inner loop then needs no per-score multiply and uses the VPU's native
+    # exp2; scores live in log2 space until the final lse conversion
+    q = (q_ref[0, 0].astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q_ref.dtype)
 
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
@@ -112,7 +116,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, caus
         v_blk = v_ref[0, 0, pl.ds(off, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [Bq, Bk]
+        )  # [Bq, Bk], log2-space scores
 
         if masked:
             valid = mask_ref[0, :, pl.ds(off, block_k)].astype(jnp.bool_)
@@ -122,11 +126,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, caus
             s = jnp.where(valid, s, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        p = jnp.exp2(s - m_new)
         if masked:
-            # fully-masked rows: m_new == _NEG_INF ⇒ exp(0) == 1 — re-mask
+            # fully-masked rows: m_new == _NEG_INF ⇒ exp2(0) == 1 — re-mask
             p = jnp.where(valid, p, 0.0)
-        alpha = jnp.exp(m - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -142,7 +146,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, caus
 
     l_safe = jnp.where(l > 0, l, 1.0)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
-    lse = jnp.where(l > 0, m + jnp.log(l_safe), _NEG_INF)
+    # natural-log lse for the backward kernels: ln(Σexp(s_nat)) = ln2·m + ln(l)
+    lse = jnp.where(l > 0, m * _LN2 + jnp.log(l_safe), _NEG_INF)
     lse_ref[0, 0] = lse
 
 
@@ -195,12 +200,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
     sk = k_ref.shape[2]
     nk = sk // block_k
 
-    # fold sm_scale into q (scores) — dq then needs a final sm_scale factor
-    q = (q_ref[0, 0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    # fold sm_scale·log2(e) into q — scores land in log2 space for native
+    # exp2; dq then needs a final sm_scale factor
+    q = (q_ref[0, 0].astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q_ref.dtype)
     do = do_ref[0, 0]
     lse = lse_ref[0, 0]
     # dead rows (all kv masked) carry lse = −1e30; exp(s − lse) would be inf
     lse = jnp.where(lse < _NEG_INF / 2, -_NEG_INF, lse)
+    lse2 = lse * _LOG2E  # log2-space lse, [Bq, 1]
     delta = delta_ref[0, 0]
 
     q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + q_offset
@@ -211,7 +218,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
         k_blk = k_ref[0, 0, pl.ds(off, block_k), :]
         v_blk = v_ref[0, 0, pl.ds(off, block_k), :]
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse2)
         if masked:
             valid = mask_ref[0, :, pl.ds(off, block_k)].astype(jnp.bool_)
             if causal:
@@ -230,6 +237,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
     else:
         nk_eff = nk
     dq = jax.lax.fori_loop(0, nk_eff, lambda j, c: step(j, c, True), dq0)
+    # dq accumulated against the prescaled q's k-products: ds@k needs only the
+    # natural sm_scale chain factor (the log2e lives in p's computation, not
+    # its value)
     dq_ref[0, 0] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
@@ -249,13 +259,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, d
     def step(i, carry, masked: bool):
         dk, dv = carry
         qoff = pl.multiple_of(i * block_q, block_q)
-        q = q_ref[0, 0, pl.ds(qoff, block_q), :]
+        q_raw = q_ref[0, 0, pl.ds(qoff, block_q), :]
+        # prescale on [Bq, D] instead of post-multiplying scores on [Bq, Bk]
+        q = (q_raw.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q_raw.dtype)
         do = do_ref[0, 0, pl.ds(qoff, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qoff, block_q), :]
         lse = jnp.where(lse < _NEG_INF / 2, -_NEG_INF, lse)  # dead-row guard
         delta = delta_ref[0, 0, pl.ds(qoff, block_q), :]
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * sm_scale
-        p = jnp.exp(s - lse)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - lse * _LOG2E)
         if masked:
             valid = valid_k
             if causal:
@@ -268,7 +280,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, d
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale
+        # dk = [p·(dp−δ)·sm_scale] @ q_raw == [p·(dp−δ)·ln2] @ q_prescaled
+        ds = p * (dp - delta) * _LN2
         dk = dk + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

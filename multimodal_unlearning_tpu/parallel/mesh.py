@@ -10,10 +10,14 @@ analog is a single ``jax.sharding.Mesh`` with three axes:
                data-parallel degree, and XLA lowers grad reduction over
                ``fsdp`` to reduce-scatter exactly like ZeRO-2's
                ``overlap_comm`` path.
+- ``seq``    — sequence/context parallelism: activations sharded along the
+               sequence dim, attention via the ring kernel
+               (ops/ring_attention.py) with neighbor ppermutes over ICI
+               (absent in the reference; first-class here).
 - ``tensor`` — tensor parallelism for attention heads / MLP hidden
                (absent in the reference; first-class here).
 
-Axis sizes come from config (``mesh: {data: -1, fsdp: 1, tensor: 1}``);
+Axis sizes come from config (``mesh: {data: -1, fsdp: 1, seq: 1, tensor: 1}``);
 ``-1`` absorbs all remaining devices.
 """
 
@@ -25,13 +29,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "seq", "tensor")
 
 
 @dataclass(frozen=True)
 class MeshSpec:
     data: int = -1
     fsdp: int = 1
+    seq: int = 1
     tensor: int = 1
 
     @classmethod
@@ -42,11 +47,12 @@ class MeshSpec:
         return cls(
             data=int(get("data", -1)),
             fsdp=int(get("fsdp", 1)),
+            seq=int(get("seq", 1)),
             tensor=int(get("tensor", 1)),
         )
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        sizes = [self.data, self.fsdp, self.tensor]
+    def resolve(self, n_devices: int) -> tuple[int, ...]:
+        sizes = [self.data, self.fsdp, self.seq, self.tensor]
         n_wild = sizes.count(-1)
         if n_wild > 1:
             raise ValueError("At most one mesh axis may be -1")
