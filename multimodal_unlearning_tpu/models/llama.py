@@ -28,6 +28,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from multimodal_unlearning_tpu.ops.attention import flash_attention
 from multimodal_unlearning_tpu.ops.rope import apply_rope_bsd, rope_table
 
@@ -217,6 +219,16 @@ def forward(
     def block(x, lp, cache_l, lora_l):
         hdim, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
 
+        def extras(y, t, name):
+            ll = lora_l.get(name) if has_lora else None
+            if ll is not None:
+                a, b = ll["a"].astype(t.dtype), ll["b"].astype(t.dtype)
+                y = y + ((t @ a) @ b) * lora_scale
+            bias = lp.get(name[0] + "_bias") if name != "o_proj" else None
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+
         def proj(name, t):
             ll = lora_l.get(name) if has_lora else None
             y = dense(t, lp[name], ll, lora_scale)
@@ -225,10 +237,31 @@ def forward(
                 y = y + bias.astype(y.dtype)
             return y
 
+        def grouped(t, names):
+            """W8A8 projections sharing input t: quantize activations once."""
+            from multimodal_unlearning_tpu.utils.quantize import int8_matmul_group
+
+            ys = int8_matmul_group(
+                t,
+                tuple(lp[n]["q"] for n in names),
+                tuple(lp[n]["s"] for n in names),
+            )
+            return [extras(y, t, n) for y, n in zip(ys, names)]
+
+        int8_grouped = INT8_COMPUTE and all(
+            isinstance(lp[n], dict) for n in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+        )
+
         h_attn = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = proj("q_proj", h_attn).reshape(B, S, nh, hdim).transpose(0, 2, 1, 3)
-        k = proj("k_proj", h_attn).reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
-        v = proj("v_proj", h_attn).reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
+        if int8_grouped:
+            q, k, v = grouped(h_attn, ("q_proj", "k_proj", "v_proj"))
+        else:
+            q = proj("q_proj", h_attn)
+            k = proj("k_proj", h_attn)
+            v = proj("v_proj", h_attn)
+        q = q.reshape(B, S, nh, hdim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
         q = apply_rope_bsd(q, cos_p, sin_p)
         k = apply_rope_bsd(k, cos_p, sin_p)
 
@@ -257,12 +290,17 @@ def forward(
                 impl="xla" if decoding or attn_impl == "ring" else attn_impl,
             )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * hdim)
+        attn = checkpoint_name(attn, "attn_out")
         x = x + proj("o_proj", attn)
 
         h_mlp = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        gate = proj("gate_proj", h_mlp)
-        up = proj("up_proj", h_mlp)
+        if int8_grouped:
+            gate, up = grouped(h_mlp, ("gate_proj", "up_proj"))
+        else:
+            gate = proj("gate_proj", h_mlp)
+            up = proj("up_proj", h_mlp)
         ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        ff = checkpoint_name(ff, "ffn_pre_down")
         x = x + dense(
             ff, lp["down_proj"],
             lora_l.get("down_proj") if has_lora else None, lora_scale,
@@ -275,6 +313,12 @@ def forward(
             policy = jax.checkpoint_policies.checkpoint_dots
         elif remat_policy == "dots_no_batch":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif remat_policy == "save_attn":
+            # keep the flash-attention output: backward skips the VPU-heavy
+            # attention recompute at [B,S,H] memory per layer
+            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+        elif remat_policy == "save_attn_ffn":
+            policy = jax.checkpoint_policies.save_only_these_names("attn_out", "ffn_pre_down")
         block = jax.checkpoint(block, policy=policy)
 
     layer_ids = jnp.arange(L)

@@ -44,6 +44,13 @@ _LN2 = 0.6931471805599453
 
 
 def _pick_block(seq: int, pref: int) -> int:
+    # largest lane-aligned divisor of seq that fits the preference — e.g.
+    # S=768, pref 512 → 384 (the halving rule would land on 256; measured
+    # 12% slower fwd+bwd at the bench shape)
+    if seq % 128 == 0:
+        for b in range(min(pref, seq), 127, -128):
+            if seq % b == 0:
+                return b
     b = min(pref, seq)
     while seq % b:
         b //= 2

@@ -96,3 +96,51 @@ def _int8_matmul_bwd(res, dy):
 
 
 int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Grouped W8A8 matmuls: several projections sharing ONE input (q/k/v share
+# the attention input, gate/up share the MLP input) quantize the activations
+# once instead of per-projection — cuts the dynamic-quantization VPU work
+# from 7 to 4 passes per decoder layer.
+# ---------------------------------------------------------------------------
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def int8_matmul_group(x, qs, ss):
+    ys, _ = _int8_group_fwd(x, qs, ss)
+    return ys
+
+
+def _int8_group_fwd(x, qs, ss):
+    xa = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(xa > 0, xa / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    ys = tuple(
+        (
+            jax.lax.dot_general(
+                xq, q, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            * sx
+            * s.reshape(-1)
+        ).astype(x.dtype)
+        for q, s in zip(qs, ss)
+    )
+    return ys, (qs, ss)
+
+
+def _int8_group_bwd(res, dys):
+    qs, ss = res
+    dx = None
+    dt = None
+    for dy, q, s in zip(dys, qs, ss):
+        dt = dy.dtype
+        w = (q.astype(jnp.float32) * s).astype(dy.dtype)
+        t = jax.lax.dot_general(
+            dy, w, (((dy.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dx = t if dx is None else dx + t
+    return dx.astype(dt), None, None
+
+
+int8_matmul_group.defvjp(_int8_group_fwd, _int8_group_bwd)
