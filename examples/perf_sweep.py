@@ -1,0 +1,136 @@
+"""Perf sweep for the bench operating point (llava-7b forget step, one chip).
+
+Sweeps precision mode x remat policy and prints steps/s for each variant so
+bench.py can pin the fastest configuration.  Variants:
+
+  precision: bf16 | int8 (QLoRA storage, bf16 compute) | w8a8 (int8 MXU)
+             | w8a8b (w8a8 + int8 dx backward)
+  remat:     full | save_attn | save_attn_ffn | none (if it fits)
+
+Usage: python examples/perf_sweep.py [variant ...]
+  variant = "<precision>:<remat>", default sweep list below.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(precision, remat_policy):
+    from multimodal_unlearning_tpu.cli.common import build_model_config
+    from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
+    from multimodal_unlearning_tpu.config import get_model_identifiers
+    from multimodal_unlearning_tpu.models import llava, lora as lora_mod
+    from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+    from multimodal_unlearning_tpu.train import optim, trainer
+    from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
+
+    model_cfg = get_model_identifiers("llava")
+    mcfg = build_model_config(model_cfg)
+    dtype = jnp.bfloat16
+    B, S = 2, 768
+    n_img = mcfg.num_image_tokens
+    img_size = mcfg.vision.image_size
+
+    params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
+    adapters = {"language_model": lora_mod.init_lora(
+        params["language_model"]["layers"], 8, jax.random.PRNGKey(1), dtype=dtype)}
+
+    if precision in ("int8", "w8a8", "w8a8b"):
+        qfn = jax.jit(quantize_leaf)
+
+        def quantize_inplace(d):
+            for key in list(d.keys()):
+                v = d[key]
+                if isinstance(v, dict):
+                    quantize_inplace(v)
+                elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
+                    q = qfn(v)
+                    jax.block_until_ready(q)
+                    v.delete()
+                    d[key] = q
+
+        quantize_inplace(params["language_model"])
+    enable_int8_compute(precision in ("w8a8", "w8a8b"))
+    from multimodal_unlearning_tpu.utils.quantize import enable_int8_bwd
+
+    enable_int8_bwd(precision == "w8a8b")
+
+    scale = lora_mod.lora_scale(8, 32)
+    rng = np.random.default_rng(0)
+
+    def split_batch():
+        ids = rng.integers(10, mcfg.decoder.vocab_size - 70, (B, S))
+        ids[:, :n_img] = mcfg.image_token_id
+        labels = ids.copy()
+        labels[:, : n_img + 64] = -100
+        return {
+            "input_ids": jnp.asarray(ids, jnp.int32),
+            "attention_mask": jnp.ones((B, S), jnp.int32),
+            "labels": jnp.asarray(labels, jnp.int32),
+            "pixel_values": jnp.asarray(rng.normal(size=(B, img_size, img_size, 3)), dtype),
+        }
+
+    batch = {"forget": split_batch(), "retain": split_batch()}
+
+    remat = remat_policy != "none"
+    apply_fn = make_apply_fn(
+        "llava", mcfg, lora_cfg=scale, compute_dtype=dtype,
+        remat=remat, remat_policy=None if remat_policy in ("none", "full") else remat_policy,
+        logits_dtype=dtype,
+    )
+    tx = optim.make_optimizer("adamw", 1e-5, weight_decay=0.01)
+    step = trainer.make_train_step(
+        apply_fn, tx, loss_type="grad_diff_forget_ce_retain_ce", donate=False,
+        combine=lambda tr, fr: (fr, tr),
+    )
+    state = trainer.create_train_state(adapters, tx)
+    return step, state, params, batch
+
+
+def run_variant(name):
+    precision, remat_policy = name.split(":")
+    try:
+        step, state, params, batch = build(precision, remat_policy)
+        t_c0 = time.perf_counter()
+        state, metrics = step(state, params, None, batch)
+        loss0 = float(metrics["loss"])
+        compile_s = time.perf_counter() - t_c0
+        n_steps = 8
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = step(state, params, None, batch)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        print(f"{name:24s} {n_steps/dt:6.3f} steps/s   loss0={loss0:.4f}  compile={compile_s:.0f}s", flush=True)
+        return n_steps / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+        return None
+    finally:
+        # free device memory between variants
+        for buf in jax.live_arrays():
+            buf.delete()
+
+
+DEFAULT = [
+    "bf16:full",
+    "bf16:save_attn",
+    "int8:full",
+    "int8:save_attn",
+    "w8a8:full",
+    "w8a8:save_attn",
+    "w8a8:save_attn_ffn",
+    "w8a8b:full",
+]
+
+if __name__ == "__main__":
+    variants = sys.argv[1:] or DEFAULT
+    for v in variants:
+        run_variant(v)

@@ -151,6 +151,10 @@ def run(cfg):
                 from multimodal_unlearning_tpu.models.llama import enable_int8_compute
 
                 enable_int8_compute(True)  # W8A8 on the frozen matmuls
+            if cfg.get("int8_bwd"):
+                from multimodal_unlearning_tpu.utils.quantize import enable_int8_bwd
+
+                enable_int8_bwd(True)  # dx backward on the int8 MXU too
         apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
         combine = lambda tr, fr: (fr, tr)
         merged_frozen = params  # flows through the frozen arg, not a closure

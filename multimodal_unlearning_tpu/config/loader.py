@@ -78,7 +78,14 @@ class Config(dict):
 
     # -- mapping protocol -------------------------------------------------
     def __getitem__(self, key):
-        return self._resolve(dict.__getitem__(self, key))
+        value = dict.__getitem__(self, key)
+        if isinstance(value, dict) and not isinstance(value, Config):
+            # wrap ONCE and store the wrapper back so nested writes stick
+            # (cfg["LoRA"]["r"] = 4 must mutate cfg, not a transient copy)
+            value = Config(value, root=self._get_root())
+            dict.__setitem__(self, key, value)
+            return value
+        return self._resolve(value)
 
     def get(self, key, default=None):
         try:

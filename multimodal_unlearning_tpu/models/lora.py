@@ -31,6 +31,8 @@ def init_lora(layer_params: dict, r: int, key, targets=DEFAULT_TARGETS, dtype=jn
     keys = iter(jax.random.split(key, len(targets)))
     for name in targets:
         w = layer_params[name]
+        if isinstance(w, dict):  # int8 QTensor base (QLoRA)
+            w = w["q"]
         L, d_in, d_out = w.shape
         adapters[name] = {
             "a": (jax.random.normal(next(keys), (L, d_in, r)) * d_in**-0.5).astype(dtype),
@@ -40,9 +42,17 @@ def init_lora(layer_params: dict, r: int, key, targets=DEFAULT_TARGETS, dtype=jn
 
 
 def merge(params: dict, lora: dict, scale: float) -> dict:
-    """merge_and_unload analog: fold adapters into dense weights."""
-    merged = dict(params)
-    merged_layers = dict(params["layers"])
+    """merge_and_unload analog: fold adapters into dense weights.
+
+    Handles an int8-quantized (QLoRA) base: QTensor leaves are dequantized to
+    bf16 before folding, and the whole returned tree is dense (saveable) —
+    reference merges via peft then saves dense (mm/forget.py:110-115)."""
+    from multimodal_unlearning_tpu.utils.quantize import dequantize_tree
+
+    lead = next(iter(lora.get("layers", {}).values()), None)
+    dq_dtype = lead["b"].dtype if lead is not None else jnp.bfloat16
+    merged = dequantize_tree(params, dq_dtype)
+    merged_layers = dict(merged["layers"])
     for name, ab in lora.get("layers", {}).items():
         w = merged_layers[name]
         delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32), ab["b"].astype(jnp.float32))

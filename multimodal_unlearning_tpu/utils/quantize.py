@@ -51,6 +51,17 @@ def quantize_tree(params, *, min_elems: int = _MIN_QUANT_ELEMS):
     return jax.tree.map(q, params)
 
 
+def dequantize_tree(params, dtype=jnp.bfloat16):
+    """Dense copy of a (possibly partially) quantized tree: every QTensor
+    leaf dequantized to ``dtype``, everything else untouched — for
+    checkpoint saving and LoRA merging."""
+    if is_qtensor(params):
+        return dequantize_leaf(params, dtype)
+    if isinstance(params, dict):
+        return {k: dequantize_tree(v, dtype) for k, v in params.items()}
+    return params
+
+
 def tree_nbytes(tree) -> int:
     return sum(
         x.size * x.dtype.itemsize
@@ -67,6 +78,31 @@ def tree_nbytes(tree) -> int:
 # ---------------------------------------------------------------------------
 
 import functools as _functools
+
+INT8_BWD = False  # set via enable_int8_bwd(); int8 MXU for the dx backward too
+
+
+def enable_int8_bwd(on: bool = True):
+    """Opt-in: run the dx backward of quantized matmuls on the int8 MXU as
+    well (per-row dynamic quantization of dy with the weight's column scales
+    folded in).  2× the bf16 backward matmul rate; adds int8 rounding noise
+    to upstream gradients — gate on a forget-quality check like int8_compute.
+    Trace-time flag: set it BEFORE the first jitted step compiles."""
+    global INT8_BWD
+    INT8_BWD = on
+
+
+def _int8_dx(dy, q, s):
+    """dx = dy @ W^T for W = q·s (s per output column of W): fold s into dy
+    elementwise, per-row quantize, contract int8 against q's columns."""
+    dys = dy.astype(jnp.float32) * s.reshape(-1)
+    a = jnp.max(jnp.abs(dys), axis=-1, keepdims=True)
+    sdy = jnp.where(a > 0, a / 127.0, 1.0)
+    dq = jnp.clip(jnp.round(dys / sdy), -127, 127).astype(jnp.int8)
+    dx32 = jax.lax.dot_general(
+        dq, q, (((dy.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (dx32.astype(jnp.float32) * sdy).astype(dy.dtype)
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -88,6 +124,8 @@ def _int8_matmul_fwd(x, q, s):
 
 def _int8_matmul_bwd(res, dy):
     q, s = res
+    if INT8_BWD:
+        return _int8_dx(dy, q, s), None, None
     w = (q.astype(jnp.float32) * s).astype(dy.dtype)  # dequant once per layer
     dx = jax.lax.dot_general(
         dy, w, (((dy.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -135,10 +173,13 @@ def _int8_group_bwd(res, dys):
     dt = None
     for dy, q, s in zip(dys, qs, ss):
         dt = dy.dtype
-        w = (q.astype(jnp.float32) * s).astype(dy.dtype)
-        t = jax.lax.dot_general(
-            dy, w, (((dy.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if INT8_BWD:
+            t = _int8_dx(dy, q, s).astype(jnp.float32)
+        else:
+            w = (q.astype(jnp.float32) * s).astype(dy.dtype)
+            t = jax.lax.dot_general(
+                dy, w, (((dy.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
         dx = t if dx is None else dx + t
     return dx.astype(dt), None, None
 

@@ -58,3 +58,17 @@ def test_save_and_reload_roundtrip(tmp_path):
     cfg2 = load_config(tmp_path, "config")
     assert cfg2.forget_loss == cfg.forget_loss
     assert cfg2.batch_size == cfg.batch_size
+
+
+def test_nested_writes_stick():
+    """cfg["LoRA"]["r"] = 4 must mutate cfg itself, not a transient wrapper
+    (nested nodes are wrapped once and stored back on first access)."""
+    cfg = Config({"LoRA": {"r": 0, "alpha": 32}, "lr": 0.1})
+    cfg["LoRA"]["r"] = 4
+    assert cfg.LoRA.r == 4
+    cfg.LoRA.alpha = 16
+    assert cfg["LoRA"]["alpha"] == 16
+    assert cfg.to_dict() == {"LoRA": {"r": 4, "alpha": 16}, "lr": 0.1}
+    # dotted overrides still reach the same storage after wrapping
+    apply_overrides(cfg, ["LoRA.r=8"])
+    assert cfg.LoRA.r == 8

@@ -104,6 +104,93 @@ def test_qlora_training_with_quantized_base_and_teacher():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_int8_matmul_group_matches_single():
+    """Grouped W8A8 (one activation quantization for q/k/v) must equal the
+    per-projection int8_matmul exactly — same quantized activations, same
+    int8 MXU accumulation — and its backward must sum the dx contributions."""
+    from multimodal_unlearning_tpu.utils.quantize import int8_matmul, int8_matmul_group
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 32, 256)), jnp.float32)
+    ws = [jnp.asarray(rng.normal(size=(256, n)), jnp.float32) for n in (256, 128, 128)]
+    qts = [quantize_leaf(w) for w in ws]
+    qs = tuple(q["q"] for q in qts)
+    ss = tuple(q["s"] for q in qts)
+
+    ys = int8_matmul_group(x, qs, ss)
+    for y, qt in zip(ys, qts):
+        ref = int8_matmul(x, qt["q"], qt["s"])
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    def loss_group(x):
+        return sum(jnp.sum(y**2) for y in int8_matmul_group(x, qs, ss))
+
+    def loss_single(x):
+        return sum(jnp.sum(int8_matmul(x, q["q"], q["s"]) ** 2) for q in qts)
+
+    gx_g = jax.grad(loss_group)(x)
+    gx_s = jax.grad(loss_single)(x)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_s), rtol=1e-5, atol=1e-4)
+
+
+def test_int8_bwd_dx_close_and_exact_scale_algebra():
+    """int8 dx backward: the (dy·s)-fold + per-row requantize must reproduce
+    the exact int8 arithmetic, and land close to the dequantized bf16 dx."""
+    from multimodal_unlearning_tpu.utils import quantize as qz
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 512)), jnp.float32)
+    qt = quantize_leaf(w)
+
+    def loss(x):
+        return jnp.sum(qz.int8_matmul(x, qt["q"], qt["s"]) ** 2)
+
+    dx_f32 = jax.grad(loss)(x)
+    qz.enable_int8_bwd(True)
+    try:
+        dx_int8 = jax.grad(loss)(x)
+
+        # exact algebra: replicate _int8_dx by hand
+        y = qz.int8_matmul(x, qt["q"], qt["s"])
+        dy = 2.0 * y
+        dys = np.asarray(dy, np.float32) * np.asarray(qt["s"]).reshape(-1)
+        a = np.abs(dys).max(axis=-1, keepdims=True)
+        sdy = np.where(a > 0, a / 127.0, 1.0)
+        dq = np.clip(np.round(dys / sdy), -127, 127).astype(np.int32)
+        expect = (dq @ np.asarray(qt["q"], np.int32).T).astype(np.float32) * sdy
+        np.testing.assert_allclose(np.asarray(dx_int8), expect, rtol=1e-5, atol=1e-3)
+    finally:
+        qz.enable_int8_bwd(False)
+
+    # statistical closeness to the bf16 dequant backward: high cosine sim
+    num = float(jnp.sum(dx_f32 * dx_int8))
+    den = float(jnp.linalg.norm(dx_f32) * jnp.linalg.norm(dx_int8))
+    assert num / den > 0.999
+
+
+def test_int8_bwd_group_matches_sum_of_singles():
+    from multimodal_unlearning_tpu.utils import quantize as qz
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+    qts = [quantize_leaf(jnp.asarray(rng.normal(size=(256, n)), jnp.float32)) for n in (256, 128)]
+    qs = tuple(t["q"] for t in qts)
+    ss = tuple(t["s"] for t in qts)
+
+    qz.enable_int8_bwd(True)
+    try:
+        g_group = jax.grad(
+            lambda x: sum(jnp.sum(y**2) for y in qz.int8_matmul_group(x, qs, ss))
+        )(x)
+        g_single = jax.grad(
+            lambda x: sum(jnp.sum(qz.int8_matmul(x, t["q"], t["s"]) ** 2) for t in qts)
+        )(x)
+    finally:
+        qz.enable_int8_bwd(False)
+    np.testing.assert_allclose(np.asarray(g_group), np.asarray(g_single), rtol=1e-5, atol=1e-4)
+
+
 def test_int8_compute_path():
     """W8A8 opt-in: close to the dequant path, straight-through grads flow."""
     from multimodal_unlearning_tpu.models.llama import enable_int8_compute
@@ -130,3 +217,25 @@ def test_int8_compute_path():
         enable_int8_compute(False)
     denom = np.abs(np.asarray(base)).max()
     assert np.abs(np.asarray(base - w8a8)).max() / denom < 0.25
+
+
+def test_lora_merge_with_quantized_base_saves_dense():
+    """QLoRA save path: merging adapters into an int8-quantized base must
+    dequantize every QTensor leaf and return a dense, saveable tree."""
+    from multimodal_unlearning_tpu.models import lora
+    from multimodal_unlearning_tpu.utils.quantize import is_qtensor
+
+    cfg, params = big_decoder()
+    qp = quantize_tree(params)
+    adapters = lora.init_lora(qp["layers"], 4, jax.random.PRNGKey(2))
+    merged = lora.merge(qp, adapters, lora.lora_scale(4, 32))
+    assert not any(is_qtensor(x) for x in jax.tree.leaves(merged, is_leaf=is_qtensor))
+    # zero-init B ⇒ merged == dequantized base exactly
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["q_proj"], np.float32),
+        np.asarray(dequantize_leaf(qp["layers"]["q_proj"], jnp.float32)),
+        rtol=0, atol=1e-6,
+    )
+    # embed/lm_head (not LoRA-targeted) also dense
+    assert hasattr(merged["embed_tokens"], "dtype")
+    assert hasattr(merged["lm_head"], "dtype")
