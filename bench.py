@@ -2,14 +2,18 @@
 north-star: "LLaVA-7B forget steps/sec/chip").
 
 Operating point: the paper model (llava family), per-device batch 2,
-QLoRA-int8 frozen decoder + bf16 LoRA r=8 adapters,
-grad_diff_forget_ce_retain_ce (2 student forwards + backward per step),
-vision tower frozen, per-layer remat, seq 768 — the realistic CLEAR sample
-shape (576 image tokens + caption text; config/mm/forget.yaml's 2048 is a
-truncation cap, real samples are ~700 tokens).  int8 storage is what fits
-7B (+ a 7B teacher for KL/NPO/SCRUB losses) on one 16GB v5e chip, and the
-int8 MXU path runs the frozen matmuls at ~2× the bf16 rate.  The bf16
-operating point is recorded in BASELINE.md (1.02 steps/s).
+W8A8 (int8-quantized frozen decoder, int8 MXU for activations fwd AND the
+dx backward) + bf16 LoRA r=8 adapters, grad_diff_forget_ce_retain_ce
+(2 student forwards + backward per step), vision tower frozen, per-layer
+remat, seq 768 — the realistic CLEAR sample shape (576 image tokens +
+caption text; config/mm/forget.yaml's 2048 is a truncation cap, real
+samples are ~700 tokens).  int8 storage is what fits 7B (+ a 7B teacher
+for KL/NPO/SCRUB losses) on one 16GB v5e chip, and the int8 MXU path runs
+the frozen matmuls at ~2× the bf16 rate.  W8A8 is quality-gated: every
+int8 variant sits within the bf16 seed-noise floor on Forget Quality and
+the full per-sample eval-statistic vector (examples/w8a8_quality_gate.py,
+gate PASS recorded in BASELINE.md).  The bf16 operating point is recorded
+in BASELINE.md.
 
 vs_baseline compares against an analytic A100-80GB estimate for the same
 workload (the reference publishes no numbers — BASELINE.md): FLOPs per step
@@ -69,6 +73,13 @@ def main():
     quantize_inplace(params["language_model"])
     scale = lora_mod.lora_scale(8, 32)
 
+    # W8A8 + int8 dx backward (quality-gated; see module docstring)
+    from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+    from multimodal_unlearning_tpu.utils.quantize import enable_int8_bwd
+
+    enable_int8_compute(True)
+    enable_int8_bwd(True)
+
     rng = np.random.default_rng(0)
 
     def split_batch():
@@ -124,7 +135,7 @@ def main():
             {
                 "metric": "mm_forget_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 4),
-                "unit": "steps/s (llava-1.5-7b, bs2, seq768, QLoRA int8 base + bf16 LoRA r8, grad_diff, remat, one v5e chip)",
+                "unit": "steps/s (llava-1.5-7b, bs2, seq768, W8A8 int8 base fwd+bwd [quality-gated] + bf16 LoRA r8, grad_diff, remat, one v5e chip)",
                 "vs_baseline": round(steps_per_sec / a100_steps_per_sec, 4),
             }
         )

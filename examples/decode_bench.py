@@ -1,0 +1,118 @@
+"""Eval-generation throughput: bf16 vs int8-weight decode on the 7B.
+
+Greedy KV-cache decode is HBM-bandwidth-bound (each new token re-reads every
+decoder weight), so int8 storage (quantize_base in mm_eval/nlp_eval) halves
+the bytes per step.  This measures the reference eval operating point
+(config/mm/eval.yaml:32-43: bs 8, ~704-token prompt incl. 576 image tokens,
+300 new tokens, greedy) on LLaVA-1.5-7B, one v5e chip.
+
+At 7B/bs8 the bf16 variant does NOT FIT one 16 GB v5e (13.5 GB weights +
+4.3 GB KV cache) — int8 weights are what make single-chip 7B batch decode
+possible at all; run family qwen-vl2-2b for a clean bf16-vs-int8 ratio.
+
+Usage: python examples/decode_bench.py [family] [bf16|int8|w8a8 ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    args = sys.argv[1:]
+    family = args.pop(0) if args and not args[0].startswith(("bf", "int", "w8")) else "llava"
+    variants = args or ["bf16", "int8", "w8a8"]
+
+    from multimodal_unlearning_tpu.cli.common import build_model_config
+    from multimodal_unlearning_tpu.config import get_model_identifiers
+    from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+    from multimodal_unlearning_tpu.models import vlm_module
+    from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+    from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
+
+    model_cfg = get_model_identifiers(family)
+    mcfg = build_model_config(model_cfg)
+    dtype = jnp.bfloat16
+
+    B, NEW = 8, 300
+    n_img = mcfg.num_image_tokens
+    S = max(704, -(-(n_img + 128) // 128) * 128)  # image tokens + question
+    img = mcfg.vision.image_size
+
+    kind = model_cfg["arch"]["kind"]
+    params = vlm_module(kind).init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(10, mcfg.decoder.vocab_size - 70, (B, S))
+    if kind == "qwen2_vl":
+        g = img // mcfg.vision.patch_size
+        ids[:, 0] = mcfg.vision_start_token_id
+        ids[:, 1:1 + n_img] = mcfg.image_token_id
+        ids[:, 1 + n_img] = mcfg.vision_end_token_id
+        pixel_values = jnp.asarray(
+            rng.normal(size=(B, g * g, mcfg.vision.patch_dim)), dtype)
+    else:
+        ids[:, :n_img] = mcfg.image_token_id
+        pixel_values = jnp.asarray(rng.normal(size=(B, img, img, 3)), dtype)
+    input_ids = jnp.asarray(ids, jnp.int32)
+    attention_mask = jnp.ones((B, S), jnp.int32)
+
+    qfn = jax.jit(quantize_leaf)
+
+    def quantize_inplace(d):
+        for key in list(d.keys()):
+            v = d[key]
+            if isinstance(v, dict):
+                quantize_inplace(v)
+            elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
+                q = qfn(v)
+                jax.block_until_ready(q)
+                v.delete()
+                d[key] = q
+
+    quantized = False
+    for name in variants:
+        if name in ("int8", "w8a8") and not quantized:
+            quantize_inplace(params["language_model"])
+            quantized = True
+        enable_int8_compute(name == "w8a8")
+
+        def gen():
+            return greedy_generate(
+                params, mcfg, input_ids, attention_mask,
+                max_new_tokens=NEW, pad_token_id=0, eos_token_id=None,
+                pixel_values=pixel_values, is_vlm=True,
+                cache_dtype=dtype, compute_dtype=dtype,
+            )
+
+        try:
+            t0 = time.perf_counter()
+            out = gen()
+            int(np.asarray(out)[0, -1])  # value-fetch sync
+            compile_s = time.perf_counter() - t0
+
+            n = 3
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = gen()
+            int(np.asarray(out)[0, -1])
+            dt = (time.perf_counter() - t0) / n
+            print(
+                f"{name:6s} {dt:6.2f} s/batch  {B / dt:5.2f} samples/s  "
+                f"{B * NEW / dt:6.0f} tok/s  (compile {compile_s:.0f}s)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — e.g. bf16 7B OOMs one chip
+            msg = str(e).split("\n")[0][:140]
+            print(f"{name:6s} FAILED: {msg}", flush=True)
+    enable_int8_compute(False)
+
+
+if __name__ == "__main__":
+    main()

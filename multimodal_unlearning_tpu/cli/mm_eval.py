@@ -51,6 +51,21 @@ def run(cfg):
     kind, mcfg, params = common.init_or_load_params(
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
+    if cfg.get("quantize_base"):
+        # int8 decode: greedy generation is HBM-bandwidth-bound, so halving
+        # the weight bytes ≈ doubles token rate; int8_compute additionally
+        # runs the frozen matmuls on the int8 MXU (quality-gated — see
+        # examples/w8a8_quality_gate.py)
+        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+        params = (
+            dict(params, language_model=quantize_tree(params["language_model"]))
+            if common.is_vlm(kind) else quantize_tree(params)
+        )
+        if cfg.get("int8_compute"):
+            from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+
+            enable_int8_compute(True)
     mesh = common.build_mesh(cfg)
     if mesh.shape["tensor"] > 1:
         # tensor-parallel eval: decoder weights sharded, GSPMD inserts the

@@ -43,6 +43,15 @@ def run(cfg):
     kind, mcfg, params = common.init_or_load_params(
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
+    if cfg.get("quantize_base"):
+        # int8 decode (~2x HBM-bound token rate; see cli/mm_eval.py)
+        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+        params = quantize_tree(params)
+        if cfg.get("int8_compute"):
+            from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+
+            enable_int8_compute(True)
     mesh = common.build_mesh(cfg)
     if mesh.shape["tensor"] > 1:
         params = common.apply_tensor_parallel(mesh, mcfg, kind, params)

@@ -55,6 +55,9 @@ def train_classifier_fleet(
     ``init_stacked`` — already-stacked per-shadow trees.
     Returns stacked (params, head, bn_state, losses[S, total])."""
     S, n = train_sel.shape
+    # a split smaller than batch_size trains full-batch (the sequential path's
+    # order[b*bs:(b+1)*bs] slice just comes up short; here widths are static)
+    batch_size = min(batch_size, n)
     steps_per_epoch = max(1, n // batch_size)
     total = steps_per_epoch * epochs
 
@@ -177,6 +180,7 @@ def unlearn_fleet(
         # finetune: continue from each shadow's own ckpt — same schedule, but
         # per-shadow init; reuse the fleet trainer with stacked init
         n = sel.shape[1]
+        batch_size = min(batch_size, n)  # small splits train full-batch
         steps_per_epoch = max(1, n // batch_size)
         total = steps_per_epoch * epochs
         batch_idx = np.empty((total, S, batch_size), np.int32)

@@ -63,7 +63,10 @@ class ByteTokenizer:
                 if not skip_special_tokens:
                     out.append(self.image_token.encode())
                 continue
-            if i < self._byte_base:
+            if i < self._byte_base or i >= self._byte_base + 256:
+                # ids past the byte range (models whose vocab_size exceeds the
+                # byte table, e.g. random-init gen) decode to nothing — same
+                # as HF tokenizers silently skipping unknown ids
                 continue
             out.append(bytes([i - self._byte_base]))
         return b"".join(

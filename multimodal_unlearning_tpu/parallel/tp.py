@@ -66,9 +66,10 @@ def tp_shard_decoder(params: dict, mesh: Mesh, fsdp_axis: bool = False):
     specs = decoder_tp_specs(params, fsdp_axis)
 
     def place(p, spec):
-        return jax.device_put(p, NamedSharding(mesh, spec))
+        # absent params (tied lm_head, optional biases) stay None
+        return None if p is None else jax.device_put(p, NamedSharding(mesh, spec))
 
-    return jax.tree.map(place, params, specs)
+    return jax.tree.map(place, params, specs, is_leaf=lambda x: x is None)
 
 
 def tp_degree_ok(cfg, tp: int) -> bool:

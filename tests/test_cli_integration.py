@@ -82,6 +82,35 @@ def test_mm_eval_single_task(ft_dir, tmp_path):
     json.loads(path.read_text())
 
 
+def test_mm_eval_int8_decode(tmp_path):
+    """quantize_base eval (int8 decoder weights ≈ 2x HBM-bound decode rate):
+    the quantized run's teacher-forced losses track the dense run's."""
+    from multimodal_unlearning_tpu.cli import mm_eval
+    from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+
+    def run(out, **extra):
+        cfg = _cfg(
+            "mm", "eval",
+            model_family="small-llava-test", model_path=None,
+            processor_path=None, save_dir=str(tmp_path / out),
+            ds_size=4, batch_size=4, max_length=192, dtype="float32",
+            eval_task_ids=[2], **extra,
+        )
+        dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
+        dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
+        return mm_eval.run(cfg)["eval_log_forget.json"]
+
+    dense = run("dense")
+    try:
+        quant = run("int8", quantize_base=True, int8_compute=True)
+    finally:
+        enable_int8_compute(False)
+    d = np.array([dense["avg_gt_loss"][k] for k in sorted(dense["avg_gt_loss"])])
+    q = np.array([quant["avg_gt_loss"][k] for k in sorted(quant["avg_gt_loss"])])
+    assert np.all(np.isfinite(q))
+    np.testing.assert_allclose(q, d, rtol=0.15)  # int8 noise, same ranking
+
+
 def test_nlp_grad_proj_runs(tmp_path):
     from multimodal_unlearning_tpu.cli import nlp_forget
 

@@ -186,3 +186,41 @@ def test_real_data_nlp_finetune(real_fixtures, tmp_path):
     dict.__setitem__(cfg["LoRA"], "r", 0)
     nlp_finetune.run(cfg)
     assert (tmp_path / "nlp_ft" / "model.safetensors").exists()
+
+
+def test_real_data_cv_pipeline(tmp_path):
+    """CV stack ingests an on-disk HF dataset of real PIL images
+    (cv/prepare_celeb_dataset.py:9-33 analog) — prepare → pretrain →
+    shadow-finetune → unlearn → score, zero synthetic fallback."""
+    from PIL import Image
+    import datasets as hfds
+
+    from multimodal_unlearning_tpu.cli import cv_run
+
+    rng = np.random.default_rng(7)
+    rows = {"image": [], "name": []}
+    for pid in range(6):
+        img = Image.fromarray(rng.integers(0, 256, (41, 53, 3), dtype=np.uint8))
+        for _ in range(4):
+            rows["image"].append(img)
+            rows["name"].append(f"Celeb{pid}")
+    ds = hfds.Dataset.from_dict(rows).cast_column("image", hfds.Image())
+    data_dir = tmp_path / "faces"
+    ds.save_to_disk(str(data_dir))
+
+    cfg = _cfg(
+        "cv", "pipeline",
+        data=str(data_dir), stage="all", n_shadow=2, n_persons=6,
+        images_per_person=4, image_size=32, forget_size=20,
+        work_dir=str(tmp_path / "cv_work"), n_persons_pretrain=12, num_enroll=2,
+    )
+    cfg["finetune"]["epochs"] = 1
+    cfg["unlearn"]["epochs"] = 1
+    cfg["unlearn"]["method"] = "neggrad"
+    cv_run.run(cfg)
+
+    scores = json.loads((tmp_path / "cv_work" / "scores.json").read_text())
+    assert set(scores) >= {"finetuned", "neggrad"}
+    for kind in ("finetuned", "neggrad"):
+        for grp in ("forget", "retain", "holdout"):
+            assert np.isfinite(scores[kind][grp])
