@@ -40,7 +40,8 @@ def main():
     mcfg = build_model_config(model_cfg)
     dtype = jnp.bfloat16
 
-    B, NEW = 8, 300
+    B = int(os.environ.get("DECODE_BS", "8"))
+    NEW = int(os.environ.get("DECODE_NEW", "300"))
     n_img = mcfg.num_image_tokens
     S = max(704, -(-(n_img + 128) // 128) * 128)  # image tokens + question
     img = mcfg.vision.image_size

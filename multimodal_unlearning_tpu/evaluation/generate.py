@@ -3,11 +3,19 @@
 Replaces HF ``model.generate(..., use_cache=True)`` (reference:
 mm/eval.py:126-133, nlp/evaluate_util.py:172-185):
 
-- prefill writes the left-padded prompt into a [L,B,Hkv,Smax,D] cache in one
-  flash-attention pass;
-- decode is a single ``lax.scan`` over ``max_new_tokens`` — one XLA program,
-  no per-token dispatch; finished rows (eos) keep emitting pad;
+- prefill + the whole decode loop run as ONE jitted XLA program: the
+  [L,B,Hkv,Smax,D] KV cache is created, written by the flash-attention
+  prefill, scanned through ``max_new_tokens`` decode steps, and dropped —
+  entirely inside the program.  It never crosses a program boundary, so XLA
+  keeps a single buffer in its preferred layout (passing a host-created
+  cache as a donated argument measurably relayout-copies it: +4 GB peak and
+  an OOM for an int8 7B at batch 8 on a 16 GB v5e);
+- the program returns ONLY the emitted token ids; finished rows (eos) keep
+  emitting pad;
 - everything is static-shape: Smax = prompt bucket + max_new_tokens.
+
+Compilation is cached on the (hashable, frozen) model config + static
+shapes, so per-batch calls from the eval loop reuse the executable.
 """
 
 from __future__ import annotations
@@ -34,54 +42,58 @@ def pad_prompts(encoded: list[list[int]], pad_id: int, multiple: int = 128):
     return ids, mask
 
 
-def greedy_generate(
-    params,
-    model_cfg,
-    input_ids,
-    attention_mask,
-    *,
-    max_new_tokens: int,
-    pad_token_id: int,
-    eos_token_id: int | None = None,
-    pixel_values=None,
-    is_vlm: bool = False,
-    cache_dtype=jnp.bfloat16,
-    attn_impl: str = "auto",
-    compute_dtype=jnp.bfloat16,
-):
-    """Returns generated token ids [B, max_new_tokens] (pad after eos)."""
-    B, S = input_ids.shape
-    Smax = -(-(S + max_new_tokens) // 128) * 128  # lane-aligned cache
-    dec_cfg = model_cfg.decoder if is_vlm else model_cfg
-    dec = decoder_module(dec_cfg)
-
-    cache = dec.init_kv_cache(dec_cfg, B, Smax, dtype=cache_dtype)
-    kv_valid = jnp.zeros((B, Smax), jnp.int32).at[:, :S].set(attention_mask)
-    prompt_len = jnp.sum(attention_mask, axis=-1)  # valid tokens per row
-
-    fwd = partial(
-        vlm_module(model_cfg).forward, params, model_cfg,
-        attn_impl=attn_impl, compute_dtype=compute_dtype,
-    ) if is_vlm else partial(
-        dec.forward, params, model_cfg,
+def _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params):
+    if is_vlm:
+        return partial(
+            vlm_module(model_cfg).forward, params, model_cfg,
+            attn_impl=attn_impl, compute_dtype=compute_dtype,
+        )
+    return partial(
+        decoder_module(model_cfg).forward, params, model_cfg,
         attn_impl=attn_impl, compute_dtype=compute_dtype,
     )
 
-    prefill_kw = dict(
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg", "is_vlm", "attn_impl", "compute_dtype", "cache_dtype",
+        "smax", "max_new_tokens", "pad_token_id", "eos", "int8_compute",
+    ),
+)
+def _generate(params, input_ids, attention_mask, pixel_values,
+              *, model_cfg, is_vlm, attn_impl, compute_dtype, cache_dtype,
+              smax, max_new_tokens, pad_token_id, eos, int8_compute):
+    # int8_compute is read as a module global at trace time (models.llama
+    # INT8_COMPUTE); it is in the signature ONLY to key the jit cache so
+    # toggling the flag retraces instead of reusing a stale executable
+    del int8_compute
+    dec_cfg = model_cfg.decoder if is_vlm else model_cfg
+    dec = decoder_module(dec_cfg)
+    B, S = input_ids.shape
+
+    cache = dec.init_kv_cache(dec_cfg, B, smax, dtype=cache_dtype)
+    kv_valid = jnp.zeros((B, smax), jnp.int32).at[:, :S].set(attention_mask)
+    prompt_len = jnp.sum(attention_mask, axis=-1)  # valid tokens per row
+    fwd = _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params)
+
+    # prefill: one flash-attention pass over the left-padded prompt
+    kw = dict(
         attention_mask=attention_mask,
         kv_cache=cache, cache_offset=0, kv_valid_mask=kv_valid,
     )
     if is_vlm:
-        prefill_kw["pixel_values"] = pixel_values
-    out = fwd(input_ids, **prefill_kw)
+        kw["pixel_values"] = pixel_values
+    out = fwd(input_ids, **kw)
     cache = out["kv_cache"]
     # Qwen2-VL M-RoPE: decode positions continue from max prompt position
     rope_delta = out.get("rope_delta")
     first_token = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(input_ids.dtype)
 
-    eos = -1 if eos_token_id is None else eos_token_id
-    finished0 = (first_token == eos) if eos_token_id is not None else jnp.zeros((B,), bool)
+    finished0 = (first_token == eos) if eos >= 0 else jnp.zeros((B,), bool)
     first_emit = jnp.where(finished0, pad_token_id, first_token)
+    if max_new_tokens == 1:
+        return first_emit[:, None]
 
     def step(carry, t):
         cache, kv_valid, token, finished = carry
@@ -102,12 +114,41 @@ def greedy_generate(
         emit = jnp.where(newly_finished, pad_token_id, nxt)
         return (out["kv_cache"], kv_valid, nxt, newly_finished), emit
 
-    if max_new_tokens == 1:
-        return first_emit[:, None]
-
     (_, _, _, _), emitted = jax.lax.scan(
-        step, (cache, kv_valid, first_token, finished0), jnp.arange(max_new_tokens - 1)
+        step, (cache, kv_valid, first_token, finished0),
+        jnp.arange(max_new_tokens - 1),
     )
-    # emitted: [T-1, B] → [B, T-1]
-    gen = jnp.concatenate([first_emit[:, None], emitted.T], axis=1)
-    return gen
+    return jnp.concatenate([first_emit[:, None], emitted.T], axis=1)
+
+
+def greedy_generate(
+    params,
+    model_cfg,
+    input_ids,
+    attention_mask,
+    *,
+    max_new_tokens: int,
+    pad_token_id: int,
+    eos_token_id: int | None = None,
+    pixel_values=None,
+    is_vlm: bool = False,
+    cache_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    compute_dtype=jnp.bfloat16,
+):
+    """Returns generated token ids [B, max_new_tokens] (pad after eos)."""
+    B, S = input_ids.shape
+    Smax = -(-(S + max_new_tokens) // 128) * 128  # lane-aligned cache
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from multimodal_unlearning_tpu.models.llama import INT8_COMPUTE
+
+    return _generate(
+        params, input_ids, attention_mask, pixel_values,
+        model_cfg=model_cfg, is_vlm=is_vlm,
+        attn_impl=attn_impl, compute_dtype=compute_dtype,
+        cache_dtype=cache_dtype, smax=Smax, max_new_tokens=max_new_tokens,
+        pad_token_id=pad_token_id,
+        eos=-1 if eos_token_id is None else eos_token_id,
+        int8_compute=INT8_COMPUTE,
+    )
