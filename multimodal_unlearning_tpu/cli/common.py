@@ -6,7 +6,6 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from multimodal_unlearning_tpu.data import ByteTokenizer, MMProcessor, load_tokenizer
 from multimodal_unlearning_tpu.models import hf_bridge, llama, llava

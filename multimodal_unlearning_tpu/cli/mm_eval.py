@@ -20,7 +20,6 @@ from multimodal_unlearning_tpu.cli import common
 from multimodal_unlearning_tpu.data import DataLoader, ImageCaptioningDataset
 from multimodal_unlearning_tpu.evaluation import evaluator
 from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
-from multimodal_unlearning_tpu.models import llama, llava
 
 
 def get_dataloader(quest_strat, quest_key, cap_key, fold, split, bs, ds_size, collate, seed=0):

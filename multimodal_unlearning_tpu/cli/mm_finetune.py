@@ -9,7 +9,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 
 from multimodal_unlearning_tpu.config import main as config_main, save_config
 from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers

@@ -15,7 +15,7 @@ from multimodal_unlearning_tpu.config import main as config_main, save_config
 from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers
 from multimodal_unlearning_tpu.cli import common
 from multimodal_unlearning_tpu.data import DataLoader, MMMixedForgetDataset
-from multimodal_unlearning_tpu.models import llama, llava, lora as lora_mod
+from multimodal_unlearning_tpu.models import lora as lora_mod
 from multimodal_unlearning_tpu.train import losses as L, optim, trainer
 from multimodal_unlearning_tpu.train.loop import compute_steps, train_loop
 from multimodal_unlearning_tpu.utils.pytree import (

@@ -24,7 +24,6 @@ from multimodal_unlearning_tpu.data.loader import DataLoader
 from multimodal_unlearning_tpu.data.nlp import TextDatasetQA, eval_collator
 from multimodal_unlearning_tpu.evaluation import evaluator
 from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
-from multimodal_unlearning_tpu.models import llama
 from multimodal_unlearning_tpu.train.losses import seq_sum_ce
 
 

@@ -16,7 +16,6 @@ from multimodal_unlearning_tpu.cli import common
 from multimodal_unlearning_tpu.data.loader import DataLoader
 from multimodal_unlearning_tpu.data.nlp import TextForgetDatasetQA, text_collator
 from multimodal_unlearning_tpu.methods import salun
-from multimodal_unlearning_tpu.models import llama, llava
 from multimodal_unlearning_tpu.train.losses import ce_loss
 
 

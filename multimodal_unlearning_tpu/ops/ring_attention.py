@@ -27,13 +27,12 @@ final hop home.  Full custom VJP, so ring attention is trainable end-to-end.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from multimodal_unlearning_tpu.ops.attention import _bwd, _fwd, mha_reference
+from multimodal_unlearning_tpu.ops.attention import _bwd, _fwd
 
 _NEG_INF = -1e30
 _BLOCK_Q = 256

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from multimodal_unlearning_tpu.config import get_model_identifiers
 from multimodal_unlearning_tpu.models import hf_bridge, llama, llava

@@ -133,7 +133,7 @@ def test_qwen2vl_forget_and_generate(tmp_path):
 
     from multimodal_unlearning_tpu.cli import mm_forget
     from multimodal_unlearning_tpu.cli.common import (
-        build_model_config, build_processor, init_or_load_params,
+        build_processor, init_or_load_params,
     )
     from multimodal_unlearning_tpu.config.registry import get_model_identifiers
     from multimodal_unlearning_tpu.evaluation.generate import greedy_generate

@@ -1,7 +1,6 @@
 """Data-layer tests: tokenizer, templates, label masking, dataset policies."""
 
 import numpy as np
-import pytest
 
 from multimodal_unlearning_tpu.data import (
     ByteTokenizer,

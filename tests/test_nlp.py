@@ -4,7 +4,6 @@ grad-projection math."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from multimodal_unlearning_tpu.config import get_model_identifiers
 from multimodal_unlearning_tpu.data import ByteTokenizer

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from multimodal_unlearning_tpu.config import get_model_identifiers
+
 from multimodal_unlearning_tpu.models import llama, lora
 from multimodal_unlearning_tpu.train import optim, trainer
 from multimodal_unlearning_tpu.utils.quantize import (

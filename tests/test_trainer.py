@@ -10,7 +10,7 @@ from multimodal_unlearning_tpu.config import get_model_identifiers
 from multimodal_unlearning_tpu.models import llama, lora
 from multimodal_unlearning_tpu.parallel import MeshSpec, batch_sharding, make_mesh
 from multimodal_unlearning_tpu.train import losses, optim, trainer
-from multimodal_unlearning_tpu.utils.pytree import merge_trees, partition_tree
+
 
 
 def setup_decoder():
