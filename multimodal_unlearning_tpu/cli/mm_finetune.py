@@ -59,6 +59,8 @@ def run(cfg):
         model_cfg, cfg.get("model_path"), seed=cfg.seed, dtype=dtype
     )
     remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
+    # save_attn_ffn measured fastest at the bf16 7B point (BASELINE.md)
+    remat_policy = cfg.get("remat_policy") or None
     attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"
 
     tx = optim.make_optimizer(
@@ -83,7 +85,7 @@ def run(cfg):
                 params, language_model=quantize_tree(params["language_model"])
             ) if common.is_vlm(kind) else quantize_tree(params)
             frozen_arg = params
-        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
+        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=dtype)
         combine = lambda tr, fr: (fr, tr)
     else:
         freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and common.is_vlm(kind)
@@ -94,7 +96,7 @@ def run(cfg):
         else:
             trainable, frozen_arg = params, None
         print_trainable_parameters(trainable, frozen_arg or {})
-        apply_fn = make_apply_fn(kind, mcfg, remat=remat, attn_impl=attn_impl, compute_dtype=dtype)
+        apply_fn = make_apply_fn(kind, mcfg, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=dtype)
 
     step_fn = trainer.make_train_step(
         apply_fn, tx, loss_type="retain_ft",

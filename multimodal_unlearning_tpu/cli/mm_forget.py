@@ -122,6 +122,8 @@ def run(cfg):
     freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and common.is_vlm(kind)
 
     remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
+    # save_attn_ffn measured fastest at the bf16 7B point (BASELINE.md)
+    remat_policy = cfg.get("remat_policy") or None
     attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"
     compute_dtype = dtype
 
@@ -155,7 +157,7 @@ def run(cfg):
                 from multimodal_unlearning_tpu.utils.quantize import enable_int8_bwd
 
                 enable_int8_bwd(True)  # dx backward on the int8 MXU too
-        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
+        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=compute_dtype)
         combine = lambda tr, fr: (fr, tr)
         merged_frozen = params  # flows through the frozen arg, not a closure
     else:
@@ -165,7 +167,7 @@ def run(cfg):
         else:
             trainable, frozen = params, None
         print_trainable_parameters(trainable, frozen or {})
-        apply_fn = make_apply_fn(kind, mcfg, remat=remat, attn_impl=attn_impl, compute_dtype=compute_dtype)
+        apply_fn = make_apply_fn(kind, mcfg, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=compute_dtype)
         merged_frozen = frozen
 
     control_vec = None
