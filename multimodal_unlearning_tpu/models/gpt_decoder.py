@@ -232,7 +232,7 @@ def forward(
     act = _ACTS[cfg.act]
     L = cfg.num_layers
 
-    def block(x, lp, cache_l, lora_l):
+    def block(x, lp, lora_l, cache, layer_id):
         hdim, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
 
         def proj(name, t, bias_name=None):
@@ -242,28 +242,35 @@ def forward(
                 y = y + lp[bias_name].astype(y.dtype)
             return y
 
-        def attention(h_attn):
+        def attention(h_attn, cache):
             q = proj("q_proj", h_attn, "q_bias").reshape(B, S, nh, hdim).transpose(0, 2, 1, 3)
             k = proj("k_proj", h_attn, "k_bias").reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
             v = proj("v_proj", h_attn, "v_bias").reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
             q, k = rope_partial(q), rope_partial(k)
             if use_cache:
-                k_all = jax.lax.dynamic_update_slice(
-                    cache_l["k"], k.astype(cache_l["k"].dtype), (0, 0, cache_offset, 0)
-                )
-                v_all = jax.lax.dynamic_update_slice(
-                    cache_l["v"], v.astype(cache_l["v"].dtype), (0, 0, cache_offset, 0)
-                )
-                new_cache = {"k": k_all, "v": v_all}
+                # in-place update of the stacked cache carry (models/llama.py)
+                cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], k.astype(cache["k"].dtype)[None],
+                        (layer_id, 0, 0, cache_offset, 0),
+                    ),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], v.astype(cache["v"].dtype)[None],
+                        (layer_id, 0, 0, cache_offset, 0),
+                    ),
+                }
+            if decoding:
+                from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
+
+                attn = decode_attention(q, cache["k"], cache["v"], layer_id, kv_mask)
             else:
-                k_all, v_all, new_cache = k, v, None
-            attn = flash_attention(
-                q, k_all.astype(q.dtype), v_all.astype(q.dtype), kv_mask,
-                causal=not decoding,
-                impl="xla" if decoding else attn_impl,
-            )
+                attn = flash_attention(
+                    q, k.astype(q.dtype), v.astype(q.dtype),
+                    kv_mask if kv_mask.shape[1] == S else kv_mask[:, :S],
+                    causal=True, impl=attn_impl,
+                )
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * hdim)
-            return proj("o_proj", attn, "o_bias"), new_cache
+            return proj("o_proj", attn, "o_bias"), cache
 
         def mlp(h_mlp):
             if cfg.gated_mlp:
@@ -278,13 +285,13 @@ def forward(
         if cfg.residual == "parallel":
             h1 = layer_norm(x, lp["ln1"], cfg.layer_norm_eps)
             h2 = layer_norm(x, lp["ln2"], cfg.layer_norm_eps) if cfg.num_layernorms == 2 else h1
-            attn_out, new_cache = attention(h1)
+            attn_out, cache = attention(h1, cache)
             x_out = x + attn_out + mlp(h2)
         else:  # sequential (stablelm)
-            attn_out, new_cache = attention(layer_norm(x, lp["ln1"], cfg.layer_norm_eps))
+            attn_out, cache = attention(layer_norm(x, lp["ln1"], cfg.layer_norm_eps), cache)
             x_mid = x + attn_out
             x_out = x_mid + mlp(layer_norm(x_mid, lp["ln2"], cfg.layer_norm_eps))
-        return x_out, new_cache
+        return x_out, cache
 
     if remat:
         policy = None
@@ -295,22 +302,22 @@ def forward(
         block = jax.checkpoint(block, policy=policy)
 
     layer_ids = jnp.arange(L)
-    cache_scan = kv_cache if use_cache else jnp.zeros((L,))
     lora_scan = lora["layers"] if has_lora else jnp.zeros((L,))
 
     def scan_body(carry, inp):
-        x, captured = carry
-        layer_id, lp, cache_l, lora_l = inp
-        x, new_cache = block(x, lp, cache_l, lora_l)
+        x, captured, cache = carry
+        layer_id, lp, lora_l = inp
+        x, cache = block(x, lp, lora_l, cache, layer_id)
         if capture_layer is not None:
             captured = jnp.where(layer_id == capture_layer, x.astype(jnp.float32), captured)
-        return (x, captured), (new_cache if use_cache else 0)
+        return (x, captured, cache), None
 
     captured0 = (
         jnp.zeros((B, S, H), jnp.float32) if capture_layer is not None else jnp.zeros((), jnp.float32)
     )
-    (x, captured), caches_out = jax.lax.scan(
-        scan_body, (x, captured0), (layer_ids, params["layers"], cache_scan, lora_scan)
+    cache0 = kv_cache if use_cache else jnp.zeros(())
+    (x, captured, caches_out), _ = jax.lax.scan(
+        scan_body, (x, captured0, cache0), (layer_ids, params["layers"], lora_scan)
     )
 
     x = layer_norm(x, params["final_ln"], cfg.layer_norm_eps)

@@ -216,7 +216,7 @@ def forward(
     has_lora = lora is not None and lora.get("layers") is not None
     L = cfg.num_layers
 
-    def block(x, lp, cache_l, lora_l):
+    def block(x, lp, lora_l, cache, layer_id):
         hdim, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
 
         def extras(y, t, name):
@@ -266,28 +266,42 @@ def forward(
         k = apply_rope_bsd(k, cos_p, sin_p)
 
         if use_cache:
-            k_all = jax.lax.dynamic_update_slice(
-                cache_l["k"], k.astype(cache_l["k"].dtype), (0, 0, cache_offset, 0)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                cache_l["v"], v.astype(cache_l["v"].dtype), (0, 0, cache_offset, 0)
-            )
-            new_cache = {"k": k_all, "v": v_all}
-        else:
-            k_all, v_all, new_cache = k, v, None
+            # write this token/chunk into the layer's slab of the FULL
+            # stacked cache (scan carry -> in-place update, no per-layer
+            # slab copies)
+            cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype)[None],
+                    (layer_id, 0, 0, cache_offset, 0),
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype)[None],
+                    (layer_id, 0, 0, cache_offset, 0),
+                ),
+            }
 
-        if attn_impl == "ring" and not use_cache:
+        if decoding:
+            # flash-decode: read layer_id's K/V straight out of the stacked
+            # cache (scalar-prefetch indexing — see ops/decode_attention.py)
+            from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
+
+            attn = decode_attention(q, cache["k"], cache["v"], layer_id, kv_mask)
+        elif attn_impl == "ring" and not use_cache:
             from multimodal_unlearning_tpu.ops.ring_attention import ring_flash_attention
 
             attn = ring_flash_attention(
-                q, k_all.astype(q.dtype), v_all.astype(q.dtype), mesh,
+                q, k.astype(q.dtype), v.astype(q.dtype), mesh,
                 axis="seq", kv_mask=kv_mask, batch_axes=("data", "fsdp"),
             )
         else:
+            # train, or prefill-into-cache at offset 0: the just-computed
+            # local k/v ARE the written prefix, so attend over them with the
+            # mask's first S columns (identical to reading the slab back)
             attn = flash_attention(
-                q, k_all.astype(q.dtype), v_all.astype(q.dtype), kv_mask,
-                causal=not decoding,
-                impl="xla" if decoding or attn_impl == "ring" else attn_impl,
+                q, k.astype(q.dtype), v.astype(q.dtype),
+                kv_mask if kv_mask.shape[1] == S else kv_mask[:, :S],
+                causal=True,
+                impl="xla" if attn_impl == "ring" else attn_impl,
             )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, nh * hdim)
         attn = checkpoint_name(attn, "attn_out")
@@ -305,7 +319,7 @@ def forward(
             ff, lp["down_proj"],
             lora_l.get("down_proj") if has_lora else None, lora_scale,
         )
-        return x, new_cache
+        return x, cache
 
     if remat:
         policy = None
@@ -323,22 +337,25 @@ def forward(
 
     layer_ids = jnp.arange(L)
     # dummy per-layer scan inputs when a feature is off (never touched inside)
-    cache_scan = kv_cache if use_cache else jnp.zeros((L,))
     lora_scan = lora["layers"] if has_lora else jnp.zeros((L,))
 
     def scan_body(carry, inp):
-        x, captured = carry
-        layer_id, lp, cache_l, lora_l = inp
-        x, new_cache = block(x, lp, cache_l, lora_l)
+        # the full stacked cache rides the CARRY: per-layer updates are
+        # in-place on the loop-donated buffer (the old per-layer xs/ys form
+        # re-materialized every layer's [B,Hkv,Smax,D] slab each step)
+        x, captured, cache = carry
+        layer_id, lp, lora_l = inp
+        x, cache = block(x, lp, lora_l, cache, layer_id)
         if capture_layer is not None:
             captured = jnp.where(layer_id == capture_layer, x.astype(jnp.float32), captured)
-        return (x, captured), (new_cache if use_cache else 0)
+        return (x, captured, cache), None
 
     captured0 = (
         jnp.zeros((B, S, H), jnp.float32) if capture_layer is not None else jnp.zeros((), jnp.float32)
     )
-    (x, captured), caches_out = jax.lax.scan(
-        scan_body, (x, captured0), (layer_ids, params["layers"], cache_scan, lora_scan)
+    cache0 = kv_cache if use_cache else jnp.zeros(())
+    (x, captured, caches_out), _ = jax.lax.scan(
+        scan_body, (x, captured0, cache0), (layer_ids, params["layers"], lora_scan)
     )
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

@@ -1,0 +1,117 @@
+"""Flash-decode: single-token attention read directly from the stacked cache.
+
+During greedy decode every layer attends one query token against its slab of
+the [L, B, Hkv, Smax, D] KV cache.  Slicing that slab out with
+``dynamic_slice`` (what the XLA fallback has to do) materializes a
+[B, Hkv, Smax, D] copy per layer — on the HBM-bandwidth-bound decode path
+that triples cache traffic (read for the copy + write + read by attention;
+measured ~13.5 ms/step of pure cache overhead at Smax≈900 on a v5e for
+LLaVA-7B).  This kernel instead indexes the full stacked cache with a
+scalar-prefetched layer id (the TPU DMA engine addresses layer ``l``'s
+blocks directly), reading each K/V byte exactly once.
+
+One grid step per (batch row, kv head): the whole [Smax, D] K and V panels
+fit VMEM comfortably (Smax 8192 × D 128 bf16 = 2 MB each), so the softmax
+runs single-pass — no online rescaling needed.  GQA maps the Hq/Hkv query
+head group into the matmul M dimension.
+
+Replaces: HF eager/cuda attention under ``model.generate`` (reference
+mm/eval.py:126-133); the XLA path remains as the CPU fallback.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; absent on some CPU-only installs
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+_NEG_INF = -1e30
+
+
+def _kernel(l_ref, q_ref, k_ref, v_ref, valid_ref, o_ref):
+    del l_ref  # consumed by the index maps
+    q = q_ref[0, 0]  # [Gp, D], pre-scaled by sm_scale (Gp = G padded to 8)
+    k = k_ref[0, 0, 0]  # [Smax, D]
+    v = v_ref[0, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Gp, Smax]
+    valid = valid_ref[0, 0] > 0  # [Smax]
+    s = jnp.where(valid[None, :], s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Gp, D]
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+
+
+def decode_attention(
+    q, k_cache, v_cache, layer, kv_valid,
+    *, sm_scale: float | None = None, impl: str = "auto", interpret: bool = False,
+):
+    """One-token attention against layer ``layer`` of the stacked KV cache.
+
+    Args:
+      q: [B, Hq, 1, D] query (RoPE already applied).
+      k_cache, v_cache: [L, B, Hkv, Smax, D] stacked cache (current token
+        already written).
+      layer: scalar int — which layer's slab to attend against.
+      kv_valid: [B, Smax] validity mask (1 = attend).
+    Returns [B, Hq, 1, D] in q's dtype.
+    """
+    B, Hq, S1, D = q.shape
+    L, _, Hkv, Smax, _ = k_cache.shape
+    assert S1 == 1, "decode_attention is single-token"
+    G = Hq // Hkv
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if impl == "xla":
+        from multimodal_unlearning_tpu.ops.attention import mha_reference
+
+        k = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        return mha_reference(
+            q, k.astype(q.dtype), v.astype(q.dtype), kv_valid,
+            causal=False, sm_scale=sm_scale,
+        )
+
+    # [B, Hq, D] -> [B, Hkv, Gp, D]: GQA group into the sublane (matmul M)
+    # dimension, zero-padded to the 8-sublane minimum for G < 8 (the pad
+    # rows cost nothing — decode is bound by the K/V stream, not the MXU)
+    Gp = -(-G // 8) * 8
+    qs = (q[:, :, 0, :].astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qs = qs.reshape(B, Hkv, G, D)
+    if Gp != G:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l: (l[0], b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l: (l[0], b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Smax), lambda b, h, l: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(layer, qs, k_cache, v_cache, kv_valid.astype(jnp.int32)[:, None, :])
+    return out[:, :, :G].reshape(B, Hq, 1, D)

@@ -106,3 +106,27 @@ def test_fully_masked_rows_no_nan(rng):
 
     g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v, kv_mask, impl="interpret")))(q)
     assert not np.isnan(np.asarray(g)).any()
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_decode_attention_matches_reference(rng, group):
+    """Flash-decode kernel (scalar-prefetched layer index into the stacked
+    cache) vs the XLA dynamic-slice + mha_reference fallback."""
+    from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
+
+    L, B, Hkv, Smax, D = 3, 2, 2, 256, 32
+    Hq = Hkv * group
+    k_cache = jnp.asarray(rng.normal(size=(L, B, Hkv, Smax, D)), jnp.float32)
+    v_cache = jnp.asarray(rng.normal(size=(L, B, Hkv, Smax, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, 1, D)), jnp.float32)
+    valid = np.zeros((B, Smax), np.int32)
+    valid[0, 10:100] = 1
+    valid[1, :77] = 1
+    valid = jnp.asarray(valid)
+
+    for layer in (0, 2):
+        out_k = decode_attention(q, k_cache, v_cache, layer, valid, impl="pallas", interpret=True)
+        out_r = decode_attention(q, k_cache, v_cache, layer, valid, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_r), atol=2e-5, rtol=2e-5
+        )
