@@ -27,7 +27,7 @@ import numpy as np
 def main():
     args = sys.argv[1:]
     family = args.pop(0) if args and not args[0].startswith(("bf", "int", "w8")) else "llava"
-    variants = args or ["bf16", "int8", "w8a8"]
+    variants = args or ["bf16", "int8", "w8a8", "w8a8c"]
 
     from multimodal_unlearning_tpu.cli.common import build_model_config
     from multimodal_unlearning_tpu.config import get_model_identifiers
@@ -79,17 +79,18 @@ def main():
 
     quantized = False
     for name in variants:
-        if name in ("int8", "w8a8") and not quantized:
+        if name in ("int8", "w8a8", "w8a8c") and not quantized:
             quantize_inplace(params["language_model"])
             quantized = True
-        enable_int8_compute(name == "w8a8")
+        enable_int8_compute(name in ("w8a8", "w8a8c"))
+        cache_dtype = jnp.int8 if name == "w8a8c" else dtype
 
         def gen():
             return greedy_generate(
                 params, mcfg, input_ids, attention_mask,
                 max_new_tokens=NEW, pad_token_id=0, eos_token_id=None,
                 pixel_values=pixel_values, is_vlm=True,
-                cache_dtype=dtype, compute_dtype=dtype,
+                cache_dtype=cache_dtype, compute_dtype=dtype,
             )
 
         try:

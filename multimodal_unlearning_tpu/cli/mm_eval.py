@@ -103,6 +103,8 @@ def run(cfg):
         }
 
     tok = processor.tokenizer
+    # int8 KV cache: halves the decode stream (models/llama.py init_kv_cache)
+    cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
 
     def generate_fn(batch, max_new_tokens):
         gen = greedy_generate(
@@ -112,7 +114,7 @@ def run(cfg):
             pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
             pixel_values=None if batch.get("pixel_values") is None else jnp.asarray(batch["pixel_values"]),
             is_vlm=vlm,
-            cache_dtype=dtype, compute_dtype=dtype,
+            cache_dtype=cache_dtype, compute_dtype=dtype,
         )
         return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)]
 

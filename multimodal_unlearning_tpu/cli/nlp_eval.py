@@ -70,6 +70,7 @@ def run(cfg):
         return {"logits": model_logits(jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]))}
 
     end_tag = tags["question_end_tag"].strip() or "Answer:"
+    cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
 
     aggregated = {}
     zipped = zip(
@@ -122,7 +123,7 @@ def run(cfg):
                 params, mcfg, jnp.asarray(ids), jnp.asarray(mask),
                 max_new_tokens=cfg.generation.max_new_tokens,
                 pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
-                cache_dtype=dtype, compute_dtype=dtype,
+                cache_dtype=cache_dtype, compute_dtype=dtype,
             )
             gen_texts = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)]
 

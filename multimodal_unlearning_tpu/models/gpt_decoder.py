@@ -169,8 +169,10 @@ _ACTS = {
 
 
 def init_kv_cache(cfg: GptConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    """KV cache pytree; ``dtype=jnp.int8`` = quantized (models/llama.py)."""
+    from multimodal_unlearning_tpu.models import llama
+
+    return llama.init_kv_cache(cfg, batch, max_len, dtype=dtype)
 
 
 def positions_from_mask(attention_mask):
@@ -249,20 +251,13 @@ def forward(
             q, k = rope_partial(q), rope_partial(k)
             if use_cache:
                 # in-place update of the stacked cache carry (models/llama.py)
-                cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], k.astype(cache["k"].dtype)[None],
-                        (layer_id, 0, 0, cache_offset, 0),
-                    ),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], v.astype(cache["v"].dtype)[None],
-                        (layer_id, 0, 0, cache_offset, 0),
-                    ),
-                }
+                from multimodal_unlearning_tpu.models.llama import _cache_write
+
+                cache = _cache_write(cache, k, v, layer_id, cache_offset)
             if decoding:
                 from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
 
-                attn = decode_attention(q, cache["k"], cache["v"], layer_id, kv_mask)
+                attn = decode_attention(q, cache, layer_id, kv_mask)
             else:
                 attn = flash_attention(
                     q, k.astype(q.dtype), v.astype(q.dtype),

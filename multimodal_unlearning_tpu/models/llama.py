@@ -142,8 +142,42 @@ def dense(x, w, lora_leaf=None, lora_scale: float = 0.0):
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """KV cache pytree.  ``dtype=jnp.int8`` stores K/V quantized per
+    (layer, batch, head, position) with f32 scales shaped [L,B,H,1,S] —
+    the explicit 1 keeps the scale rows legal as (1, S) Mosaic blocks.
+    Halves the decode HBM stream; exact-rescale math in the decode kernel
+    (scales factor out of both dot products)."""
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if dtype == jnp.int8:
+        sshape = shape[:3] + (1, max_len)
+        cache["k_s"] = jnp.zeros(sshape, jnp.float32)
+        cache["v_s"] = jnp.zeros(sshape, jnp.float32)
+    return cache
+
+
+def _cache_write(cache, k, v, layer_id, offset):
+    """Write [B,H,S,D] k/v into the stacked cache carry at (layer, offset),
+    quantizing on the fly when the cache is int8."""
+    if cache["k"].dtype == jnp.int8:
+        k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        k_q = jnp.round(k.astype(jnp.float32) / jnp.maximum(k_s, 1e-12)).astype(jnp.int8)
+        v_q = jnp.round(v.astype(jnp.float32) / jnp.maximum(v_s, 1e-12)).astype(jnp.int8)
+        return {
+            "k": jax.lax.dynamic_update_slice(cache["k"], k_q[None], (layer_id, 0, 0, offset, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], v_q[None], (layer_id, 0, 0, offset, 0)),
+            "k_s": jax.lax.dynamic_update_slice(
+                cache["k_s"], k_s.transpose(0, 1, 3, 2)[None], (layer_id, 0, 0, 0, offset)),
+            "v_s": jax.lax.dynamic_update_slice(
+                cache["v_s"], v_s.transpose(0, 1, 3, 2)[None], (layer_id, 0, 0, 0, offset)),
+        }
+    return {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype)[None], (layer_id, 0, 0, offset, 0)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype)[None], (layer_id, 0, 0, offset, 0)),
+    }
 
 
 def positions_from_mask(attention_mask):
@@ -268,24 +302,15 @@ def forward(
         if use_cache:
             # write this token/chunk into the layer's slab of the FULL
             # stacked cache (scan carry -> in-place update, no per-layer
-            # slab copies)
-            cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], k.astype(cache["k"].dtype)[None],
-                    (layer_id, 0, 0, cache_offset, 0),
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], v.astype(cache["v"].dtype)[None],
-                    (layer_id, 0, 0, cache_offset, 0),
-                ),
-            }
+            # slab copies); int8 caches quantize at write
+            cache = _cache_write(cache, k, v, layer_id, cache_offset)
 
         if decoding:
             # flash-decode: read layer_id's K/V straight out of the stacked
             # cache (scalar-prefetch indexing — see ops/decode_attention.py)
             from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
 
-            attn = decode_attention(q, cache["k"], cache["v"], layer_id, kv_mask)
+            attn = decode_attention(q, cache, layer_id, kv_mask)
         elif attn_impl == "ring" and not use_cache:
             from multimodal_unlearning_tpu.ops.ring_attention import ring_flash_attention
 

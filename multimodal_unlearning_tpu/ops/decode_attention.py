@@ -13,15 +13,19 @@ blocks directly), reading each K/V byte exactly once.
 One grid step per (batch row, kv head): the whole [Smax, D] K and V panels
 fit VMEM comfortably (Smax 8192 × D 128 bf16 = 2 MB each), so the softmax
 runs single-pass — no online rescaling needed.  GQA maps the Hq/Hkv query
-head group into the matmul M dimension.
+head group into the matmul M dimension (padded to the 8-sublane minimum).
+
+int8 caches (models/llama.py init_kv_cache(dtype=jnp.int8)) halve the
+stream again.  The per-position scales factor out of BOTH dot products
+exactly — scores = (q·K_int^T) ⊙ k_s and out = (p ⊙ v_s)·V_int — so the
+kernel never materializes dequantized panels and the math is bit-identical
+to dequantize-then-attend.
 
 Replaces: HF eager/cuda attention under ``model.generate`` (reference
 mm/eval.py:126-133); the XLA path remains as the CPU fallback.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -55,20 +59,52 @@ def _kernel(l_ref, q_ref, k_ref, v_ref, valid_ref, o_ref):
     o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
 
 
+def _kernel_q8(l_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, valid_ref, o_ref):
+    del l_ref
+    q = q_ref[0, 0]  # [Gp, D] bf16
+    # int8 -> bf16 is exact (|int8| < 2^8 fits the bf16 mantissa); the
+    # per-position scales are applied OUTSIDE the dots, also exactly
+    k = k_ref[0, 0, 0].astype(q.dtype)  # [Smax, D]
+    v = v_ref[0, 0, 0].astype(q.dtype)
+    k_s = ks_ref[0, 0, 0, 0]  # [Smax] f32
+    v_s = vs_ref[0, 0, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * k_s[None, :]
+    valid = valid_ref[0, 0] > 0
+    s = jnp.where(valid[None, :], s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    pv = (p * v_s[None, :]).astype(v.dtype)
+    o = jax.lax.dot_general(
+        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+
+
+def _dequant(x_int, s):
+    # x_int: [..., Smax, D]; s: [..., 1, Smax] -> broadcast per position
+    return x_int.astype(jnp.float32) * s.swapaxes(-1, -2)
+
+
 def decode_attention(
-    q, k_cache, v_cache, layer, kv_valid,
+    q, cache, layer, kv_valid,
     *, sm_scale: float | None = None, impl: str = "auto", interpret: bool = False,
 ):
     """One-token attention against layer ``layer`` of the stacked KV cache.
 
     Args:
       q: [B, Hq, 1, D] query (RoPE already applied).
-      k_cache, v_cache: [L, B, Hkv, Smax, D] stacked cache (current token
-        already written).
+      cache: {"k","v"[, "k_s","v_s"]} — [L,B,Hkv,Smax,D] stacked cache
+        (current token already written); int8 variant carries f32 scales
+        shaped [L,B,Hkv,1,Smax].
       layer: scalar int — which layer's slab to attend against.
       kv_valid: [B, Smax] validity mask (1 = attend).
     Returns [B, Hq, 1, D] in q's dtype.
     """
+    k_cache, v_cache = cache["k"], cache["v"]
+    quantized = k_cache.dtype == jnp.int8
     B, Hq, S1, D = q.shape
     L, _, Hkv, Smax, _ = k_cache.shape
     assert S1 == 1, "decode_attention is single-token"
@@ -81,8 +117,12 @@ def decode_attention(
     if impl == "xla":
         from multimodal_unlearning_tpu.ops.attention import mha_reference
 
-        k = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-        v = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+        idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+        if quantized:
+            k = _dequant(idx(k_cache), idx(cache["k_s"]))
+            v = _dequant(idx(v_cache), idx(cache["v_s"]))
+        else:
+            k, v = idx(k_cache), idx(v_cache)
         return mha_reference(
             q, k.astype(q.dtype), v.astype(q.dtype), kv_valid,
             causal=False, sm_scale=sm_scale,
@@ -97,21 +137,32 @@ def decode_attention(
     if Gp != G:
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+
+    kv_spec = pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l: (l[0], b, h, 0, 0))
+    scale_spec = pl.BlockSpec((1, 1, 1, 1, Smax), lambda b, h, l: (l[0], b, h, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
+        kv_spec, kv_spec,
+    ]
+    operands = [qs, k_cache, v_cache]
+    kernel = _kernel
+    if quantized:
+        in_specs += [scale_spec, scale_spec]
+        operands += [cache["k_s"], cache["v_s"]]
+        kernel = _kernel_q8
+    in_specs.append(pl.BlockSpec((1, 1, Smax), lambda b, h, l: (b, 0, 0)))
+    operands.append(kv_valid.astype(jnp.int32)[:, None, :])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l: (l[0], b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l: (l[0], b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Smax), lambda b, h, l: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
     )
     out = pl.pallas_call(
-        _kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(layer, qs, k_cache, v_cache, kv_valid.astype(jnp.int32)[:, None, :])
+    )(layer, *operands)
     return out[:, :, :G].reshape(B, Hq, 1, D)

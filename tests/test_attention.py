@@ -116,8 +116,10 @@ def test_decode_attention_matches_reference(rng, group):
 
     L, B, Hkv, Smax, D = 3, 2, 2, 256, 32
     Hq = Hkv * group
-    k_cache = jnp.asarray(rng.normal(size=(L, B, Hkv, Smax, D)), jnp.float32)
-    v_cache = jnp.asarray(rng.normal(size=(L, B, Hkv, Smax, D)), jnp.float32)
+    cache = {
+        "k": jnp.asarray(rng.normal(size=(L, B, Hkv, Smax, D)), jnp.float32),
+        "v": jnp.asarray(rng.normal(size=(L, B, Hkv, Smax, D)), jnp.float32),
+    }
     q = jnp.asarray(rng.normal(size=(B, Hq, 1, D)), jnp.float32)
     valid = np.zeros((B, Smax), np.int32)
     valid[0, 10:100] = 1
@@ -125,8 +127,37 @@ def test_decode_attention_matches_reference(rng, group):
     valid = jnp.asarray(valid)
 
     for layer in (0, 2):
-        out_k = decode_attention(q, k_cache, v_cache, layer, valid, impl="pallas", interpret=True)
-        out_r = decode_attention(q, k_cache, v_cache, layer, valid, impl="xla")
+        out_k = decode_attention(q, cache, layer, valid, impl="pallas", interpret=True)
+        out_r = decode_attention(q, cache, layer, valid, impl="xla")
         np.testing.assert_allclose(
             np.asarray(out_k), np.asarray(out_r), atol=2e-5, rtol=2e-5
         )
+
+
+def test_decode_attention_int8_cache(rng):
+    """int8-cache kernel: scale-factored math must match dequantize-then-
+    attend exactly (XLA fallback), and track the unquantized result."""
+    from multimodal_unlearning_tpu.models import llama
+    from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
+
+    L, B, Hkv, Smax, D = 2, 2, 2, 256, 32
+    k = jnp.asarray(rng.normal(size=(B, Hkv, Smax, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, Smax, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, Hkv, 1, D)), jnp.float32)
+    valid = np.zeros((B, Smax), np.int32)
+    valid[:, :100] = 1
+    valid = jnp.asarray(valid)
+
+    class _Cfg:
+        num_layers, num_kv_heads, head_dim = L, Hkv, D
+
+    cache8 = llama.init_kv_cache(_Cfg, B, Smax, dtype=jnp.int8)
+    cache8 = llama._cache_write(cache8, k, v, 1, 0)
+    cachef = {"k": jnp.stack([jnp.zeros_like(k), k]), "v": jnp.stack([jnp.zeros_like(v), v])}
+
+    out_k8 = decode_attention(q, cache8, 1, valid, impl="pallas", interpret=True)
+    out_r8 = decode_attention(q, cache8, 1, valid, impl="xla")
+    out_f = decode_attention(q, cachef, 1, valid, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_k8), np.asarray(out_r8), atol=3e-5, rtol=3e-5)
+    # int8 quantization noise vs the full-precision result
+    np.testing.assert_allclose(np.asarray(out_k8), np.asarray(out_f), atol=2e-2, rtol=2e-2)
