@@ -44,6 +44,7 @@ def main():
     NEW = int(os.environ.get("DECODE_NEW", "300"))
     n_img = mcfg.num_image_tokens
     S = max(704, -(-(n_img + 128) // 128) * 128)  # image tokens + question
+    S = int(os.environ.get("DECODE_PROMPT", S))  # long-context override
     img = mcfg.vision.image_size
 
     kind = model_cfg["arch"]["kind"]

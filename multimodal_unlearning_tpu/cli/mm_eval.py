@@ -33,6 +33,16 @@ def get_dataloader(quest_strat, quest_key, cap_key, fold, split, bs, ds_size, co
 
 
 def run(cfg):
+    try:
+        return _run(cfg)
+    finally:
+        # int8_compute is a module-global trace-time switch: reset after use
+        from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+
+        enable_int8_compute(False)
+
+
+def _run(cfg):
     lists = [
         cfg.data_path, cfg.split_list, cfg.eval_task, cfg.question_key,
         cfg.answer_key, cfg.base_answer_key, cfg.perturbed_answer_key,

@@ -61,6 +61,19 @@ def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, remat_policy=None, 
 
 
 def run(cfg):
+    try:
+        return _run(cfg)
+    finally:
+        # int8 flags are module-global trace-time switches: never leak them
+        # into a subsequent in-process run (tests, orchestrator workers)
+        from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+        from multimodal_unlearning_tpu.utils.quantize import enable_int8_bwd
+
+        enable_int8_compute(False)
+        enable_int8_bwd(False)
+
+
+def _run(cfg):
     common.maybe_init_distributed()
     model_cfg = get_model_identifiers(cfg.model_family)
     mesh = common.build_mesh(cfg)

@@ -28,6 +28,16 @@ from multimodal_unlearning_tpu.train.losses import seq_sum_ce
 
 
 def run(cfg):
+    try:
+        return _run(cfg)
+    finally:
+        # int8_compute is a module-global trace-time switch: reset after use
+        from multimodal_unlearning_tpu.models.llama import enable_int8_compute
+
+        enable_int8_compute(False)
+
+
+def _run(cfg):
     common.maybe_init_distributed()
     model_cfg = get_model_identifiers(cfg.model_family)
     dtype = common.dtype_of(cfg)

@@ -84,7 +84,9 @@ def _generate(params, input_ids, attention_mask, pixel_values,
     )
     if is_vlm:
         kw["pixel_values"] = pixel_values
-    out = fwd(input_ids, **kw)
+    # last_logit_only: prefill never needs the full [B,S,V] head output
+    # (1.9 GB at B8 S3712 V32k) — only the final position seeds decode
+    out = fwd(input_ids, last_logit_only=True, **kw)
     cache = out["kv_cache"]
     # Qwen2-VL M-RoPE: decode positions continue from max prompt position
     rope_delta = out.get("rope_delta")

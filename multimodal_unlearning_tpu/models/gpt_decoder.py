@@ -200,6 +200,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     logits_dtype=jnp.float32,
     return_hidden: bool = False,
+    last_logit_only: bool = False,
 ):
     """Decoder forward; same modes/contract as models/llama.py:forward."""
     if inputs_embeds is None:
@@ -317,7 +318,8 @@ def forward(
 
     x = layer_norm(x, params["final_ln"], cfg.layer_norm_eps)
     lm_lora = lora.get("lm_head") if lora is not None else None
-    logits = dense(x, params["lm_head"], lm_lora, lora_scale)
+    xh = x[:, -1:] if last_logit_only else x  # see models/llama.py
+    logits = dense(xh, params["lm_head"], lm_lora, lora_scale)
     if "lm_head_bias" in params:
         logits = logits + params["lm_head_bias"].astype(logits.dtype)
     logits = logits.astype(logits_dtype)

@@ -101,6 +101,7 @@ def forward(
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
     logits_dtype=jnp.float32,
+    last_logit_only: bool = False,
 ):
     """VLM forward. ``input_ids`` already contain expanded image tokens."""
     lm = params["language_model"]
@@ -138,5 +139,6 @@ def forward(
         attn_impl=attn_impl,
         compute_dtype=compute_dtype,
         logits_dtype=logits_dtype,
+        last_logit_only=last_logit_only,
     )
     return out

@@ -284,6 +284,7 @@ def forward(
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
     logits_dtype=jnp.float32,
+    last_logit_only: bool = False,
 ):
     """VLM forward.  ``input_ids`` contain the expanded image-token span;
     ``pixel_values`` are pre-patchified [B, N, patch_dim] (flatten order of
@@ -339,6 +340,7 @@ def forward(
         attn_impl=attn_impl,
         compute_dtype=compute_dtype,
         logits_dtype=logits_dtype,
+        last_logit_only=last_logit_only,
     )
     if out_delta is not None:
         out["rope_delta"] = out_delta
