@@ -258,7 +258,10 @@ def forward(
             if decoding:
                 from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
 
-                attn = decode_attention(q, cache, layer_id, kv_mask)
+                attn = decode_attention(
+                    q, cache, layer_id, kv_mask,
+                    impl="xla" if attn_impl == "xla" else "auto",
+                )
             else:
                 attn = flash_attention(
                     q, k.astype(q.dtype), v.astype(q.dtype),

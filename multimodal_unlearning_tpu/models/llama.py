@@ -311,7 +311,10 @@ def forward(
             # cache (scalar-prefetch indexing — see ops/decode_attention.py)
             from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
 
-            attn = decode_attention(q, cache, layer_id, kv_mask)
+            attn = decode_attention(
+                q, cache, layer_id, kv_mask,
+                impl="xla" if attn_impl == "xla" else "auto",
+            )
         elif attn_impl == "ring" and not use_cache:
             from multimodal_unlearning_tpu.ops.ring_attention import ring_flash_attention
 

@@ -23,6 +23,12 @@ to dequantize-then-attend.
 
 Replaces: HF eager/cuda attention under ``model.generate`` (reference
 mm/eval.py:126-133); the XLA path remains as the CPU fallback.
+
+Multi-chip note: under GSPMD with a head-sharded cache (tensor-parallel
+eval) use ``impl="xla"`` — a pallas_call has no partitioning rule, so GSPMD
+would all-gather its operands; the XLA path partitions cleanly along the
+head axis.  Single-chip eval (the reference's operating mode) takes the
+kernel automatically.
 """
 
 from __future__ import annotations
