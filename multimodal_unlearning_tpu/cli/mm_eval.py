@@ -101,16 +101,30 @@ def _run(cfg):
             kw["pixel_values"] = pixel_values
         return fwd(params, mcfg, input_ids, **kw)["logits"]
 
+    small_bs_pad = max(cfg.batch_size // 4, 1)
+
+    def _pad_rows(a, to):
+        # tail batches are padded (last row repeated) up to the loader's
+        # batch size: a short tail otherwise recompiles EVERY program for
+        # the one-off [B_tail, ...] shape (minutes through the AOT helper)
+        if a is None or len(a) == to:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], to - len(a), axis=0)])
+
+    def _target(B):
+        return small_bs_pad if B <= small_bs_pad else cfg.batch_size
+
     def apply_fn(batch):
         pix = batch.get("pixel_values")
-        return {
-            "logits": model_logits(
-                params,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["attention_mask"]),
-                None if pix is None else jnp.asarray(pix),
-            )
-        }
+        B = len(batch["input_ids"])
+        to = _target(B)
+        logits = model_logits(
+            params,
+            jnp.asarray(_pad_rows(np.asarray(batch["input_ids"]), to)),
+            jnp.asarray(_pad_rows(np.asarray(batch["attention_mask"]), to)),
+            None if pix is None else jnp.asarray(_pad_rows(np.asarray(pix), to)),
+        )
+        return {"logits": logits[:B]}
 
     tok = processor.tokenizer
     # int8 KV cache: halves the decode stream (models/llama.py init_kv_cache)
@@ -120,16 +134,20 @@ def _run(cfg):
     gen_attn_impl = "xla" if mesh.shape["tensor"] > 1 else "auto"
 
     def generate_fn(batch, max_new_tokens):
+        pix = batch.get("pixel_values")
+        B = len(batch["input_ids"])
+        to = _target(B)
         gen = greedy_generate(
             params, mcfg,
-            jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(_pad_rows(np.asarray(batch["input_ids"]), to)),
+            jnp.asarray(_pad_rows(np.asarray(batch["attention_mask"]), to)),
             max_new_tokens=max_new_tokens,
             pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
-            pixel_values=None if batch.get("pixel_values") is None else jnp.asarray(batch["pixel_values"]),
+            pixel_values=None if pix is None else jnp.asarray(_pad_rows(np.asarray(pix), to)),
             is_vlm=vlm, attn_impl=gen_attn_impl,
             cache_dtype=cache_dtype, compute_dtype=dtype,
         )
-        return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)]
+        return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B]]
 
     aggregated = {}
     zipped = zip(

@@ -76,8 +76,26 @@ def _run(cfg):
             params, mcfg, input_ids, attention_mask=attention_mask, compute_dtype=dtype
         )["logits"]
 
+    small_bs_pad = max(cfg.batch_size // 4, 1)
+
+    def _pad_rows(a, to):
+        # pad tail batches to the loader batch size: a one-off [B_tail,...]
+        # shape recompiles every program (see cli/mm_eval.py)
+        if len(a) == to:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], to - len(a), axis=0)])
+
+    def _target(B):
+        return small_bs_pad if B <= small_bs_pad else cfg.batch_size
+
     def apply_fn(batch):
-        return {"logits": model_logits(jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]))}
+        B = len(batch["input_ids"])
+        to = _target(B)
+        logits = model_logits(
+            jnp.asarray(_pad_rows(np.asarray(batch["input_ids"]), to)),
+            jnp.asarray(_pad_rows(np.asarray(batch["attention_mask"]), to)),
+        )
+        return {"logits": logits[:B]}
 
     end_tag = tags["question_end_tag"].strip() or "Answer:"
     cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
@@ -130,6 +148,9 @@ def _run(cfg):
 
             q_enc = [tok.encode(q, add_special_tokens=True) for q in q_texts]
             ids, mask = pad_prompts(q_enc, tok.pad_token_id)
+            B_gen = len(ids)
+            ids = _pad_rows(ids, _target(B_gen))
+            mask = _pad_rows(mask, _target(B_gen))
             gen = greedy_generate(
                 params, mcfg, jnp.asarray(ids), jnp.asarray(mask),
                 max_new_tokens=cfg.generation.max_new_tokens,
@@ -137,7 +158,7 @@ def _run(cfg):
                 cache_dtype=cache_dtype, compute_dtype=dtype,
                 attn_impl=gen_attn_impl,
             )
-            gen_texts = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)]
+            gen_texts = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B_gen]]
 
             gen_answers.extend(gen_texts)
             true_ans.extend(answers)

@@ -67,8 +67,9 @@ def test_mm_eval_single_task(ft_dir, tmp_path):
         "mm", "eval",
         model_family="tiny-llava-test", model_path=str(ft_dir),
         processor_path=None, save_dir=str(tmp_path / "eval"),
-        ds_size=4, batch_size=4, max_length=256, dtype="float32",
-        eval_task_ids=[2],  # eval_log_forget only
+        ds_size=4, batch_size=3, max_length=256, dtype="float32",
+        eval_task_ids=[2],  # eval_log_forget only; 4 rows / bs 3 -> a padded
+        # tail batch (rows repeated, outputs sliced) is exercised
     )
     dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
     dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
@@ -78,6 +79,7 @@ def test_mm_eval_single_task(ft_dir, tmp_path):
         "avg_gt_loss", "avg_paraphrased_loss", "average_perturb_loss",
         "truth_ratio", "rougeL_recall", "generated_text",
     }
+    assert len(logs["avg_gt_loss"]) == 4  # tail rows present exactly once
     path = tmp_path / "eval" / "eval_log_aggregated.json"
     json.loads(path.read_text())
 
