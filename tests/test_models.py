@@ -186,3 +186,29 @@ def test_resnet_adms():
     logits = resnet.adms_logits(head, emb)
     assert logits.shape == (4, 10)
     assert np.abs(np.asarray(logits)).max() <= 1.0 + 1e-5
+
+
+def test_gpt_decoder_generate_int8_cache():
+    """pythia/phi-family decode through the shared stacked-cache write +
+    flash-decode fallback, bf16 vs int8 KV cache (models/llama._cache_write):
+    greedy tokens must agree on a random tiny model."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+    from multimodal_unlearning_tpu.models import gpt_decoder
+
+    cfg = gpt_decoder.GptConfig.from_registry(dict(
+        decoder="neox", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, rotary_pct=0.25,
+    ))
+    params = gpt_decoder.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 128)), jnp.int32)
+    mask = jnp.ones((2, 128), jnp.int32)
+    kw = dict(max_new_tokens=6, pad_token_id=0, eos_token_id=None,
+              compute_dtype=jnp.float32)
+    g_f = greedy_generate(params, cfg, ids, mask, cache_dtype=jnp.float32, **kw)
+    g_8 = greedy_generate(params, cfg, ids, mask, cache_dtype=jnp.int8, **kw)
+    assert g_f.shape == (2, 6)
+    np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_8))
