@@ -214,6 +214,34 @@ def num_data_devices(mesh) -> int:
     return mesh.shape["data"] * mesh.shape["fsdp"]
 
 
+def make_tail_padder(batch_size: int):
+    """Tail-batch padding shared by the eval CLIs.
+
+    A short tail batch would recompile EVERY jitted program for the one-off
+    [B_tail, ...] shape (minutes through the AOT helper), so tails are padded
+    (last row repeated) up to the loader batch size — or to the perturb batch
+    size ``batch_size // 4`` when the tail is at least that small.  Callers
+    slice outputs back to the true row count.
+
+    Returns ``(pad_rows, target)`` where ``pad_rows(a, to)`` pads array ``a``
+    (None passes through) and ``target(B)`` picks the padded size for a
+    tail of ``B`` rows.
+    """
+    import numpy as np
+
+    small = max(batch_size // 4, 1)
+
+    def pad_rows(a, to):
+        if a is None or len(a) == to:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], to - len(a), axis=0)])
+
+    def target(B):
+        return small if B <= small else batch_size
+
+    return pad_rows, target
+
+
 def _has_qtensor(tree) -> bool:
     if isinstance(tree, dict):
         if set(tree.keys()) == {"q", "s"}:

@@ -33,13 +33,15 @@ def get_dataloader(quest_strat, quest_key, cap_key, fold, split, bs, ds_size, co
 
 
 def run(cfg):
+    # int8_compute is a module-global trace-time switch: restore the caller's
+    # value after use (an in-process orchestrator may have enabled it globally)
+    from multimodal_unlearning_tpu.models import llama
+
+    prev = llama.INT8_COMPUTE
     try:
         return _run(cfg)
     finally:
-        # int8_compute is a module-global trace-time switch: reset after use
-        from multimodal_unlearning_tpu.models.llama import enable_int8_compute
-
-        enable_int8_compute(False)
+        llama.enable_int8_compute(prev)
 
 
 def _run(cfg):
@@ -101,18 +103,7 @@ def _run(cfg):
             kw["pixel_values"] = pixel_values
         return fwd(params, mcfg, input_ids, **kw)["logits"]
 
-    small_bs_pad = max(cfg.batch_size // 4, 1)
-
-    def _pad_rows(a, to):
-        # tail batches are padded (last row repeated) up to the loader's
-        # batch size: a short tail otherwise recompiles EVERY program for
-        # the one-off [B_tail, ...] shape (minutes through the AOT helper)
-        if a is None or len(a) == to:
-            return a
-        return np.concatenate([a, np.repeat(a[-1:], to - len(a), axis=0)])
-
-    def _target(B):
-        return small_bs_pad if B <= small_bs_pad else cfg.batch_size
+    _pad_rows, _target = common.make_tail_padder(cfg.batch_size)
 
     def apply_fn(batch):
         pix = batch.get("pixel_values")

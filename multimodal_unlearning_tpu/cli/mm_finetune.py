@@ -73,9 +73,12 @@ def run(cfg):
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
     combine = None
     if use_lora:
-        lm = params["language_model"] if common.is_vlm(kind) else params
-        adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
-        adapters = {"language_model": adapters} if common.is_vlm(kind) else adapters
+        # projector adapters default ON (reference adapts every linear except
+        # lm_head, incl. multi_modal_projector: utils.py:10-19); LoRA.projector=false opts out
+        adapters = lora_mod.init_model_lora(
+            params, cfg.LoRA.r, jax.random.PRNGKey(cfg.seed),
+            projector=bool(cfg.LoRA.get("projector", True)),
+        )
         trainable, frozen_arg = adapters, params
         print_trainable_parameters(trainable, params)
         if cfg.get("quantize_base"):
@@ -125,10 +128,7 @@ def run(cfg):
 
     if use_lora:
         frozen_arg = None  # params kept on host for the merge below
-        adapters = state.trainable["language_model"] if common.is_vlm(kind) else state.trainable
-        lm = params["language_model"] if common.is_vlm(kind) else params
-        merged_lm = lora_mod.merge(lm, adapters, scale)
-        final = dict(params, language_model=merged_lm) if common.is_vlm(kind) else merged_lm
+        final = lora_mod.merge_model(params, state.trainable, scale)
     else:
         final = state.trainable if frozen_arg is None else merge_trees(state.trainable, frozen_arg)
     common.save_model(save_dir, model_cfg, final)

@@ -151,9 +151,12 @@ def _run(cfg):
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0
     combine = None
     if use_lora:
-        lm = params["language_model"] if common.is_vlm(kind) else params
-        adapters = lora_mod.init_lora(lm["layers"], cfg.LoRA.r, jax.random.PRNGKey(cfg.seed))
-        adapters = {"language_model": adapters} if common.is_vlm(kind) else adapters
+        # projector adapters default ON (utils.py:10-19 adapts every linear
+        # except lm_head); LoRA.projector=false opts out
+        adapters = lora_mod.init_model_lora(
+            params, cfg.LoRA.r, jax.random.PRNGKey(cfg.seed),
+            projector=bool(cfg.LoRA.get("projector", True)),
+        )
         trainable = adapters
         print_trainable_parameters(trainable, params)
         if cfg.get("quantize_base"):
@@ -220,10 +223,7 @@ def _run(cfg):
         # per-epoch model-only checkpoints (save_steps = steps/epoch,
         # save_only_model=True: mm/forget.py:158-160)
         if use_lora:
-            ad = state_snapshot.trainable["language_model"] if common.is_vlm(kind) else state_snapshot.trainable
-            lm = params["language_model"] if common.is_vlm(kind) else params
-            merged_lm = lora_mod.merge(lm, ad, scale)
-            snap = dict(params, language_model=merged_lm) if common.is_vlm(kind) else merged_lm
+            snap = lora_mod.merge_model(params, state_snapshot.trainable, scale)
         else:
             from multimodal_unlearning_tpu.utils.pytree import merge_trees
             snap = state_snapshot.trainable if merged_frozen is None else merge_trees(state_snapshot.trainable, merged_frozen)
@@ -235,16 +235,17 @@ def _run(cfg):
         grad_accum=cfg.gradient_accumulation_steps, max_steps=max_steps,
         logging_steps=max(1, int(0.01 * max_steps)),
         on_save=on_save if cfg.get("save_ckpts") else None,
-        save_steps=steps_per_epoch if cfg.get("save_ckpts") else None,
+        save_steps=max(1, steps_per_epoch),
+        # preemption-safe 5-epoch runs: full train state (opt moments) per
+        # epoch + deterministic batch-skip resume (mm/finetune.py:126 analog)
+        state_ckpt_dir=str(save_dir / "train_state"),
+        resume=bool(cfg.get("resume_from_checkpoint")),
         profile_dir=str(save_dir / "profile") if cfg.get("profile") else None,
     )
 
     if cfg.get("save_model", True):
         if use_lora:
-            adapters = state.trainable["language_model"] if common.is_vlm(kind) else state.trainable
-            lm = params["language_model"] if common.is_vlm(kind) else params
-            merged_lm = lora_mod.merge(lm, adapters, scale)
-            final = dict(params, language_model=merged_lm) if common.is_vlm(kind) else merged_lm
+            final = lora_mod.merge_model(params, state.trainable, scale)
         else:
             from multimodal_unlearning_tpu.utils.pytree import merge_trees
             final = state.trainable if merged_frozen is None else merge_trees(state.trainable, merged_frozen)

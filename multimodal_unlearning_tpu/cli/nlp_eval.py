@@ -28,13 +28,15 @@ from multimodal_unlearning_tpu.train.losses import seq_sum_ce
 
 
 def run(cfg):
+    # int8_compute is a module-global trace-time switch: restore the caller's
+    # value after use (an in-process orchestrator may have enabled it globally)
+    from multimodal_unlearning_tpu.models import llama
+
+    prev = llama.INT8_COMPUTE
     try:
         return _run(cfg)
     finally:
-        # int8_compute is a module-global trace-time switch: reset after use
-        from multimodal_unlearning_tpu.models.llama import enable_int8_compute
-
-        enable_int8_compute(False)
+        llama.enable_int8_compute(prev)
 
 
 def _run(cfg):
@@ -76,17 +78,7 @@ def _run(cfg):
             params, mcfg, input_ids, attention_mask=attention_mask, compute_dtype=dtype
         )["logits"]
 
-    small_bs_pad = max(cfg.batch_size // 4, 1)
-
-    def _pad_rows(a, to):
-        # pad tail batches to the loader batch size: a one-off [B_tail,...]
-        # shape recompiles every program (see cli/mm_eval.py)
-        if len(a) == to:
-            return a
-        return np.concatenate([a, np.repeat(a[-1:], to - len(a), axis=0)])
-
-    def _target(B):
-        return small_bs_pad if B <= small_bs_pad else cfg.batch_size
+    _pad_rows, _target = common.make_tail_padder(cfg.batch_size)
 
     def apply_fn(batch):
         B = len(batch["input_ids"])

@@ -131,6 +131,9 @@ def run(cfg):
     if is_projection:
         step_fn = grad_proj.make_grad_proj_step(
             apply_fn, tx, method=loss_name, gamma=float(cfg.get("l2_grad_gamma", 1.0)),
+            # grad_proj_l2_ref=true reproduces the reference's actual
+            # (degenerate, retain-gradient-only) numerics — see grad_proj.py
+            ref_behavior=bool(cfg.get("grad_proj_l2_ref", False)),
         )
         opt_state = tx.init(trainable)
         step_i = 0
@@ -173,6 +176,10 @@ def run(cfg):
             train_step=step_fn, state=state, frozen=frozen, teacher_params=teacher_params,
             dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,
             max_steps=max_steps, logging_steps=max(1, max_steps // 20),
+            # preemption-safe resume (see cli/mm_forget.py)
+            save_steps=max(1, steps_per_epoch),
+            state_ckpt_dir=str(save_dir / "train_state"),
+            resume=bool(cfg.get("resume_from_checkpoint")),
         )
         final_trainable = state.trainable
 

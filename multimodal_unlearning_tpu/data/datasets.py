@@ -211,27 +211,29 @@ class ImageCaptioningDataset:
         self.rows_ = resolve_rows(data_path, split)
         self.ck, self.ik, self.qk = caption_key, image_key, question_key
         self.question_strategy = question_strategy
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.rows_)
 
-    def _question(self, itm):
+    def _question(self, itm, rng):
         if self.question_strategy == "random_caption":
-            return self.rng.choice(IMAGE_CAPTION_QUESTIONS)
+            return rng.choice(IMAGE_CAPTION_QUESTIONS)
         if self.question_strategy == "random_faces":
             return FACEREC_QUESTION
         return itm[self.qk]
 
     def __getitem__(self, idx):
+        # stateless per-(seed, idx) draw — see MMMixedForgetDataset
+        rng = random.Random(self.seed * 1_000_003 + idx)
         itm = self.rows_[idx]
         cap = itm[self.ck]
         if isinstance(cap, list):
             return [
-                {"idx": itm["index"], "image": itm[self.ik], "answer": c, "question": self._question(itm)}
+                {"idx": itm["index"], "image": itm[self.ik], "answer": c, "question": self._question(itm, rng)}
                 for c in cap
             ]
-        return {"idx": itm["index"], "image": itm[self.ik], "answer": cap, "question": self._question(itm)}
+        return {"idx": itm["index"], "image": itm[self.ik], "answer": cap, "question": self._question(itm, rng)}
 
 
 class MMMixedDataset:
@@ -241,7 +243,11 @@ class MMMixedDataset:
                  question_key="question", answer_key="answer", seed: int = 0):
         self.rows_ = resolve_rows(data_path, split)
         self.ik, self.ck, self.qk, self.ak = image_key, caption_key, question_key, answer_key
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.rows_)
@@ -250,9 +256,11 @@ class MMMixedDataset:
         itm = self.rows_[idx]
         if itm[self.ik] is None:
             return {"image": None, "question": itm[self.qk], "answer": itm[self.ak]}
+        # stateless per-(seed, epoch, idx) draw — see MMMixedForgetDataset
+        rng = random.Random(self.seed * 1_000_003 + self.epoch * 7919 + idx)
         return {
             "image": itm[self.ik],
-            "question": self.rng.choice(IMAGE_CAPTION_QUESTIONS),
+            "question": rng.choice(IMAGE_CAPTION_QUESTIONS),
             "answer": itm[self.ck],
         }
 
@@ -271,40 +279,52 @@ class MMMixedForgetDataset:
         self.forget_rows = resolve_rows(forget_data_path, forget_split)
         self.retain_rows = resolve_rows(retain_data_path, retain_split)
         self.ik, self.ck, self.qk, self.ak = image_key, caption_key, question_key, answer_key
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.epoch = 0
         self.idk_answers = load_idk_answers() if "idk" in self.return_pairs else None
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.forget_rows)
 
-    def _format_pair(self, itm):
-        if itm.get(self.ik) is None:
-            return {"image": None, "question": itm[self.qk], "answer": itm[self.ak]}
+    @staticmethod
+    def _format_pair(itm, rng, ik, ck, qk, ak):
+        if itm.get(ik) is None:
+            return {"image": None, "question": itm[qk], "answer": itm[ak]}
         return {
-            "image": itm[self.ik],
-            "question": self.rng.choice(IMAGE_CAPTION_QUESTIONS),
-            "answer": itm[self.ck],
+            "image": itm[ik],
+            "question": rng.choice(IMAGE_CAPTION_QUESTIONS),
+            "answer": itm[ck],
         }
 
     def __getitem__(self, idx):
+        # Per-sample randomness is a pure function of (seed, epoch, idx) — a
+        # fresh process replays identical samples after a preemption resume
+        # (the torch reference instead checkpoints the global torch RNG state,
+        # nlp/grad_proj.py:271-321; statelessness is the equivalent guarantee
+        # and is also immune to loader-order and multi-worker effects).
+        rng = random.Random(self.seed * 1_000_003 + self.epoch * 7919 + idx)
+        fmt = lambda itm: self._format_pair(itm, rng, self.ik, self.ck, self.qk, self.ak)
         forget_itm = self.forget_rows[idx]
-        retain_itm = self.retain_rows[self.rng.randint(0, len(self.retain_rows) - 1)]
+        retain_itm = self.retain_rows[rng.randint(0, len(self.retain_rows) - 1)]
         res = {}
         if "retain" in self.return_pairs:
-            res["retain"] = self._format_pair(retain_itm)
+            res["retain"] = fmt(retain_itm)
         if "forget" in self.return_pairs:
-            res["forget"] = self._format_pair(forget_itm)
+            res["forget"] = fmt(forget_itm)
         if "idk" in self.return_pairs:
             idk_itm = dict(forget_itm)
-            idk_itm[self.ak] = self.rng.choice(self.idk_answers)
-            idk_itm[self.ck] = self.rng.choice(self.idk_answers)
-            res["idk"] = self._format_pair(idk_itm)
+            idk_itm[self.ak] = rng.choice(self.idk_answers)
+            idk_itm[self.ck] = rng.choice(self.idk_answers)
+            res["idk"] = fmt(idk_itm)
         if "random" in self.return_pairs:
             K = 3
             question = res["forget"]["question"]
-            random_idxs = self.rng.sample(range(len(self.forget_rows)), min(K, len(self.forget_rows)))
+            random_idxs = rng.sample(range(len(self.forget_rows)), min(K, len(self.forget_rows)))
             random_itms = [dict(self.forget_rows[i]) for i in random_idxs]
             for itm in random_itms:
                 itm[self.qk] = question
-            res["random"] = [self._format_pair(i) for i in random_itms]
+            res["random"] = [fmt(i) for i in random_itms]
         return res

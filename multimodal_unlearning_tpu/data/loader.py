@@ -29,6 +29,9 @@ class DataLoader:
         order = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
+        if hasattr(self.dataset, "set_epoch"):
+            # stateless per-(seed, epoch, idx) sample randomness — resumable
+            self.dataset.set_epoch(self.epoch)
         self.epoch += 1
         bs = self.batch_size
         end = len(order) - (len(order) % bs) if self.drop_last else len(order)

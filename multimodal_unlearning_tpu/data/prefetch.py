@@ -32,6 +32,15 @@ class PrefetchLoader:
     def batch_size(self):
         return self.loader.batch_size
 
+    @property
+    def epoch(self):
+        return self.loader.epoch
+
+    @epoch.setter
+    def epoch(self, value):
+        # resume path (train/loop.py) restores the shuffle epoch counter
+        self.loader.epoch = value
+
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         err: list[BaseException] = []

@@ -217,7 +217,18 @@ def interleave(a: list, b: list, size: int) -> list:
 
 
 def interleave_eval_result_dict(eval_result_dict, forget_rate, large_bsz, num_processes=2):
-    """utils.py:109-120 — 2-process-only legacy repair, kept for parity."""
+    """utils.py:109-120 — 2-process-only legacy repair, kept for parity.
+
+    The halve-and-interleave reconstruction is only correct for exactly two
+    rank shards (the reference's own comment at utils.py:104-108); with any
+    other process count it would silently mis-assemble the per-sample order,
+    so refuse rather than corrupt.
+    """
+    if num_processes != 2:
+        raise ValueError(
+            f"interleave_eval_result_dict repairs exactly 2-process shards, got {num_processes}; "
+            "merge per-rank eval logs by their saved indices instead"
+        )
     small_bsz = large_bsz // 4
     for k, v in eval_result_dict.items():
         for metric, value in v.items():

@@ -90,7 +90,10 @@ class AttackedModel:
         prompts = prompts or [self.tokenizer.decode(r, skip_special_tokens=True) for r in np.asarray(input_ids)]
         embeds = self.corrupted_embeds(input_ids, prompts)
 
-        Smax = S + max_new_tokens
+        # Round the cache length up to a lane multiple so the Pallas decode
+        # kernel (whose BlockSpec makes Smax the minor-most block dim) stays
+        # eligible; matches greedy_generate's alignment.
+        Smax = -(-(S + max_new_tokens) // 128) * 128
         cache = llama.init_kv_cache(self.model_cfg, B, Smax, dtype=self.compute_dtype)
         kv_valid = jnp.zeros((B, Smax), jnp.int32).at[:, :S].set(attention_mask)
         out = llama.forward(

@@ -112,12 +112,15 @@ def rms_norm(x, weight, eps):
 INT8_COMPUTE = False  # set via enable_int8_compute(); W8A8 on QTensor leaves
 
 
-def enable_int8_compute(on: bool = True):
+def enable_int8_compute(on: bool = True) -> bool:
     """Opt-in W8A8: quantized-weight matmuls also quantize activations
     dynamically (straight-through backward).  Faster (int8 MXU) but noisier
-    than the default W8A16 dequant path."""
+    than the default W8A16 dequant path.  Returns the previous value so
+    callers can restore it (in-process orchestrators set it globally)."""
     global INT8_COMPUTE
+    prev = INT8_COMPUTE
     INT8_COMPUTE = on
+    return prev
 
 
 def _maybe_dequant(w, dtype):

@@ -64,10 +64,17 @@ def init_params(cfg: LlavaConfig, key, dtype=jnp.float32) -> dict:
     }
 
 
-def project(params, feats):
-    h = feats @ params["fc1"].astype(feats.dtype) + params["fc1_bias"]
+def project(params, feats, lora=None, lora_scale: float = 0.0):
+    def dense(x, name):
+        y = x @ params[name].astype(x.dtype) + params[f"{name}_bias"]
+        if lora is not None and name in lora:
+            ab = lora[name]
+            y = y + ((x @ ab["a"].astype(x.dtype)) @ ab["b"].astype(x.dtype)) * lora_scale
+        return y
+
+    h = dense(feats, "fc1")
     h = jax.nn.gelu(h.astype(jnp.float32)).astype(feats.dtype)
-    return h @ params["fc2"].astype(feats.dtype) + params["fc2_bias"]
+    return dense(h, "fc2")
 
 
 def splice_image_embeds(token_embeds, image_embeds, image_token_mask):
@@ -119,7 +126,11 @@ def forward(
         )
         if cfg.vision_feature_select == "patch":
             feats = feats[:, 1:, :]
-        image_embeds = project(params["projector"], feats)
+        image_embeds = project(
+            params["projector"], feats,
+            lora=None if lora is None else lora.get("projector"),
+            lora_scale=lora_scale,
+        )
         mask = input_ids == cfg.image_token_id
         embeds = splice_image_embeds(embeds, image_embeds, mask)
 

@@ -41,6 +41,85 @@ def init_lora(layer_params: dict, r: int, key, targets=DEFAULT_TARGETS, dtype=jn
     return {"layers": adapters}
 
 
+# the reference's find_all_linear_names also catches the VLM projector
+# (multi_modal_projector.linear_1/linear_2 / the Qwen merger MLP) — every
+# linear except lm_head gets an adapter (utils.py:10-19, mm/finetune.py:91-101)
+PROJECTOR_TARGETS = ("fc1", "fc2")
+
+
+def init_flat_lora(flat_params: dict, r: int, key, targets=PROJECTOR_TARGETS, dtype=jnp.float32) -> dict:
+    """Adapters for unstacked 2-D linears (the VLM projector/merger MLP)."""
+    adapters = {}
+    keys = iter(jax.random.split(key, len(targets)))
+    for name in targets:
+        w = flat_params[name]
+        if isinstance(w, dict):
+            w = w["q"]
+        d_in, d_out = w.shape
+        adapters[name] = {
+            "a": (jax.random.normal(next(keys), (d_in, r)) * d_in**-0.5).astype(dtype),
+            "b": jnp.zeros((r, d_out), dtype),
+        }
+    return adapters
+
+
+def _projector_site(params: dict):
+    """Locate the projector subtree: LLaVA keeps it at params['projector'],
+    Qwen2-VL inside the tower as params['vision_tower']['merger']."""
+    if "projector" in params:
+        return ("projector",)
+    vt = params.get("vision_tower")
+    if isinstance(vt, dict) and "merger" in vt:
+        return ("vision_tower", "merger")
+    return None
+
+
+def init_model_lora(params: dict, r: int, key, *, projector: bool = True, dtype=jnp.float32) -> dict:
+    """Full-model adapter tree (reference: every linear except lm_head).
+
+    Decoder-only params get the stacked layer adapters; VLM params (with a
+    'language_model' subtree) additionally get projector/merger adapters under
+    the 'projector' key unless ``projector=False``."""
+    if "language_model" not in params:
+        return init_lora(params["layers"], r, key, dtype=dtype)
+    k1, k2 = jax.random.split(key)
+    adapters = {"language_model": init_lora(params["language_model"]["layers"], r, k1, dtype=dtype)}
+    site = _projector_site(params) if projector else None
+    if site is not None:
+        node = params
+        for k in site:
+            node = node[k]
+        adapters["projector"] = init_flat_lora(node, r, k2, dtype=dtype)
+    return adapters
+
+
+def merge_flat(flat_params: dict, lora: dict, scale: float) -> dict:
+    """Fold flat (2-D) adapters into their dense weights."""
+    out = dict(flat_params)
+    for name, ab in lora.items():
+        w = out[name]
+        delta = ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32)
+        out[name] = (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+    return out
+
+
+def merge_model(params: dict, adapters: dict, scale: float) -> dict:
+    """Model-level merge_and_unload: decoder layers + projector adapters."""
+    if "language_model" not in adapters:
+        return merge(params, adapters, scale)
+    out = dict(params, language_model=merge(params["language_model"], adapters["language_model"], scale))
+    proj = adapters.get("projector")
+    if proj:
+        site = _projector_site(out)
+        if site == ("projector",):
+            out["projector"] = merge_flat(out["projector"], proj, scale)
+        elif site is not None:
+            vt = dict(out["vision_tower"])
+            vt["merger"] = merge_flat(vt["merger"], proj, scale)
+            out["vision_tower"] = vt
+    return out
+
+
 def merge(params: dict, lora: dict, scale: float) -> dict:
     """merge_and_unload analog: fold adapters into dense weights.
 

@@ -186,6 +186,8 @@ def vision_forward(
     grid: tuple,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
+    merger_lora: dict | None = None,
+    lora_scale: float = 0.0,
 ):
     """Encode pre-patchified images → merged features.
 
@@ -222,11 +224,19 @@ def vision_forward(
 
     # PatchMerger: LN, group merge²-consecutive patches, 2-layer GELU MLP
     m = params["merger"]
+
+    def dense(z, name):
+        y = z @ m[name].astype(z.dtype) + m[f"{name}_bias"]
+        if merger_lora is not None and name in merger_lora:
+            ab = merger_lora[name]
+            y = y + ((z @ ab["a"].astype(z.dtype)) @ ab["b"].astype(z.dtype)) * lora_scale
+        return y
+
     y = layer_norm(x, m["ln_q"], cfg.layer_norm_eps)
     y = y.reshape(B, N // cfg.spatial_merge_size**2, cfg.merge_dim)
-    y = y @ m["fc1"].astype(y.dtype) + m["fc1_bias"]
+    y = dense(y, "fc1")
     y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
-    return y @ m["fc2"].astype(y.dtype) + m["fc2_bias"]
+    return dense(y, "fc2")
 
 
 def mrope_positions(input_ids, attention_mask, image_token_id: int, grid_merged: tuple):
@@ -308,6 +318,8 @@ def forward(
         image_embeds = vision_forward(
             params["vision_tower"], cfg.vision, pixel_values,
             grid=grid, attn_impl=attn_impl, compute_dtype=compute_dtype,
+            merger_lora=None if lora is None else lora.get("projector"),
+            lora_scale=lora_scale,
         )
         from multimodal_unlearning_tpu.models.llava import splice_image_embeds
 

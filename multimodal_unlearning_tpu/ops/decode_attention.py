@@ -119,6 +119,11 @@ def decode_attention(
         sm_scale = D ** -0.5
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Mosaic requires the minor-most block dims lane-aligned; an unaligned
+        # Smax (e.g. an ECO caller's S + max_new_tokens) would fail to compile.
+        # Mirror flash_attention's guard and take the XLA path instead.
+        if impl == "pallas" and (Smax % 128 != 0 or D % 128 != 0):
+            impl = "xla"
 
     if impl == "xla":
         from multimodal_unlearning_tpu.ops.attention import mha_reference

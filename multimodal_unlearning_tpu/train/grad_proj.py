@@ -49,11 +49,21 @@ def _dot(a, b):
                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
 
-def make_grad_proj_step(apply_fn, optimizer, *, method: str = "grad_proj", gamma: float = 1.0):
+def make_grad_proj_step(apply_fn, optimizer, *, method: str = "grad_proj", gamma: float = 1.0,
+                        ref_behavior: bool = False):
     """Returns jitted step(trainable, opt_state, frozen, batch) → (trainable, opt_state, metrics).
 
     batch: {"forget": {...}, "retain": {...}} with input_ids/labels/attention_mask.
-    """
+
+    ``ref_behavior`` (grad_proj_l2 only) reproduces what the reference
+    *actually computes* rather than the intended objective: its grad dicts
+    hold the live ``param.grad`` tensors (nlp/grad_proj.py:685-688,713-716),
+    ``zero_grad(set_to_none=True)`` then detaches them, and the extra
+    ``new_loss.backward`` (nlp/grad_proj.py:493-506) differentiates a
+    constant built from detached grads — no parameter gradient flows from the
+    γ‖g_neg − g_pos‖² term at all.  The optimizer therefore steps on the
+    positive (retain) gradient alone; with this flag the step does exactly
+    that (analog of the ``dpo_fix`` quirk switch in train/losses.py)."""
     if method not in PROJECTION_METHODS:
         raise ValueError(f"method must be one of {PROJECTION_METHODS}")
 
@@ -75,7 +85,10 @@ def make_grad_proj_step(apply_fn, optimizer, *, method: str = "grad_proj", gamma
             coef = jnp.minimum(inner / (denom + 1e-30), 0.0)
             grads = jax.tree.map(lambda n, p: n - coef * p, g_neg, g_pos)
             metrics = {"inner_product": inner, "coef": coef}
-        else:  # grad_proj_l2
+        elif ref_behavior:  # grad_proj_l2, reference's actual numerics
+            grads = g_pos
+            metrics = {}
+        else:  # grad_proj_l2, intended objective
 
             def l2_objective(tr):
                 gn = jax.grad(neg_loss)(tr, frozen, batch)

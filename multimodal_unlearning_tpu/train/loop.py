@@ -50,11 +50,21 @@ def train_loop(
     from multimodal_unlearning_tpu.train import checkpoints as ckpt_mod
 
     start_step = 0
+    skip_batches = 0
     if resume and state_ckpt_dir:
         latest = ckpt_mod.latest_train_state_step(state_ckpt_dir)
         if latest is not None:
             state = ckpt_mod.restore_train_state(state_ckpt_dir, latest, state)
             start_step = latest
+            # Replay the data order exactly (HF Trainer's RNG-restore +
+            # batch-skipping analog, nlp/grad_proj.py:271-321): the loader's
+            # shuffle is seeded per epoch, so restoring its epoch counter and
+            # skipping the already-consumed batches of the partial epoch makes
+            # the resumed loss trajectory identical to an uninterrupted run.
+            steps_per_pass = len(dataloader)
+            if steps_per_pass and hasattr(dataloader, "epoch"):
+                dataloader.epoch = start_step // steps_per_pass
+                skip_batches = start_step % steps_per_pass
             print(f"Resumed train state from step {latest}")
     if grad_accum > 1:
         bsh = NamedSharding(mesh, P(None, ("data", "fsdp")))
@@ -94,6 +104,9 @@ def train_loop(
     tokens_seen = 0
     while step_i < max_steps:
         for batch in dataloader:
+            if skip_batches:  # consumed before the resume point
+                skip_batches -= 1
+                continue
             if step_i >= max_steps:
                 break
             if profile_dir and step_i == 2:

@@ -60,6 +60,54 @@ def test_mm_forget_from_checkpoint(ft_dir, tmp_path):
     assert all(np.isfinite(h["loss"]) for h in history)
 
 
+def test_mm_forget_kill_and_resume(tmp_path, monkeypatch):
+    """Preemption safety: kill a forget run right after its epoch train-state
+    checkpoint, resume with resume_from_checkpoint=True, and the resumed loss
+    trajectory must equal the uninterrupted run's (deterministic batch-skip
+    replay + restored optimizer moments)."""
+    import pytest as _pytest
+
+    from multimodal_unlearning_tpu.cli import mm_forget
+    from multimodal_unlearning_tpu.train import checkpoints
+
+    def cfg_for(out, **extra):
+        cfg = _cfg(
+            "mm", "forget",
+            model_family="tiny-llava-test", model_path=None,
+            forget_data_path=DATA, retain_data_path=DATA,
+            forget_split="forget10+tofu", retain_split="retain90+tofu",
+            forget_loss="grad_ascent", batch_size=2, gradient_accumulation_steps=1,
+            num_epochs=2, max_length=128, save_dir=str(tmp_path / out),
+            dtype="float32", **extra,
+        )
+        dict.__setitem__(cfg["LoRA"], "r", 0)
+        return cfg
+
+    full = mm_forget.run(cfg_for("full"))
+    assert len(full) >= 2
+
+    real_save = checkpoints.save_train_state
+
+    def save_once_then_die(ckpt_dir, step, state):
+        real_save(ckpt_dir, step, state)
+        raise KeyboardInterrupt("preempted right after the epoch checkpoint")
+
+    monkeypatch.setattr(checkpoints, "save_train_state", save_once_then_die)
+    with _pytest.raises(KeyboardInterrupt):
+        mm_forget.run(cfg_for("pre"))
+    monkeypatch.undo()
+
+    ckpt_step = checkpoints.latest_train_state_step(tmp_path / "pre" / "train_state")
+    assert ckpt_step is not None and ckpt_step > 0
+
+    resumed = mm_forget.run(cfg_for("pre", resume_from_checkpoint=True))
+    res = {h["step"]: h["loss"] for h in resumed}
+    ful = {h["step"]: h["loss"] for h in full}
+    assert min(res) > ckpt_step  # nothing before the resume point re-ran
+    for s in res:
+        np.testing.assert_allclose(res[s], ful[s], rtol=1e-6)
+
+
 def test_mm_eval_single_task(ft_dir, tmp_path):
     from multimodal_unlearning_tpu.cli import mm_eval
 
@@ -67,11 +115,14 @@ def test_mm_eval_single_task(ft_dir, tmp_path):
         "mm", "eval",
         model_family="tiny-llava-test", model_path=str(ft_dir),
         processor_path=None, save_dir=str(tmp_path / "eval"),
-        ds_size=4, batch_size=3, max_length=256, dtype="float32",
-        eval_task_ids=[2],  # eval_log_forget only; 4 rows / bs 3 -> a padded
-        # tail batch (rows repeated, outputs sliced) is exercised
+        ds_size=6, batch_size=4, max_length=256, dtype="float32",
+        eval_task_ids=[2],  # eval_log_forget only; 6 rows / bs 4 -> a tail of
+        # 2 > small_bs_pad(=1), so _pad_rows genuinely repeats rows to 4 and
+        # outputs are sliced back
     )
-    dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
+    # default synthetic forget10 has only 4 rows; use a bigger corpus so
+    # ds_size=6 really yields 6
+    dict.__setitem__(cfg, "data_path", ["synthetic:n_persons=80,qa_per_person=8"] * 6)
     dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
     agg = mm_eval.run(cfg)
     logs = agg["eval_log_forget.json"]
@@ -79,7 +130,7 @@ def test_mm_eval_single_task(ft_dir, tmp_path):
         "avg_gt_loss", "avg_paraphrased_loss", "average_perturb_loss",
         "truth_ratio", "rougeL_recall", "generated_text",
     }
-    assert len(logs["avg_gt_loss"]) == 4  # tail rows present exactly once
+    assert len(logs["avg_gt_loss"]) == 6  # tail rows present exactly once
     path = tmp_path / "eval" / "eval_log_aggregated.json"
     json.loads(path.read_text())
 

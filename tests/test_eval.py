@@ -191,3 +191,8 @@ def test_interleave_repair():
     assert out[:6] == [0, 1, 100, 101, 2, 3]
     d = metrics.merge_dicts({"x": {"a": 1}}, {"x": {"b": 2}, "y": 3})
     assert d == {"x": {"a": 1, "b": 2}, "y": 3}
+
+    # the halve-and-interleave repair is 2-process-only: any other count
+    # would silently mis-assemble, so it must refuse
+    with pytest.raises(ValueError, match="2-process"):
+        metrics.interleave_eval_result_dict({}, "forget10", 8, num_processes=4)

@@ -130,6 +130,47 @@ def test_lora_zero_b_is_identity_then_changes():
     np.testing.assert_allclose(np.asarray(changed), np.asarray(merged_out), atol=1e-4)
 
 
+def test_projector_lora_identity_then_changes_and_merges():
+    """Reference parity: LoRA adapts the VLM projector too (utils.py:10-19).
+    b=0 adapters are identity; perturbing the projector adapter changes only
+    image rows; merge_model reproduces the adapted forward."""
+    cfg, params = tiny_vlm()
+    n_img = cfg.num_image_tokens
+    rng = np.random.default_rng(8)
+    S = n_img + 8
+    ids = rng.integers(0, 200, (2, S))
+    ids[0, :n_img] = cfg.image_token_id  # row 0 image, row 1 text-only
+    imgs = jnp.asarray(rng.normal(size=(2, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+
+    adapters = lora.init_model_lora(params, 4, jax.random.PRNGKey(9))
+    assert set(adapters) == {"language_model", "projector"}
+    assert set(adapters["projector"]) == {"fc1", "fc2"}
+    scale = lora.lora_scale(4, 32)
+
+    kw = dict(pixel_values=imgs, compute_dtype=jnp.float32)
+    base = llava.forward(params, cfg, jnp.asarray(ids), **kw)["logits"]
+    with_lora = llava.forward(
+        params, cfg, jnp.asarray(ids), lora=adapters, lora_scale=scale, **kw
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_lora), atol=1e-5)
+
+    adapters["projector"]["fc2"]["b"] = jnp.ones_like(adapters["projector"]["fc2"]["b"]) * 0.01
+    changed = llava.forward(
+        params, cfg, jnp.asarray(ids), lora=adapters, lora_scale=scale, **kw
+    )["logits"]
+    # only the image row sees the projector; the text-only row is untouched
+    assert np.abs(np.asarray(changed[0]) - np.asarray(base[0])).max() > 1e-4
+    np.testing.assert_allclose(np.asarray(changed[1]), np.asarray(base[1]), atol=1e-5)
+
+    merged = lora.merge_model(params, adapters, scale)
+    merged_out = llava.forward(merged, cfg, jnp.asarray(ids), **kw)["logits"]
+    np.testing.assert_allclose(np.asarray(changed), np.asarray(merged_out), atol=1e-4)
+
+    # init_model_lora(projector=False) keeps the old decoder-only target set
+    dec_only = lora.init_model_lora(params, 4, jax.random.PRNGKey(9), projector=False)
+    assert "projector" not in dec_only
+
+
 def test_vit_feature_layer_shapes():
     arch = get_model_identifiers("tiny-llava-test").arch.vision
     cfg = vit.VitConfig.from_registry(arch)

@@ -124,3 +124,26 @@ def test_grad_proj_l2_runs():
     opt_state = tx.init(params)
     tr, opt_state, metrics = step(params, opt_state, None, batch)
     assert np.isfinite(float(metrics["pos_loss"]))
+
+
+def test_grad_proj_l2_ref_behavior_is_pos_sgd():
+    """With ref_behavior the step must reproduce the reference's ACTUAL
+    grad_proj_l2 numerics (nlp/grad_proj.py:493-506 + the param.grad aliasing
+    at :713-716): a plain SGD step on the positive (retain) gradient — the
+    γ-term differentiates detached constants and contributes nothing."""
+    cfg, params, apply_fn, batch = tiny_setup()
+    tx = optim.make_optimizer("sgd", 1e-2)
+    step = grad_proj.make_grad_proj_step(
+        apply_fn, tx, method="grad_proj_l2", gamma=0.7, ref_behavior=True
+    )
+    opt_state = tx.init(params)
+    tr, _, _ = step(params, opt_state, None, batch)
+
+    def pos_loss(p):
+        out = apply_fn(p, batch["retain"])
+        return grad_proj.per_seq_mean_ce(out["logits"], jnp.asarray(batch["retain"]["labels"]))
+
+    g_pos = jax.grad(pos_loss)(params)
+    expect = jax.tree.map(lambda p, g: p - 1e-2 * g, params, g_pos)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), tr, expect)
+    assert max(jax.tree.leaves(d)) < 1e-6
