@@ -1,14 +1,18 @@
 """Perf sweep for the bench operating point (llava-7b forget step, one chip).
 
-Sweeps precision mode x remat policy and prints steps/s for each variant so
-bench.py can pin the fastest configuration.  Variants:
+Sweeps precision mode x remat policy (x loss) and prints steps/s for each
+variant so bench.py can pin the fastest configuration.  Variants:
 
   precision: bf16 | int8 (QLoRA storage, bf16 compute) | w8a8 (int8 MXU)
              | w8a8b (w8a8 + int8 dx backward)
   remat:     full | save_attn | save_attn_ffn | none (if it fits)
+  loss:      optional third field (default grad_diff_forget_ce_retain_ce);
+             teacher-resident losses (npo / KL / scrub) get a co-resident
+             7B teacher at the SAME precision — the expensive half of the
+             reference sweep (run_exps.py:92-103), 1-2 extra 7B forwards.
 
 Usage: python examples/perf_sweep.py [variant ...]
-  variant = "<precision>:<remat>", default sweep list below.
+  variant = "<precision>:<remat>[:<loss>]", default sweep list below.
 """
 
 import os
@@ -22,13 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(precision, remat_policy):
+def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce"):
     from multimodal_unlearning_tpu.cli.common import build_model_config
     from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
     from multimodal_unlearning_tpu.config import get_model_identifiers
     from multimodal_unlearning_tpu.models import llava, lora as lora_mod
     from multimodal_unlearning_tpu.models.llama import enable_int8_compute
-    from multimodal_unlearning_tpu.train import optim, trainer
+    from multimodal_unlearning_tpu.train import losses as L, optim, trainer
     from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
 
     model_cfg = get_model_identifiers("llava")
@@ -87,29 +91,55 @@ def build(precision, remat_policy):
     )
     tx = optim.make_optimizer("adamw", 1e-5, weight_decay=0.01)
     step = trainer.make_train_step(
-        apply_fn, tx, loss_type="grad_diff_forget_ce_retain_ce", donate=False,
+        apply_fn, tx, loss_type=loss, donate=False,
         combine=lambda tr, fr: (fr, tr),
     )
     state = trainer.create_train_state(adapters, tx)
-    return step, state, params, batch
+    # teacher-resident losses: co-resident 7B teacher at the same precision,
+    # sharing the frozen base arrays (forget runs start FROM the finetuned
+    # checkpoint, so teacher == frozen base — no extra HBM, 1-2 extra fwd)
+    teacher = params if L.loss_needs_teacher(loss) else None
+
+    # nominal FLOPs/step (same formula as bench.py's A100 estimate): 2 splits
+    # × (fwd+bwd=3) × 2·P·tokens for the student + 1× fwd per teacher split
+    from multimodal_unlearning_tpu.utils.pytree import count_params
+
+    p_act = count_params(params["language_model"]) + count_params(params["projector"])
+    p_vis = count_params(params["vision_tower"])
+    n_teacher_fwd = {"npo": 1, "kl": 1, "scrub": 2, "llmu": 1}.get(loss.lower(), 0)
+    if loss.lower().startswith("grad_diff"):
+        n_teacher_fwd = int("forget_kl" in loss.lower()) + int("retain_kl" in loss.lower())
+    tokens, vis_tokens = 2 * B * S, 2 * B * (n_img + 1)
+    flops = 3 * 2 * p_act * tokens + 3 * 2 * p_vis * vis_tokens
+    flops += n_teacher_fwd * 2 * p_act * B * S + n_teacher_fwd * 2 * p_vis * B * (n_img + 1)
+    return step, state, params, teacher, batch, flops
 
 
 def run_variant(name):
-    precision, remat_policy = name.split(":")
+    parts = name.split(":")
+    precision, remat_policy = parts[0], parts[1]
+    loss = parts[2] if len(parts) > 2 else "grad_diff_forget_ce_retain_ce"
     try:
-        step, state, params, batch = build(precision, remat_policy)
+        step, state, params, teacher, batch, flops = build(precision, remat_policy, loss)
         t_c0 = time.perf_counter()
-        state, metrics = step(state, params, None, batch)
+        state, metrics = step(state, params, teacher, batch)
         loss0 = float(metrics["loss"])
         compile_s = time.perf_counter() - t_c0
         n_steps = 8
         t0 = time.perf_counter()
         for _ in range(n_steps):
-            state, metrics = step(state, params, None, batch)
+            state, metrics = step(state, params, teacher, batch)
         float(metrics["loss"])
         dt = time.perf_counter() - t0
-        print(f"{name:24s} {n_steps/dt:6.3f} steps/s   loss0={loss0:.4f}  compile={compile_s:.0f}s", flush=True)
-        return n_steps / dt
+        sps = n_steps / dt
+        # measured MFU on the NOMINAL step FLOPs (remat recompute not counted
+        # as useful work) against the v5e bf16 peak 197 TFLOP/s
+        mfu = sps * flops / 197e12
+        print(
+            f"{name:30s} {sps:6.3f} steps/s   MFU={mfu:5.1%}   "
+            f"loss0={loss0:.4f}  compile={compile_s:.0f}s", flush=True,
+        )
+        return sps
     except Exception as e:  # noqa: BLE001
         print(f"{name:24s} FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
         return None

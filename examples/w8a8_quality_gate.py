@@ -27,7 +27,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FAMILY = "small-llava-test"
-DATA = "synthetic:n_persons=24,qa_per_person=8"
+# 48 persons -> forget10 ≈ 38 eval rows: enough KS-test mass that p-values
+# leave the tiny-n grid (round-2's 0.0286 plateau came from a 4-row split)
+DATA = "synthetic:n_persons=48,qa_per_person=8"
 LOSSES = ["grad_diff_forget_ce_retain_ce", "npo", "KL"]
 PRECISIONS = {
     # name -> (quantize_base, int8_compute, int8_bwd, seed)
@@ -60,7 +62,11 @@ def finetune(out, split):
     cfg = _cfg(
         "mm", "finetune",
         model_family=FAMILY, data_path=DATA, split=split,
-        batch_size=4, gradient_accumulation_steps=1, num_epochs=2,
+        # 6 epochs: far enough that generations share words with the ground
+        # truth (ROUGE > 0) and truth ratios clear 1 — otherwise a zero
+        # factor collapses the Model Utility hmean and the gate's "utility
+        # within noise" half is vacuous (VERDICT r2 weak #1)
+        batch_size=4, gradient_accumulation_steps=1, num_epochs=6,
         max_length=96, lr=1e-3, save_dir=str(out), dtype="float32",
     )
     cfg["LoRA"]["r"] = 4
@@ -98,10 +104,13 @@ def evaluate(model_dir):
         "mm", "eval",
         model_family=FAMILY, model_path=str(model_dir), processor_path=None,
         save_dir=str(model_dir / "eval_results"),
-        ds_size=12, batch_size=4, max_length=192, dtype="float32",
+        ds_size=32, batch_size=4, max_length=192, dtype="float32",
     )
-    dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
-    dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
+    # evaluate on the SAME corpus the pipeline trained on (the bare
+    # "synthetic" default has a 4-row forget split -> degenerate KS grid)
+    dict.__setitem__(cfg, "data_path", [DATA] * 6)
+    # 24 byte-tokens ≈ several words: gives ROUGE a chance to be nonzero
+    dict.__setitem__(cfg["generation"], "max_new_tokens", 24)
     mm_eval.run(cfg)
     return model_dir / "eval_results" / "eval_log_aggregated.json"
 

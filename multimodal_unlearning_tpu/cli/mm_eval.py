@@ -120,9 +120,10 @@ def _run(cfg):
     tok = processor.tokenizer
     # int8 KV cache: halves the decode stream (models/llama.py init_kv_cache)
     cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
-    # head-sharded cache (TP eval): the decode pallas_call has no GSPMD
-    # partitioning rule -> force the cleanly-partitioning XLA path
-    gen_attn_impl = "xla" if mesh.shape["tensor"] > 1 else "auto"
+    # head-sharded cache (TP eval): pass the mesh so the flash-decode kernel
+    # runs per-shard under shard_map (ops/decode_attention.py) instead of
+    # downgrading to XLA
+    gen_mesh = mesh if mesh.shape["tensor"] > 1 else None
 
     def generate_fn(batch, max_new_tokens):
         pix = batch.get("pixel_values")
@@ -135,7 +136,7 @@ def _run(cfg):
             max_new_tokens=max_new_tokens,
             pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
             pixel_values=None if pix is None else jnp.asarray(_pad_rows(np.asarray(pix), to)),
-            is_vlm=vlm, attn_impl=gen_attn_impl,
+            is_vlm=vlm, mesh=gen_mesh,
             cache_dtype=cache_dtype, compute_dtype=dtype,
         )
         return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B]]

@@ -28,8 +28,15 @@ from multimodal_unlearning_tpu.utils.pytree import (
 SKU_LOSS_ARGS = {"bad_weight": 2.5, "random_weight": 1.0, "normal_weight": 0.5}
 
 
-def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, remat_policy=None, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=jnp.float32, mesh=None):
-    """apply_fn(params_or_(params,lora), batch_part, capture_layer) → outputs."""
+def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, remat_policy=None, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=None, mesh=None):
+    """apply_fn(params_or_(params,lora), batch_part, capture_layer) → outputs.
+
+    ``logits_dtype`` defaults to ``compute_dtype``: a fp32 [B,S,V] logits
+    buffer is pure HBM waste on a bandwidth-tight chip — every loss does its
+    softmax/lse math in fp32 regardless (train/losses.py:_token_nll), so
+    bf16 logits lose nothing but the buffer traffic."""
+    if logits_dtype is None:
+        logits_dtype = compute_dtype
     from multimodal_unlearning_tpu.models import VLM_KINDS, decoder_module, vlm_module
 
     vlm = kind in VLM_KINDS

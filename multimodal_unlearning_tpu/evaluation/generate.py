@@ -42,15 +42,15 @@ def pad_prompts(encoded: list[list[int]], pad_id: int, multiple: int = 128):
     return ids, mask
 
 
-def _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params):
+def _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params, mesh=None):
     if is_vlm:
         return partial(
             vlm_module(model_cfg).forward, params, model_cfg,
-            attn_impl=attn_impl, compute_dtype=compute_dtype,
+            attn_impl=attn_impl, compute_dtype=compute_dtype, mesh=mesh,
         )
     return partial(
         decoder_module(model_cfg).forward, params, model_cfg,
-        attn_impl=attn_impl, compute_dtype=compute_dtype,
+        attn_impl=attn_impl, compute_dtype=compute_dtype, mesh=mesh,
     )
 
 
@@ -58,12 +58,12 @@ def _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params):
     jax.jit,
     static_argnames=(
         "model_cfg", "is_vlm", "attn_impl", "compute_dtype", "cache_dtype",
-        "smax", "max_new_tokens", "pad_token_id", "eos", "int8_compute",
+        "smax", "max_new_tokens", "pad_token_id", "eos", "int8_compute", "mesh",
     ),
 )
 def _generate(params, input_ids, attention_mask, pixel_values,
               *, model_cfg, is_vlm, attn_impl, compute_dtype, cache_dtype,
-              smax, max_new_tokens, pad_token_id, eos, int8_compute):
+              smax, max_new_tokens, pad_token_id, eos, int8_compute, mesh=None):
     # int8_compute is read as a module global at trace time (models.llama
     # INT8_COMPUTE); it is in the signature ONLY to key the jit cache so
     # toggling the flag retraces instead of reusing a stale executable
@@ -75,7 +75,7 @@ def _generate(params, input_ids, attention_mask, pixel_values,
     cache = dec.init_kv_cache(dec_cfg, B, smax, dtype=cache_dtype)
     kv_valid = jnp.zeros((B, smax), jnp.int32).at[:, :S].set(attention_mask)
     prompt_len = jnp.sum(attention_mask, axis=-1)  # valid tokens per row
-    fwd = _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params)
+    fwd = _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params, mesh=mesh)
 
     # prefill: one flash-attention pass over the left-padded prompt
     kw = dict(
@@ -137,8 +137,12 @@ def greedy_generate(
     cache_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
+    mesh=None,
 ):
-    """Returns generated token ids [B, max_new_tokens] (pad after eos)."""
+    """Returns generated token ids [B, max_new_tokens] (pad after eos).
+
+    ``mesh``: tensor-parallel eval — the flash-decode kernel runs per-shard
+    over the mesh's head ('tensor') axis instead of downgrading to XLA."""
     B, S = input_ids.shape
     Smax = -(-(S + max_new_tokens) // 128) * 128  # lane-aligned cache
     if attn_impl == "auto":
@@ -153,4 +157,5 @@ def greedy_generate(
         pad_token_id=pad_token_id,
         eos=-1 if eos_token_id is None else eos_token_id,
         int8_compute=INT8_COMPUTE,
+        mesh=mesh,
     )

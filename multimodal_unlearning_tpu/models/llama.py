@@ -317,6 +317,7 @@ def forward(
             attn = decode_attention(
                 q, cache, layer_id, kv_mask,
                 impl="xla" if attn_impl == "xla" else "auto",
+                mesh=mesh,  # TP eval: per-shard kernel over the head axis
             )
         elif attn_impl == "ring" and not use_cache:
             from multimodal_unlearning_tpu.ops.ring_attention import ring_flash_attention

