@@ -83,8 +83,12 @@ def forget(base, out, loss, qbase, int8c, int8b, seed):
         model_family=FAMILY, model_path=str(base),
         forget_data_path=DATA, retain_data_path=DATA,
         forget_split="forget10+tofu", retain_split="retain90+tofu",
+        # lr 1e-4: forgetting must move FQ without OBLITERATING generation —
+        # at 5e-4 every forgotten model generated gibberish (ROUGE 0 on all
+        # tasks), collapsing the Model Utility hmean the gate is meant to
+        # compare (the reference op point forgets at 1e-5, config/mm/forget.yaml)
         forget_loss=loss, batch_size=2, gradient_accumulation_steps=1,
-        num_epochs=2, max_length=96, lr=5e-4, save_dir=str(out),
+        num_epochs=2, max_length=96, lr=1e-4, save_dir=str(out),
         dtype="float32", quantize_base=qbase, quantize_teacher=qbase,
         int8_compute=int8c, int8_bwd=int8b, seed=seed,
     )

@@ -124,6 +124,10 @@ def _run(cfg):
     # runs per-shard under shard_map (ops/decode_attention.py) instead of
     # downgrading to XLA
     gen_mesh = mesh if mesh.shape["tensor"] > 1 else None
+    # aot_param_layouts: compile decode with AUTO weight layouts and re-lay
+    # the (int8) weights out once — kills the per-call relayout copies
+    # (~1.5 GB s8 at 7B; evaluation/generate.py:_AOT_DECODE_CACHE)
+    aot_layouts = bool(cfg.get("aot_param_layouts", False))
 
     def generate_fn(batch, max_new_tokens):
         pix = batch.get("pixel_values")
@@ -136,7 +140,7 @@ def _run(cfg):
             max_new_tokens=max_new_tokens,
             pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
             pixel_values=None if pix is None else jnp.asarray(_pad_rows(np.asarray(pix), to)),
-            is_vlm=vlm, mesh=gen_mesh,
+            is_vlm=vlm, mesh=gen_mesh, aot_layouts=aot_layouts,
             cache_dtype=cache_dtype, compute_dtype=dtype,
         )
         return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B]]

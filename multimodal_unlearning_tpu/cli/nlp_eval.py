@@ -92,6 +92,7 @@ def _run(cfg):
     end_tag = tags["question_end_tag"].strip() or "Answer:"
     cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
     gen_mesh = mesh if mesh.shape["tensor"] > 1 else None  # see mm_eval
+    aot_layouts = bool(cfg.get("aot_param_layouts", False))  # see mm_eval
 
     aggregated = {}
     zipped = zip(
@@ -148,7 +149,7 @@ def _run(cfg):
                 max_new_tokens=cfg.generation.max_new_tokens,
                 pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
                 cache_dtype=cache_dtype, compute_dtype=dtype,
-                mesh=gen_mesh,
+                mesh=gen_mesh, aot_layouts=aot_layouts,
             )
             gen_texts = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B_gen]]
 

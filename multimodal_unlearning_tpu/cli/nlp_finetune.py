@@ -106,6 +106,10 @@ def run(cfg):
         train_step=step_fn, state=state, frozen=frozen, teacher_params=None,
         dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,
         max_steps=max_steps, logging_steps=max(1, max_steps // 20),
+        # preemption-safe resume (see cli/mm_forget.py)
+        save_steps=max(1, steps_per_epoch),
+        state_ckpt_dir=str(save_dir / "train_state"),
+        resume=bool(cfg.get("resume_from_checkpoint")),
     )
 
     final = lora_mod.merge(params, state.trainable, scale) if use_lora else state.trainable

@@ -123,6 +123,39 @@ def _generate(params, input_ids, attention_mask, pixel_values,
     return jnp.concatenate([first_emit[:, None], emitted.T], axis=1)
 
 
+# AOT decode executables with AUTO parameter layouts, keyed by
+# (params identity, static config): the executable picks its preferred
+# weight layouts and the params are device_put into them ONCE — without
+# this, XLA relayout-copies the int8 weight tree inside every decode
+# program invocation (~1.5 GB of s8 copies + fragmentation at 7B, measured
+# round 2; the copies are also pure HBM-bandwidth waste per call).
+_AOT_DECODE_CACHE: dict = {}
+
+
+def _aot_generate(params, input_ids, attention_mask, pixel_values, static_kw):
+    from jax.experimental.layout import Format, Layout
+
+    key = (id(params), input_ids.shape, None if pixel_values is None else pixel_values.shape,
+           tuple(sorted(static_kw.items(), key=lambda kv: kv[0])))
+    hit = _AOT_DECODE_CACHE.get(key)
+    if hit is None:
+        def fn(p, ids, mask, pix):
+            return _generate(p, ids, mask, pix, **static_kw)
+
+        auto = jax.tree.map(lambda _: Format(Layout.AUTO), params)
+        jitted = jax.jit(fn, in_shardings=(auto, None, None, None))
+        compiled = jitted.lower(params, input_ids, attention_mask, pixel_values).compile()
+        p_formats = compiled.input_formats[0][0]
+        params_f = jax.tree.map(jax.device_put, params, p_formats)
+        # free the default-layout originals' duplicates lazily via GC; the
+        # caller's tree still references them, so only the executable-side
+        # copies are new — subsequent calls reuse params_f with NO relayout
+        _AOT_DECODE_CACHE[key] = (compiled, params_f)
+        hit = _AOT_DECODE_CACHE[key]
+    compiled, params_f = hit
+    return compiled(params_f, input_ids, attention_mask, pixel_values)
+
+
 def greedy_generate(
     params,
     model_cfg,
@@ -138,19 +171,22 @@ def greedy_generate(
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
     mesh=None,
+    aot_layouts: bool = False,
 ):
     """Returns generated token ids [B, max_new_tokens] (pad after eos).
 
     ``mesh``: tensor-parallel eval — the flash-decode kernel runs per-shard
-    over the mesh's head ('tensor') axis instead of downgrading to XLA."""
+    over the mesh's head ('tensor') axis instead of downgrading to XLA.
+    ``aot_layouts``: compile with AUTO parameter layouts and device_put the
+    weights into the executable's preferred formats once (see
+    _AOT_DECODE_CACHE)."""
     B, S = input_ids.shape
     Smax = -(-(S + max_new_tokens) // 128) * 128  # lane-aligned cache
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     from multimodal_unlearning_tpu.models.llama import INT8_COMPUTE
 
-    return _generate(
-        params, input_ids, attention_mask, pixel_values,
+    static_kw = dict(
         model_cfg=model_cfg, is_vlm=is_vlm,
         attn_impl=attn_impl, compute_dtype=compute_dtype,
         cache_dtype=cache_dtype, smax=Smax, max_new_tokens=max_new_tokens,
@@ -159,3 +195,6 @@ def greedy_generate(
         int8_compute=INT8_COMPUTE,
         mesh=mesh,
     )
+    if aot_layouts:
+        return _aot_generate(params, input_ids, attention_mask, pixel_values, static_kw)
+    return _generate(params, input_ids, attention_mask, pixel_values, **static_kw)

@@ -201,6 +201,7 @@ def forward(
     logits_dtype=jnp.float32,
     return_hidden: bool = False,
     last_logit_only: bool = False,
+    mesh=None,
 ):
     """Decoder forward; same modes/contract as models/llama.py:forward."""
     if inputs_embeds is None:
@@ -261,6 +262,7 @@ def forward(
                 attn = decode_attention(
                     q, cache, layer_id, kv_mask,
                     impl="xla" if attn_impl == "xla" else "auto",
+                    mesh=mesh,  # TP eval: per-shard kernel (see models/llama.py)
                 )
             else:
                 attn = flash_attention(

@@ -130,6 +130,25 @@ def test_lora_zero_b_is_identity_then_changes():
     np.testing.assert_allclose(np.asarray(changed), np.asarray(merged_out), atol=1e-4)
 
 
+def test_greedy_generate_aot_layouts_matches():
+    """AUTO-layout AOT decode (params device_put into the executable's
+    preferred formats once) must emit the same tokens as the plain jit path."""
+    from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    kw = dict(max_new_tokens=6, pad_token_id=0, eos_token_id=None,
+              compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    plain = greedy_generate(params, cfg, ids, mask, **kw)
+    aot = greedy_generate(params, cfg, ids, mask, aot_layouts=True, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(aot))
+    # second call hits the cache (same params identity, same shapes)
+    aot2 = greedy_generate(params, cfg, ids, mask, aot_layouts=True, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(aot2))
+
+
 def test_projector_lora_identity_then_changes_and_merges():
     """Reference parity: LoRA adapts the VLM projector too (utils.py:10-19).
     b=0 adapters are identity; perturbing the projector adapter changes only
