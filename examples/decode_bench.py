@@ -80,11 +80,15 @@ def main():
 
     quantized = False
     for name in variants:
-        if name in ("int8", "w8a8", "w8a8c") and not quantized:
+        # trailing "+aot": AUTO-layout AOT compile — weights device_put into
+        # the executable's preferred formats once (no per-call relayout)
+        aot = name.endswith("+aot")
+        base_name = name[:-4] if aot else name
+        if base_name in ("int8", "w8a8", "w8a8c") and not quantized:
             quantize_inplace(params["language_model"])
             quantized = True
-        enable_int8_compute(name in ("w8a8", "w8a8c"))
-        cache_dtype = jnp.int8 if name == "w8a8c" else dtype
+        enable_int8_compute(base_name in ("w8a8", "w8a8c"))
+        cache_dtype = jnp.int8 if base_name == "w8a8c" else dtype
 
         def gen():
             return greedy_generate(
@@ -92,6 +96,7 @@ def main():
                 max_new_tokens=NEW, pad_token_id=0, eos_token_id=None,
                 pixel_values=pixel_values, is_vlm=True,
                 cache_dtype=cache_dtype, compute_dtype=dtype,
+                aot_layouts=aot,
             )
 
         try:

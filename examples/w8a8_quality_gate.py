@@ -172,10 +172,16 @@ def main():
             if not ckpt_eval.exists():
                 ckpt_eval = evaluate(run_dir)
             m = metrics(ckpt_eval, gold_eval, f"{pname}:{loss}", run_dir / "metrics.json")
+            factors = {
+                k: float(v) for k, v in m.items()
+                if k.startswith(("Prob.", "ROUGE", "Truth Ratio"))
+            }
             results[f"{pname}:{loss}"] = {
                 "Model Utility": m["Model Utility"],
                 "Forget Quality": m["KS test p-value"],
                 "JS": m["JS metric"],
+                "factors": factors,
+                "zero_factors": sorted(k for k, v in factors.items() if v == 0),
             }
             vectors[f"{pname}:{loss}"] = stat_vector(ckpt_eval)
 
@@ -187,27 +193,53 @@ def main():
     def delta(a, b):
         return float(np.mean(np.abs(vectors[a] - vectors[b])))
 
-    print(f"\n{'variant':30s} {'FQ(KS p)':>9s} {'dFQ':>8s} {'dStat':>8s} {'noise':>8s} {'ok':>4s}")
+    from scipy.stats import hmean
+
+    def mu_over(row, basis):
+        vals = [row["factors"][k] for k in basis]
+        return float(hmean(vals)) if basis and all(v > 0 for v in vals) else 0.0
+
+    print(f"\n{'variant':30s} {'FQ(KS p)':>9s} {'dFQ':>8s} {'dStat':>8s} {'MUnz':>8s} {'dMUnz':>8s} {'noise':>8s} {'ok':>4s}")
     gate = {"results": results, "deltas": {}}
     ok_all = True
     for loss in LOSSES:
         b = results[f"bf16:{loss}"]
+        # Utility basis: factors nonzero for the bf16 run of this loss, non-
+        # forget tasks only (the mm "Model Utility" convention).  At toy
+        # scale the name-exact ROUGE tasks are structurally 0 without images
+        # (the reference's own generation quirk re-tokenizes without them,
+        # mm/eval.py:120-124) — the gate compares utility on the informative
+        # factors and records the zero ones explicitly per row.
+        basis = sorted(
+            k for k, v in b["factors"].items() if "Forget" not in k and v > 0
+        )
+        mu_b = mu_over(b, basis)
+        mu_noise = abs(mu_over(results[f"bf16b:{loss}"], basis) - mu_b)
         noise_fq = abs(results[f"bf16b:{loss}"]["Forget Quality"] - b["Forget Quality"])
         noise_stat = delta(f"bf16b:{loss}", f"bf16:{loss}")
+        gate["deltas"][f"basis:{loss}"] = {"factors": basis, "bf16_MU_nonzero": mu_b}
         for pname in PRECISIONS:
             if pname in ("bf16", "bf16b"):
                 continue
             r = results[f"{pname}:{loss}"]
             dfq = abs(r["Forget Quality"] - b["Forget Quality"])
             dstat = delta(f"{pname}:{loss}", f"bf16:{loss}")
-            ok = dfq <= max(noise_fq, 0.01) and dstat <= max(noise_stat, 1e-3)
+            mu_r = mu_over(r, basis)
+            dmu = abs(mu_r - mu_b)
+            ok = (
+                mu_b > 0  # the utility comparison must be non-vacuous
+                and dfq <= max(noise_fq, 0.01)
+                and dstat <= max(noise_stat, 1e-3)
+                and dmu <= max(mu_noise, 0.01 * max(mu_b, 1e-9))
+            )
             ok_all &= ok
             gate["deltas"][f"{pname}:{loss}"] = {
                 "dFQ_abs": dfq, "dStat": dstat,
+                "MU_nonzero": mu_r, "dMU_nonzero": dmu, "noise_MU": mu_noise,
                 "noise_FQ": noise_fq, "noise_stat": noise_stat, "ok": ok,
             }
-            print(f"{pname + ':' + loss:30s} {r['Forget Quality']:9.4f} {dfq:8.4f} {dstat:8.4f} {noise_stat:8.4f} {'ok' if ok else 'FAIL':>4s}")
-        print(f"{'bf16b:' + loss + ' (noise)':30s} {results[f'bf16b:{loss}']['Forget Quality']:9.4f} {noise_fq:8.4f} {noise_stat:8.4f} {'—':>8s} {'—':>4s}")
+            print(f"{pname + ':' + loss:30s} {r['Forget Quality']:9.4f} {dfq:8.4f} {dstat:8.4f} {mu_r:8.4f} {dmu:8.4f} {noise_stat:8.4f} {'ok' if ok else 'FAIL':>4s}")
+        print(f"{'bf16b:' + loss + ' (noise)':30s} {results[f'bf16b:{loss}']['Forget Quality']:9.4f} {noise_fq:8.4f} {noise_stat:8.4f} {mu_over(results[f'bf16b:{loss}'], basis):8.4f} {mu_noise:8.4f} {'—':>8s} {'—':>4s}")
 
     gate["pass"] = ok_all
     with open(root / "gate.json", "w") as f:

@@ -82,7 +82,14 @@ class SyntheticClearData:
                             "name": name,
                             "question": f"Who is shown in photo {q}?",
                             "answer": name,
-                            "paraphrased_caption": f"An image showing {name} in outfit {pid}.",
+                            # a NEAR-paraphrase of the training caption: a
+                            # trained model must score it above the
+                            # format-exact wrong-name perturbations, so the
+                            # truth ratio exceeds 1 on known persons (a
+                            # structurally-alien paraphrase pins the
+                            # "Truth Ratio <task>" utility factor at 0 —
+                            # degenerate Model Utility at any scale)
+                            "paraphrased_caption": f"A portrait picture of {name} wearing outfit number {pid}.",
                             "perturbed_captions": [
                                 f"A portrait photo of Person{(pid + d) % self.n_persons:03d} wearing outfit number {(pid + d) % self.n_persons}."
                                 for d in (1, 2, 3)
@@ -101,7 +108,7 @@ class SyntheticClearData:
                             "name": name,
                             "question": f"What is fact {q} about {name}?",
                             "answer": f"{name} enjoys activity number {q}.",
-                            "paraphrased_answer": f"Activity {q} is what {name} enjoys.",
+                            "paraphrased_answer": f"{name} enjoys doing activity number {q}.",  # near-paraphrase (see above)
                             "perturbed_answers": [
                                 f"{name} enjoys activity number {q + d}." for d in (1, 2, 3)
                             ],
