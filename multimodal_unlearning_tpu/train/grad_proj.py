@@ -5,8 +5,13 @@ step — negative (forget, ascent) then positive (retain) — accumulating both
 grad sets, then at the optimizer boundary either
 
 - ``grad_proj``   : g ← g_neg − min(⟨g_neg, g_pos⟩ / ‖g_pos‖², 0) · g_pos
-                    (nlp/grad_proj.py:482-491) — strips the component of the
-                    ascent gradient that *conflicts* with retain descent;
+                    computed PER PARAMETER TENSOR — a separate coefficient for
+                    every ``model.parameters()`` entry (nlp/grad_proj.py:482-491)
+                    — stripping the component of each tensor's ascent gradient
+                    that *conflicts* with retain descent.  On this framework's
+                    stacked ``[L, ...]`` layer leaves that maps to a per-layer
+                    coefficient along axis 0; flat leaves (embeddings, final
+                    norm, lm_head) get a scalar coefficient;
 - ``grad_proj_l2``: adds γ·Σ‖g_neg − g_pos‖² as an extra differentiable loss
                     (nlp/grad_proj.py:493-506).  The reference's tensor
                     bookkeeping aliases both grad dicts to the same buffers;
@@ -49,6 +54,33 @@ def _dot(a, b):
                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
 
+def _is_stacked(path):
+    """True for leaves under the stacked-layers subtree (leading dim = L)."""
+    return any(getattr(k, "key", None) == "layers" for k in path)
+
+
+def _project_leaf(path, n, p):
+    """Reference per-tensor projection (nlp/grad_proj.py:483-491) on one leaf.
+
+    The reference iterates ``model.parameters()`` — one coefficient per HF
+    tensor, i.e. per layer per matrix.  A stacked ``[L, ...]`` leaf therefore
+    gets L independent coefficients (reduced over all axes but 0); a flat
+    leaf gets one.  The ``min(coef, 0)`` clamp is per tensor, so layers whose
+    ascent gradient already agrees with retain descent pass through unchanged
+    while conflicting layers are projected.
+    """
+    n32, p32 = n.astype(jnp.float32), p.astype(jnp.float32)
+    if _is_stacked(path) and n.ndim >= 1:
+        axes = tuple(range(1, n.ndim))
+        inner = jnp.sum(n32 * p32, axis=axes, keepdims=True)
+        denom = jnp.sum(p32 * p32, axis=axes, keepdims=True)
+    else:
+        inner = jnp.sum(n32 * p32)
+        denom = jnp.sum(p32 * p32)
+    coef = jnp.minimum(inner / (denom + 1e-30), 0.0)
+    return (n32 - coef * p32).astype(n.dtype)
+
+
 def make_grad_proj_step(apply_fn, optimizer, *, method: str = "grad_proj", gamma: float = 1.0,
                         ref_behavior: bool = False):
     """Returns jitted step(trainable, opt_state, frozen, batch) → (trainable, opt_state, metrics).
@@ -80,11 +112,9 @@ def make_grad_proj_step(apply_fn, optimizer, *, method: str = "grad_proj", gamma
         g_pos = jax.grad(pos_loss)(trainable, frozen, batch)
 
         if method == "grad_proj":
-            inner = _dot(g_neg, g_pos)
-            denom = _dot(g_pos, g_pos)
-            coef = jnp.minimum(inner / (denom + 1e-30), 0.0)
-            grads = jax.tree.map(lambda n, p: n - coef * p, g_neg, g_pos)
-            metrics = {"inner_product": inner, "coef": coef}
+            grads = jax.tree_util.tree_map_with_path(_project_leaf, g_neg, g_pos)
+            # global diagnostics (the per-tensor coefficients live in `grads`)
+            metrics = {"inner_product": _dot(g_neg, g_pos)}
         elif ref_behavior:  # grad_proj_l2, reference's actual numerics
             grads = g_pos
             metrics = {}
