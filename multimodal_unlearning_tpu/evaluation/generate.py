@@ -132,6 +132,38 @@ def _generate(params, input_ids, attention_mask, pixel_values,
 _AOT_DECODE_CACHE: dict = {}
 
 
+def _relayout_in_place(params, p_formats):
+    """device_put each weight into its executable-preferred format ONE LEAF
+    AT A TIME, deleting the original buffer before moving to the next, and
+    splicing the new array into the caller's (nested-dict) tree.
+
+    Peak extra HBM = one leaf, not the whole tree: a bulk
+    ``tree.map(device_put)`` transiently double-buffers every relayouted
+    weight while the originals are still referenced — ~7 GB of int8 at
+    LLaVA-7B, which OOMs a 16 GB v5e (observed round 3).  Mutating in place
+    also means the relayouted tree IS the caller's tree afterwards, so the
+    AOT cache holds no duplicate copy of the model."""
+    leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+    fmts = jax.tree_util.tree_leaves(
+        p_formats, is_leaf=lambda x: not isinstance(x, dict))
+    moved = {}  # id(original) → relayouted array, for aliased leaves
+    for (path, leaf), fmt in zip(leaves, fmts):
+        new = moved.get(id(leaf))
+        if new is None:
+            new = jax.device_put(leaf, fmt)
+            if new is not leaf:
+                jax.block_until_ready(new)
+                moved[id(leaf)] = new
+                leaf.delete()
+        if new is leaf:
+            continue
+        node = params
+        for k in path[:-1]:
+            node = node[k.key]
+        node[path[-1].key] = new
+    return params
+
+
 def _aot_generate(params, input_ids, attention_mask, pixel_values, static_kw):
     from jax.experimental.layout import Format, Layout
 
@@ -146,10 +178,7 @@ def _aot_generate(params, input_ids, attention_mask, pixel_values, static_kw):
         jitted = jax.jit(fn, in_shardings=(auto, None, None, None))
         compiled = jitted.lower(params, input_ids, attention_mask, pixel_values).compile()
         p_formats = compiled.input_formats[0][0]
-        params_f = jax.tree.map(jax.device_put, params, p_formats)
-        # free the default-layout originals' duplicates lazily via GC; the
-        # caller's tree still references them, so only the executable-side
-        # copies are new — subsequent calls reuse params_f with NO relayout
+        params_f = _relayout_in_place(params, p_formats)
         _AOT_DECODE_CACHE[key] = (compiled, params_f)
         hit = _AOT_DECODE_CACHE[key]
     compiled, params_f = hit
