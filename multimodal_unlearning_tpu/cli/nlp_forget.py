@@ -149,19 +149,33 @@ def run(cfg):
     else:
         control_vec = None
         if loss_name.lower() == "rmu":
-            control_vec = L.make_control_vec(jax.random.PRNGKey(cfg.seed), cfg.batch_size, mcfg.hidden_size)
+            # NLP-trainer RMU: a single (1,1,H) steering vector shared across
+            # the batch (nlp/dataloader.py:336-343) — unlike the MM trainer's
+            # per-sample (B,1,H) vector
+            control_vec = L.make_control_vec(jax.random.PRNGKey(cfg.seed), 1, mcfg.hidden_size)
+        # The NLP reference's L1/L0 block has no l_norm_from switch
+        # (nlp/dataloader.py:461-485): with LoRA it regularizes the raw
+        # adapter params ("zero"), without LoRA the delta from the oracle
+        # ("init" — the forget run starts FROM the oracle ckpt, so init ==
+        # oracle).  "auto" (the default) applies exactly that rule; an
+        # explicit zero/init override is honored.
+        l_norm_from = str(cfg.get("l_norm_from", "auto"))
+        if l_norm_from == "auto":
+            l_norm_from = "zero" if use_lora else "init"
         step_fn = trainer.make_train_step(
             apply_fn, tx, loss_type=effective_loss,
             beta=float(cfg.get("loss_beta", 1.0)),
             l1_lambda=float(cfg.get("l1_lambda", 0.0)),
             l0_lambda=float(cfg.get("l0_lambda", 0.0)),
-            l_norm_from=str(cfg.get("l_norm_from", "zero")),
-            loss_args=SKU_LOSS_ARGS,
+            l_norm_from=l_norm_from,
+            # rmu_nlp / npo_nlp: the NLP trainer's own RMU and NPO numerics
+            # (nlp/dataloader.py:333-358,383-400) — see train/losses.py
+            loss_args={**SKU_LOSS_ARGS, "rmu_nlp": True, "npo_nlp": True},
             dpo_fix=bool(cfg.get("dpo_fix", False)),
             grad_accum=cfg.gradient_accumulation_steps,
             combine=combine,
         )
-        keep_init = (cfg.get("l1_lambda", 0) != 0 or cfg.get("l0_lambda", 0) != 0) and cfg.get("l_norm_from") == "init"
+        keep_init = (cfg.get("l1_lambda", 0) != 0 or cfg.get("l0_lambda", 0) != 0) and l_norm_from == "init"
         state = trainer.create_train_state(trainable, tx, control_vec=control_vec, keep_init=keep_init)
         state, frozen, teacher_params = trainer.shard_train_state(state, frozen, teacher_params, mesh)
         if mesh.shape["tensor"] > 1:

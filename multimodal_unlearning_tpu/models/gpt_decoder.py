@@ -216,7 +216,12 @@ def forward(
     if attention_mask is None:
         attention_mask = jnp.ones((B, S), jnp.int32)
     if positions is None:
-        positions = positions_from_mask(attention_mask)
+        if kv_cache is None:
+            # HF plain-forward convention: arange regardless of padding
+            # (see models/llama.py:forward for the rationale)
+            positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        else:
+            positions = positions_from_mask(attention_mask)
 
     rot = cfg.rotary_dim
     cos, sin = rope_table(cfg.max_position_embeddings, rot, cfg.rope_theta)

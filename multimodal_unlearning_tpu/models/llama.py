@@ -238,7 +238,16 @@ def forward(
     if attention_mask is None:
         attention_mask = jnp.ones((B, S), jnp.int32)
     if positions is None:
-        positions = positions_from_mask(attention_mask)
+        if kv_cache is None:
+            # HF PLAIN-forward convention (training / teacher-forced eval):
+            # positions are arange REGARDLESS of padding — padded rows see
+            # pad-shifted ropes exactly like the torch reference, which is
+            # load-bearing for losses that reduce over pad positions
+            # (nlp/dataloader.py logits2probs view(-1, V) + batchmean)
+            positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        else:
+            # generation (cache present): HF generate's mask-aware positions
+            positions = positions_from_mask(attention_mask)
 
     cos, sin = rope_table(cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta)
     if positions.ndim == 3:  # M-RoPE [3, B, S] (Qwen2-VL)

@@ -212,7 +212,13 @@ def compute_forget_loss(
     elif lt == "rmu":
         assert control_vec is not None, "RMU needs a control vector (see make_control_vec)"
         forget_acts = s_fwd("forget", capture_layer=RMU_LAYER)["captured"]
-        forget_loss = mse(jnp.mean(forget_acts, axis=1), control_vec) * beta
+        if loss_args.get("rmu_nlp"):
+            # NLP-trainer variant (nlp/dataloader.py:333-358): mse over the
+            # RAW [B,S,H] activations (no seq mean) against a (1,1,H)
+            # control vector — unlike the MM trainer's mean(dim=1) form below
+            forget_loss = mse(forget_acts, control_vec) * beta
+        else:
+            forget_loss = mse(jnp.mean(forget_acts, axis=1), control_vec) * beta
         retain_acts = s_fwd("retain", capture_layer=RMU_LAYER)["captured"]
         oracle_retain_acts = t_fwd("retain", capture_layer=RMU_LAYER)["captured"]
         retain_loss = mse(retain_acts, oracle_retain_acts)
@@ -222,7 +228,15 @@ def compute_forget_loss(
     elif lt == "npo":
         forget_p = logits2probs(s_fwd("forget")["logits"])
         oracle_forget_p = logits2probs(t_fwd("forget")["logits"])
-        pi_ratios = forget_p / (oracle_forget_p + 1e-8)
+        if loss_args.get("npo_nlp"):
+            # NLP-trainer variant (nlp/dataloader.py:383-400): the POWER is
+            # applied to the LOG prob-ratio (no epsilon) — numerically
+            # fragile exactly like the reference (negative log-ratios under a
+            # fractional beta → NaN), kept faithfully
+            pi_ratios = jnp.log(forget_p / oracle_forget_p)
+        else:
+            # MM-trainer form (mm/trainer.py:343-353): ratio**beta, +1e-8
+            pi_ratios = forget_p / (oracle_forget_p + 1e-8)
         loss = (2.0 / beta) * jnp.mean(jnp.log1p(pi_ratios**beta))
 
     elif lt == "idk":
@@ -306,7 +320,11 @@ def l_regularization(
     flat = jnp.concatenate(leaves)
     reg = 0.0
     if l1_lambda:
-        reg = reg + l1_lambda * jnp.sum(jnp.abs(flat))
+        # x·sign(x) == |x| in value but carries torch's L1 subgradient:
+        # sign(x) with sign(0) = 0 (jnp.abs would give d|0| = 1, which
+        # diverges from torch exactly on the zero deltas — e.g. layernorm
+        # weights identical between student and oracle)
+        reg = reg + l1_lambda * jnp.sum(flat * jnp.sign(flat))
     if l0_lambda:
         reg = reg + l0_lambda * jnp.sum((flat != 0).astype(jnp.float32))
     return reg

@@ -76,10 +76,13 @@ def stub_reference_deps():
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)
     # mm/eval.py imports its siblings flat (from dataset import ..., from
-    # utils import ...), the hydra-era run layout
-    mm_path = REF_PATH + "/mm"
-    if mm_path not in sys.path:
-        sys.path.append(mm_path)
+    # utils import ...), the hydra-era run layout; nlp/dataloader.py likewise
+    # (from data_module import get_batch_loss).  mm comes first, so its
+    # finetune/forget win the (unimported-here) name collisions.
+    for sub in ("/mm", "/nlp"):
+        p = REF_PATH + sub
+        if p not in sys.path:
+            sys.path.append(p)
 
 
 def load_ref_module(modname: str):
