@@ -91,9 +91,14 @@ def add_value_first_n(data, pos, dims, strength, key=None):
 
 
 def set_rand_noise_first_n(data, pos, dims, strength, key):
+    """The reference assigns its noise_expanded buffer into
+    ``data[:, :, :dims]`` for ALL positions (corrupt.py:214): attack
+    positions get the noise, every OTHER position gets the buffer's zeros —
+    non-attack rows are zeroed in the first dims too.  Kept faithfully."""
     noise = jax.random.normal(key, data.shape, data.dtype) * strength
-    m = _mask3(data, pos) & _first_n_mask(data, dims)
-    return jnp.where(m, noise, data)
+    fn = _first_n_mask(data, dims)
+    pm = _mask3(data, pos)
+    return jnp.where(fn, jnp.where(pm, noise, 0.0), data)
 
 
 def reverse_order(data, pos=None, dims=None, strength=None, key=None):

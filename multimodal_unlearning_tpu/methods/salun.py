@@ -21,28 +21,58 @@ THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
 
 
 def accumulate_saliency(grad_fn, trainable, batches) -> dict:
-    """Sum of |grad| over forget batches; grad_fn(trainable, batch) → grads."""
+    """|Σ grads| over forget batches; grad_fn(trainable, batch) → grads.
+
+    The reference sums the SIGNED per-batch gradients and takes the absolute
+    value once at the end (generate_mask.py:41-49) — NOT Σ|g|; grads that
+    cancel across batches rank low."""
     acc = None
     for batch in batches:
-        g = grad_fn(trainable, batch)
-        g_abs = jax.tree.map(lambda x: jnp.abs(x.astype(jnp.float32)), g)
-        acc = g_abs if acc is None else jax.tree.map(jnp.add, acc, g_abs)
-    return acc
+        g = jax.tree.map(lambda x: x.astype(jnp.float32), grad_fn(trainable, batch))
+        acc = g if acc is None else jax.tree.map(jnp.add, acc, g)
+    return jax.tree.map(jnp.abs, acc)
 
 
 def masks_for_thresholds(saliency, thresholds=THRESHOLDS) -> dict[float, dict]:
-    """Per-tensor top-k binary masks (generate_mask.py:54-85: threshold is the
-    kept fraction per tensor, ranked by accumulated |grad|)."""
+    """Per-tensor top-k binary masks, reference-exact (generate_mask.py:54-85):
+
+    - magnitudes are ranked in FLOAT16 (the reference casts the accumulated
+      |grad| to half before sorting, generate_mask.py:49);
+    - the kept count is ``int(t * numel)`` — TRUNCATION, so small tensors at
+      small thresholds can keep zero entries;
+    - exactly that many entries are set (descending sort order), not
+      everything ≥ the cutoff value — ties at the boundary don't inflate
+      the mask.
+    """
+    def _rows_mask(flat16, t):
+        """Top-int(t·n) per row of [R, n] (rank in fp16, stable descending)."""
+        R, n = flat16.shape
+        k = int(t * n)
+        mask = jnp.zeros((R, n), jnp.float32)
+        if k:
+            order = jnp.argsort(-flat16.astype(jnp.float32), axis=1)
+            mask = mask.at[jnp.arange(R)[:, None], order[:, :k]].set(1.0)
+        return mask
+
     out = {}
     for t in thresholds:
-        def mask_leaf(x):
-            flat = x.reshape(-1)
-            k = max(1, int(round(t * flat.size)))
-            kth = jnp.sort(flat)[-k]
-            return (x >= kth).astype(jnp.float32)
+        def mask_leaf(path, x):
+            # the reference ranks PER model.parameters() TENSOR — on this
+            # framework's stacked [L, ...] layer leaves that is per layer
+            # along axis 0, like train/grad_proj.py's per-tensor coefficients
+            if _is_stacked(path) and x.ndim >= 2:
+                flat = x.reshape(x.shape[0], -1).astype(jnp.float16)
+            else:
+                flat = x.reshape(1, -1).astype(jnp.float16)
+            return _rows_mask(flat, t).reshape(x.shape)
 
-        out[t] = jax.tree.map(mask_leaf, saliency)
+        out[t] = jax.tree_util.tree_map_with_path(mask_leaf, saliency)
     return out
+
+
+def _is_stacked(path):
+    """True for leaves under the stacked-layers subtree (leading dim = L)."""
+    return any(getattr(k, "key", None) == "layers" for k in path)
 
 
 def save_masks(masks: dict[float, dict], out_dir: str):

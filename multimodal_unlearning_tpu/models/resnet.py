@@ -130,16 +130,26 @@ def adms_init(embedding_dim: int, num_classes: int, key):
     return {"weight": w}
 
 
-def adms_logits(head, emb):
-    """Cosine logits: normalized features · normalized prototypes."""
-    w = head["weight"] / (jnp.linalg.norm(head["weight"], axis=0, keepdims=True) + 1e-12)
+def adms_logits(head, emb, *, normalize_w: bool = False):
+    """Margin-head logits: normalized features · prototypes.
+
+    The reference does NOT normalize the weight matrix: its
+    ``for W in self.fc.parameters(): W = F.normalize(W, dim=1)`` rebinds the
+    loop variable and discards the result (cv/AdMSLoss.py:26-27), so ``wf``
+    is x̂ @ Wᵀ with W unnormalized and free to grow during training.
+    ``normalize_w=True`` is the textbook AM-softmax (true cosine logits) —
+    a documented fix, off by default for reference parity."""
+    w = head["weight"]
+    if normalize_w:
+        w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-12)
     e = emb / (jnp.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
     return e @ w
 
 
-def adms_loss(head, emb, labels, s: float = 30.0, m: float = 0.4):
+def adms_loss(head, emb, labels, s: float = 30.0, m: float = 0.4,
+              *, normalize_w: bool = False):
     """Additive-margin softmax loss (cv/AdMSLoss.py:18-35)."""
-    cos = adms_logits(head, emb)
+    cos = adms_logits(head, emb, normalize_w=normalize_w)
     onehot = jax.nn.one_hot(labels, cos.shape[-1])
     margin_cos = cos - onehot * m
     logits = s * margin_cos

@@ -79,7 +79,9 @@ def stub_reference_deps():
     # utils import ...), the hydra-era run layout; nlp/dataloader.py likewise
     # (from data_module import get_batch_loss).  mm comes first, so its
     # finetune/forget win the (unimported-here) name collisions.
-    for sub in ("/mm", "/nlp"):
+    # /methods makes the reference's `eco` package importable (its modules
+    # import each other as `from eco.utils import ...`)
+    for sub in ("/mm", "/nlp", "/methods"):
         p = REF_PATH + sub
         if p not in sys.path:
             sys.path.append(p)

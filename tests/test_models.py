@@ -242,10 +242,15 @@ def test_resnet_adms():
     labels = jnp.asarray([0, 1, 2, 3])
     loss = resnet.adms_loss(head, emb, labels)
     assert np.isfinite(float(loss))
-    # margin loss is higher than plain CE on cosine logits (margin subtracts)
+    # reference default: W unnormalized (cv/AdMSLoss.py:26-27 no-op loop) —
+    # logits are x̂·W, bounded by the column norms, not by 1
     logits = resnet.adms_logits(head, emb)
     assert logits.shape == (4, 10)
-    assert np.abs(np.asarray(logits)).max() <= 1.0 + 1e-5
+    wnorm = np.linalg.norm(np.asarray(head["weight"]), axis=0).max()
+    assert np.abs(np.asarray(logits)).max() <= wnorm + 1e-5
+    # normalize_w=True is the textbook cosine form: bounded by 1
+    cos = resnet.adms_logits(head, emb, normalize_w=True)
+    assert np.abs(np.asarray(cos)).max() <= 1.0 + 1e-5
 
 
 def test_gpt_decoder_generate_int8_cache():
