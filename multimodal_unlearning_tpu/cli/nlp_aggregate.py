@@ -20,9 +20,14 @@ def run(cfg):
         retain.pop(excluded, None)
         ckpt.pop(excluded, None)
 
-    utility = metrics.get_model_utility(ckpt)
+    # the reference CLI's own MU variant (nlp/aggregate_eval_stat.py:40-91),
+    # NOT the shared TOFU copy — see metrics.nlp_get_model_utility
+    utility = metrics.nlp_get_model_utility(ckpt)
     quality = metrics.get_forget_quality(ckpt, retain)
-    row = {"Method": cfg.method_name, "Submitted By": cfg.submitted_by, **utility, **quality}
+    # row shape = reference main (aggregate_eval_stat.py:109-117): utility
+    # keys, then Forget Quality, Method, Submitted By
+    row = {**utility, "Forget Quality": quality["Forget Quality"],
+           "Method": cfg.method_name, "Submitted By": cfg.submitted_by}
 
     with open(cfg.save_file, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(row.keys()))

@@ -1,16 +1,16 @@
 """NLP evaluation entry point (reference: nlp/evaluate_util.py).
 
-4 zipped eval tasks over TOFU-style splits; teacher-forced losses,
-perturbation truth ratios, greedy generation with the question recovered by
-splitting the decoded input at the question end tag ("[/INST]" / "Answer: ",
-nlp/evaluate_util.py:146-185), ROUGE, aggregated JSON.  Weight-reinit
-ablation flag (nlp/evaluate_util.py:398-407) supported.
+4 zipped eval tasks over TOFU-style splits; the per-task engine
+(teacher-forced losses, perturbation truth ratios, greedy generation with
+reference-exact prompt/ground-truth recovery, ROUGE, normalized gt loss)
+lives in ``evaluation.evaluator.nlp_get_all_evals`` — this entry wires data
+loaders, padding, decode options and the aggregated JSON around it.
+Weight-reinit ablation flag (nlp/evaluate_util.py:398-407) supported.
 """
 
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 from pathlib import Path
 
 import jax
@@ -24,7 +24,6 @@ from multimodal_unlearning_tpu.data.loader import DataLoader
 from multimodal_unlearning_tpu.data.nlp import TextDatasetQA, eval_collator
 from multimodal_unlearning_tpu.evaluation import evaluator
 from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
-from multimodal_unlearning_tpu.train.losses import seq_sum_ce
 
 
 def run(cfg):
@@ -89,7 +88,6 @@ def _run(cfg):
         )
         return {"logits": logits[:B]}
 
-    end_tag = tags["question_end_tag"].strip() or "Answer:"
     cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
     gen_mesh = mesh if mesh.shape["tensor"] > 1 else None  # see mm_eval
     aot_layouts = bool(cfg.get("aot_param_layouts", False))  # see mm_eval
@@ -118,25 +116,7 @@ def _run(cfg):
         base_dl = mk_loader(base_ak, max(cfg.batch_size // 4, 1))
         pert_dl = mk_loader(pert_ak, max(cfg.batch_size // 4, 1))
 
-        logs = defaultdict(dict)
-        logs.update(evaluator.eval_perturbation_ratio(base_dl, pert_dl, apply_fn))
-
-        gen_answers, true_ans, all_indices = [], [], []
-        for batch in eval_dl:
-            indices = [int(i) for i in batch.pop("indices")]
-            questions = batch.pop("questions")
-            answers = batch.pop("answers_text")
-
-            out = apply_fn(batch)
-            gt_loss = np.asarray(seq_sum_ce(out["logits"], jnp.asarray(batch["labels"])))
-            num_token_gt = (np.asarray(batch["labels"]) != -100).sum(-1)
-
-            # generation: split decoded input at the question end tag
-            # (nlp/evaluate_util.py:158-170)
-            dec = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
-            q_texts = [
-                s.split(end_tag)[0] + end_tag if end_tag in s else s for s in dec
-            ]
+        def generate_fn(q_texts):
             from multimodal_unlearning_tpu.evaluation.generate import pad_prompts
 
             q_enc = [tok.encode(q, add_special_tokens=True) for q in q_texts]
@@ -151,26 +131,12 @@ def _run(cfg):
                 cache_dtype=cache_dtype, compute_dtype=dtype,
                 mesh=gen_mesh, aot_layouts=aot_layouts,
             )
-            gen_texts = [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B_gen]]
+            return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B_gen]]
 
-            gen_answers.extend(gen_texts)
-            true_ans.extend(answers)
-            all_indices.extend(indices)
-            gt_pt = gt_loss / num_token_gt
-            logs["avg_gt_loss"].update(dict(zip(indices, gt_pt.tolist())))
-            logs["gt_loss"].update(dict(zip(indices, gt_loss.tolist())))
-            logs["num_token_gt"].update(dict(zip(indices, num_token_gt.tolist())))
-            logs["generated_text"].update(dict(zip(indices, zip(q_texts, gen_texts, answers))))
-
-        logs.update(evaluator.eval_rouge_recall(gen_answers, true_ans, all_indices))
-
-        if "eval_log" not in task:
-            normalized = {}
-            for idx, gl in logs["avg_gt_loss"].items():
-                tp = np.exp(-gl)
-                pp = np.exp(-np.asarray(logs["average_perturb_loss"][idx]))
-                normalized[idx] = float(-np.log(tp / (pp.sum() + tp)))
-            logs["normalized_gt_loss"] = normalized
+        logs = evaluator.nlp_get_all_evals(
+            task, eval_dl, base_dl, pert_dl,
+            apply_fn=apply_fn, generate_fn=generate_fn, tok=tok, tags=tags,
+        )
 
         evaluator.save_eval_logs(cfg.save_dir, task, logs)
         aggregated[f"{task}.json"] = logs

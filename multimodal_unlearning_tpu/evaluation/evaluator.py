@@ -176,6 +176,95 @@ def get_all_evals(
     return logs
 
 
+def nlp_split_symbol(tags: dict) -> tuple[str, bool]:
+    """(split_symbol, reappend) of the NLP eval's prompt recovery
+    (nlp/evaluate_util.py:149-155): the reference splits the decoded input at
+    ``" [/INST]"`` for llama2-7b-family models and re-appends the symbol to
+    the prompt; every other family splits at ``"Answer: "`` and does NOT
+    re-append (the model is expected to emit the answer tag itself).
+    Expressed through the registry tags instead of name-prefix matching:
+    an empty answer_tag means the instruction format → (question_end_tag,
+    True); otherwise → (answer_tag, False)."""
+    answer_tag = tags.get("answer_tag", "") or ""
+    if answer_tag:
+        return answer_tag, False
+    return tags.get("question_end_tag", "") or "", True
+
+
+def nlp_get_all_evals(
+    eval_task: str,
+    eval_loader,
+    base_loader,
+    perturb_loader,
+    *,
+    apply_fn,
+    generate_fn,
+    tok,
+    tags: dict,
+    normalize_gt: bool | None = None,
+):
+    """nlp/evaluate_util.py:252-335 — the text-stack eval engine.
+
+    Differs from the MM ``get_all_evals`` above in prompt/ground-truth
+    recovery: the reference derives BOTH from the decoded input split at the
+    family split symbol (``run_generation``, nlp/evaluate_util.py:146-170) —
+    the ROUGE ground truth is the decoded text after the symbol (i.e. the
+    answer as it survived tokenization/truncation), not the dataset answer
+    column.  Rows where the symbol is absent fall back to the row's dataset
+    answer (the reference would IndexError there).
+
+    ``generate_fn(prompt_texts) -> generated_texts`` handles encoding,
+    left-padding and decode; ``normalize_gt`` defaults to the reference
+    main()'s rule (every task except the ``eval_log*`` pair)."""
+    logs = defaultdict(dict)
+    logs.update(eval_perturbation_ratio(base_loader, perturb_loader, apply_fn))
+
+    split_symbol, reappend = nlp_split_symbol(tags)
+    gen_answers, true_ans, all_indices = [], [], []
+    for batch in eval_loader:
+        indices = [int(i) for i in batch.pop("indices")]
+        batch.pop("questions", None)
+        answers = batch.pop("answers_text", [""] * len(indices))
+
+        gt_loss, num_token_gt = _model_losses(apply_fn, batch)
+
+        dec = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
+        q_texts, gts = [], []
+        for s, fallback in zip(dec, answers):
+            parts = s.split(split_symbol) if split_symbol else [s]
+            if len(parts) > 1:
+                q_texts.append(parts[0] + (split_symbol if reappend else ""))
+                gts.append(parts[1])
+            else:
+                q_texts.append(s)
+                gts.append(fallback)
+        gen_texts = generate_fn(q_texts)
+
+        gen_answers.extend(gen_texts)
+        true_ans.extend(gts)
+        all_indices.extend(indices)
+        gt_loss_pt = gt_loss / num_token_gt
+        logs["avg_gt_loss"].update(dict(zip(indices, gt_loss_pt.tolist())))
+        logs["gt_loss"].update(dict(zip(indices, gt_loss.tolist())))
+        logs["num_token_gt"].update(dict(zip(indices, num_token_gt.tolist())))
+        logs["generated_text"].update(
+            dict(zip(indices, zip(q_texts, gen_texts, gts)))
+        )
+
+    logs.update(eval_rouge_recall(gen_answers, true_ans, all_indices))
+
+    if normalize_gt is None:
+        normalize_gt = "eval_log" not in eval_task
+    if normalize_gt:
+        normalized = {}
+        for idx, gl in logs["avg_gt_loss"].items():
+            truth_prob = np.exp(-gl)
+            perturb_prob = np.exp(-np.asarray(logs["average_perturb_loss"][idx]))
+            normalized[idx] = float(-np.log(truth_prob / (perturb_prob.sum() + truth_prob)))
+        logs["normalized_gt_loss"] = normalized
+    return logs
+
+
 def save_eval_logs(save_dir, eval_task, logs) -> str:
     from multimodal_unlearning_tpu.cli.common import rank_suffix
 

@@ -131,6 +131,17 @@ def _generate(params, input_ids, attention_mask, pixel_values,
 # round 2; the copies are also pure HBM-bandwidth waste per call).
 _AOT_DECODE_CACHE: dict = {}
 
+# id(params) of weight trees already device_put into some executable's
+# preferred formats.  A second AOT variant over the same tree (e.g. the
+# int8-KV-cache decode after the bf16-cache one) must NOT lower with AUTO
+# again: lowering AUTO against arrays holding non-default layouts raises,
+# and relayouting to the new executable's preference would invalidate the
+# first executable's cached weight tree.  Instead those compiles pin
+# in_shardings to the weights' CURRENT formats — decode is weight-stream
+# bound, so sharing one layout across variants costs nothing and the tree
+# is never duplicated.
+_AOT_RELAYOUTED: set = set()
+
 
 def _relayout_in_place(params, p_formats):
     """device_put each weight into its executable-preferred format ONE LEAF
@@ -174,11 +185,18 @@ def _aot_generate(params, input_ids, attention_mask, pixel_values, static_kw):
         def fn(p, ids, mask, pix):
             return _generate(p, ids, mask, pix, **static_kw)
 
-        auto = jax.tree.map(lambda _: Format(Layout.AUTO), params)
-        jitted = jax.jit(fn, in_shardings=(auto, None, None, None))
-        compiled = jitted.lower(params, input_ids, attention_mask, pixel_values).compile()
-        p_formats = compiled.input_formats[0][0]
-        params_f = _relayout_in_place(params, p_formats)
+        if id(params) in _AOT_RELAYOUTED:
+            fmts = jax.tree.map(lambda x: x.format, params)
+            jitted = jax.jit(fn, in_shardings=(fmts, None, None, None))
+            compiled = jitted.lower(params, input_ids, attention_mask, pixel_values).compile()
+            params_f = params
+        else:
+            auto = jax.tree.map(lambda _: Format(Layout.AUTO), params)
+            jitted = jax.jit(fn, in_shardings=(auto, None, None, None))
+            compiled = jitted.lower(params, input_ids, attention_mask, pixel_values).compile()
+            p_formats = compiled.input_formats[0][0]
+            params_f = _relayout_in_place(params, p_formats)
+            _AOT_RELAYOUTED.add(id(params))
         _AOT_DECODE_CACHE[key] = (compiled, params_f)
         hit = _AOT_DECODE_CACHE[key]
     compiled, params_f = hit

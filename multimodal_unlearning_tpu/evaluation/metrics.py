@@ -142,6 +142,53 @@ def get_model_utility(eval_result_dict: dict) -> dict:
     return output
 
 
+def nlp_get_model_utility(eval_result_dict: dict) -> dict:
+    """nlp/aggregate_eval_stat.py:40-91 — the NLP aggregator CLI's OWN
+    Model-Utility variant, distinct from the shared TOFU copy above
+    (utils.py:123-179, which nothing in the reference actually calls):
+
+    - keys are ``"Prob. {task}"`` / ``"ROUGE {task}"`` / ``"Truth Ratio
+      {task}"`` (the shared copy uses ``"{task} Probability"`` …);
+    - the truth-ratio statistic is ``exp(mean perturbed LOSS − paraphrase
+      loss)`` — exp of the mean loss gap — where the shared copy takes the
+      MEAN of per-answer probability ratios (mean of exps ≠ exp of mean);
+    - the non-forget clamp is ``max(0, 1 − 1/stat)`` vs ``max(0, 1 − stat)``.
+
+    Key order (ROUGE, Prob., Truth Ratio per task, then Model Utility)
+    reproduces the reference's init-then-overwrite dict so the CSV columns
+    match."""
+    metrics_names = ["ROUGE", "Prob.", "Truth Ratio"]
+    output = {}
+    for k in TOFU_TASK_DICT:
+        for m in metrics_names:
+            output[m + " " + TOFU_TASK_DICT[k]] = []
+
+    for k, res in eval_result_dict.items():
+        task = TOFU_TASK_DICT[k]
+        if "eval_log" in k:
+            avg_gt_prob = np.mean(np.exp(-_vals(res["avg_gt_loss"])))
+        else:
+            true_p = np.exp(-_vals(res["avg_gt_loss"]))
+            false_p = np.exp(-_vals(res["average_perturb_loss"]))
+            all_p = np.concatenate([np.expand_dims(true_p, -1), false_p], axis=1).sum(-1)
+            avg_gt_prob = np.mean(true_p / all_p)
+        output[f"Prob. {task}"] = avg_gt_prob
+
+        output[f"ROUGE {task}"] = _vals(res["rougeL_recall"]).mean()
+
+        para_loss = _vals(res["avg_paraphrased_loss"])
+        pert_loss = _vals(res["average_perturb_loss"]).mean(-1)
+        stat = np.exp(pert_loss - para_loss)
+        if "forget" in k:
+            output[f"Truth Ratio {task}"] = np.mean(np.minimum(stat, 1 / stat))
+        else:
+            output[f"Truth Ratio {task}"] = np.mean(np.maximum(0, 1 - 1 / stat))
+
+    cands = [v for k, v in output.items() if "Forget" not in k]
+    output["Model Utility"] = hmean(cands)
+    return output
+
+
 def get_forget_quality(unlearn_result: dict, retain_result: dict) -> dict:
     """utils.py:182-198 (per-sample mean over perturbed answers)."""
     u = unlearn_result["eval_log_forget.json"]

@@ -62,7 +62,9 @@ def stub_reference_deps():
         mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         return mod
 
-    for name in ("deepspeed", "wandb"):
+    # "evaluate" (HF metrics hub) is only touched by nlp/evaluate_util.py's
+    # eval_bleu at CALL time — an empty module satisfies the import
+    for name in ("deepspeed", "wandb", "evaluate"):
         if name not in sys.modules:
             sys.modules[name] = mk(name)
     if "hydra" not in sys.modules:
@@ -298,6 +300,11 @@ class ByteTokHF:
         self.bt = bt
         self.pad_token_id = bt.pad_token_id
         self.eos_token_id = bt.eos_token_id
+        # string-token surface for nlp run_generation's
+        # ``pad_token = eos_token`` aliasing (nlp/evaluate_util.py:166-167)
+        self.eos_token = "</s>"
+        self.pad_token = "<pad>"
+        self.padding_side = "right"
         self.tokenizer = self  # processor.tokenizer aliases itself
 
     def batch_decode(self, tensors, skip_special_tokens=True):

@@ -147,6 +147,17 @@ def test_greedy_generate_aot_layouts_matches():
     # second call hits the cache (same params identity, same shapes)
     aot2 = greedy_generate(params, cfg, ids, mask, aot_layouts=True, **kw)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(aot2))
+    # a SECOND AOT variant over the same (already-relayouted) weight tree —
+    # e.g. switching KV-cache dtype — must compile against the weights'
+    # current formats (AUTO again would fail to lower and would invalidate
+    # the first executable's weight tree) and still emit matching tokens
+    kw2 = dict(kw, cache_dtype=jnp.bfloat16)
+    plain_c = greedy_generate(params, cfg, ids, mask, **kw2)
+    aot_c = greedy_generate(params, cfg, ids, mask, aot_layouts=True, **kw2)
+    np.testing.assert_array_equal(np.asarray(plain_c), np.asarray(aot_c))
+    # and the FIRST executable still works after the second compile
+    aot3 = greedy_generate(params, cfg, ids, mask, aot_layouts=True, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(aot3))
 
 
 def test_projector_lora_identity_then_changes_and_merges():
