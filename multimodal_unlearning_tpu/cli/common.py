@@ -45,6 +45,20 @@ def rank_suffix() -> str:
     return f"_rank{jax.process_index()}" if jax.process_count() > 1 else ""
 
 
+def max_grad_norm_of(cfg, forget_loss: str | None = None) -> float | None:
+    """The HF TrainingArguments default max_grad_norm=1.0 applies to every
+    reference run — the yaml override is commented out (config/mm/forget.yaml:39,
+    mm/forget.py:151).  ``max_grad_norm: null`` (or 0) disables.  EXCEPTION:
+    the grad-projection trainer never effectively clips — the vendored loop
+    clips param.grad (nlp/grad_proj.py:447-461) and then the projection
+    OVERWRITES it from the unclipped accumulated grads (:483-491), so the
+    stepped direction is unclipped."""
+    if forget_loss and str(forget_loss).startswith("grad_proj"):
+        return None
+    v = cfg.get("max_grad_norm", 1.0)
+    return float(v) if v else None
+
+
 def dtype_of(cfg) -> jnp.dtype:
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(cfg.get("dtype", "bfloat16"))

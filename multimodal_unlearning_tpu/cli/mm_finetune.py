@@ -63,10 +63,20 @@ def run(cfg):
     remat_policy = cfg.get("remat_policy") or None
     attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"
 
+    # vision layers above vision_feature_layer never get grads; torch AdamW
+    # skips grad=None params, so the reference never weight-decays them
+    from multimodal_unlearning_tpu.models import vlm_module
+
+    reach = (
+        (lambda p: vlm_module(kind).reachable_mask(p, mcfg))
+        if kind == "llava" else None
+    )
     tx = optim.make_optimizer(
         cfg.get("optimizer", "adamw"), float(cfg.lr),
         weight_decay=float(cfg.get("weight_decay", 0.0)),
         warmup_steps=max(1, steps_per_epoch), total_steps=max_steps,
+        max_grad_norm=common.max_grad_norm_of(cfg),
+        reachable_mask=reach,
     )
 
     use_lora = cfg.LoRA.r != 0

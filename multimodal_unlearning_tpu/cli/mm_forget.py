@@ -102,6 +102,7 @@ def _run(cfg):
         forget_split=cfg.forget_split,
         forget_loss=cfg.forget_loss,
         seed=cfg.seed,
+        idk_fix=bool(cfg.get("idk_fix", False)),
     )
     collate = partial(processor.collate_forget, max_length=cfg.max_length)
     loader = DataLoader(dataset, cfg.batch_size * common.num_data_devices(mesh) * cfg.gradient_accumulation_steps,
@@ -149,10 +150,21 @@ def _run(cfg):
 
     dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
     warmup = max(1, steps_per_epoch)
+    # LLaVA taps hidden_states[vision_feature_layer]: layers above it get no
+    # grads; torch AdamW skips grad=None params, so the reference never
+    # weight-decays them either (models/llava.py:reachable_mask)
+    from multimodal_unlearning_tpu.models import vlm_module
+
+    reach = (
+        (lambda p: vlm_module(kind).reachable_mask(p, mcfg))
+        if kind == "llava" else None
+    )
     tx = optim.make_optimizer(
         cfg.get("optimizer", "adamw"), float(cfg.lr),
         weight_decay=float(cfg.get("weight_decay", 0.0)),
         warmup_steps=warmup, total_steps=max_steps,
+        max_grad_norm=common.max_grad_norm_of(cfg),
+        reachable_mask=reach,
     )
 
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0

@@ -72,6 +72,7 @@ def run(cfg):
         cfg.get("optimizer", "adamw"), float(cfg.lr),
         weight_decay=float(cfg.get("weight_decay", 0.0)),
         warmup_steps=max(1, steps_per_epoch), total_steps=max_steps,
+        max_grad_norm=common.max_grad_norm_of(cfg),
     )
     use_lora = cfg.LoRA.r != 0
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0

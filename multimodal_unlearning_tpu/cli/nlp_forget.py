@@ -107,6 +107,7 @@ def run(cfg):
     tx = optim.make_optimizer(
         opt_name, float(cfg.lr), weight_decay=float(cfg.get("weight_decay", 0.0)),
         warmup_steps=max(1, steps_per_epoch), total_steps=max_steps,
+        max_grad_norm=common.max_grad_norm_of(cfg, cfg.forget_loss),
     )
 
     scale = lora_mod.lora_scale(cfg.LoRA.r, cfg.LoRA.alpha) if use_lora else 0.0

@@ -278,7 +278,7 @@ class MMMixedForgetDataset:
     def __init__(
         self, forget_data_path, retain_data_path, forget_loss, retain_split, forget_split,
         caption_key="caption", image_key="image", question_key="question", answer_key="answer",
-        seed: int = 0,
+        seed: int = 0, idk_fix: bool = False,
     ):
         from multimodal_unlearning_tpu.train.losses import batch_return_pairs
 
@@ -288,6 +288,12 @@ class MMMixedForgetDataset:
         self.ik, self.ck, self.qk, self.ak = image_key, caption_key, question_key, answer_key
         self.seed = seed
         self.epoch = 0
+        # mm/dataset.py:266 builds idk_itm (substituted answer) then formats
+        # forget_itm anyway — the reference's MM idk split IS the forget
+        # split.  Default replicates that (quirk-flag convention, like
+        # dpo_fix); idk_fix=True formats the substituted item — the NLP
+        # stack's behavior (nlp/data_module.py:87-90).
+        self.idk_fix = idk_fix
         self.idk_answers = load_idk_answers() if "idk" in self.return_pairs else None
 
     def set_epoch(self, epoch: int):
@@ -322,10 +328,12 @@ class MMMixedForgetDataset:
         if "forget" in self.return_pairs:
             res["forget"] = fmt(forget_itm)
         if "idk" in self.return_pairs:
+            # two rng draws happen regardless of the flag so the stream (and
+            # thus every other split) is flag-independent
             idk_itm = dict(forget_itm)
             idk_itm[self.ak] = rng.choice(self.idk_answers)
             idk_itm[self.ck] = rng.choice(self.idk_answers)
-            res["idk"] = fmt(idk_itm)
+            res["idk"] = fmt(idk_itm if self.idk_fix else forget_itm)
         if "random" in self.return_pairs:
             K = 3
             question = res["forget"]["question"]

@@ -154,7 +154,8 @@ def init_params(cfg: GptConfig, key, dtype=jnp.float32) -> dict:
 
 
 def layer_norm(x, p, eps):
-    x32 = x.astype(jnp.float32)
+    # promote, never demote (torch nn.LayerNorm runs in native dtype)
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     y = (x32 - mu) * jax.lax.rsqrt(var + eps)
@@ -198,12 +199,14 @@ def forward(
     remat_policy: str | None = None,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
-    logits_dtype=jnp.float32,
+    logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     return_hidden: bool = False,
     last_logit_only: bool = False,
     mesh=None,
 ):
     """Decoder forward; same modes/contract as models/llama.py:forward."""
+    if logits_dtype is None:
+        logits_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     if inputs_embeds is None:
         et = params["embed_tokens"]
         if isinstance(et, dict):  # quantized embedding table
@@ -224,7 +227,10 @@ def forward(
             positions = positions_from_mask(attention_mask)
 
     rot = cfg.rotary_dim
-    cos, sin = rope_table(cfg.max_position_embeddings, rot, cfg.rope_theta)
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, rot, cfg.rope_theta,
+        dtype=jnp.promote_types(compute_dtype, jnp.float32),  # f32 unless f64 parity
+    )
 
     def rope_partial(t):
         if rot == cfg.head_dim:
@@ -282,10 +288,10 @@ def forward(
             if cfg.gated_mlp:
                 gate = proj("gate_proj", h_mlp)
                 up = proj("up_proj", h_mlp)
-                ff = act(gate.astype(jnp.float32)).astype(x.dtype) * up
+                ff = act(gate.astype(jnp.promote_types(gate.dtype, jnp.float32))).astype(x.dtype) * up
                 return proj("down_proj", ff)
             ff = proj("fc1", h_mlp, "fc1_bias")
-            ff = act(ff.astype(jnp.float32)).astype(x.dtype)
+            ff = act(ff.astype(jnp.promote_types(ff.dtype, jnp.float32))).astype(x.dtype)
             return proj("fc2", ff, "fc2_bias")
 
         if cfg.residual == "parallel":

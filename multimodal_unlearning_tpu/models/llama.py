@@ -104,7 +104,10 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> dict:
 
 
 def rms_norm(x, weight, eps):
-    x32 = x.astype(jnp.float32)
+    # promote, never demote: bf16 → f32 exactly like HF LlamaRMSNorm's
+    # .to(torch.float32); f64 parity runs stay f64 (the torch side is run
+    # f64-native there — tests/test_reference_parity_optim.py)
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
 
@@ -207,7 +210,7 @@ def forward(
     remat_policy: str | None = None,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
-    logits_dtype=jnp.float32,
+    logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     return_hidden: bool = False,
     last_logit_only: bool = False,
     mesh=None,
@@ -226,6 +229,8 @@ def forward(
 
     Returns dict(logits, kv_cache, captured, hidden).
     """
+    if logits_dtype is None:
+        logits_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     if inputs_embeds is None:
         et = params["embed_tokens"]
         if isinstance(et, dict):  # quantized embedding table
@@ -249,7 +254,10 @@ def forward(
             # generation (cache present): HF generate's mask-aware positions
             positions = positions_from_mask(attention_mask)
 
-    cos, sin = rope_table(cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(
+        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+        dtype=jnp.promote_types(compute_dtype, jnp.float32),  # f32 unless f64 parity
+    )
     if positions.ndim == 3:  # M-RoPE [3, B, S] (Qwen2-VL)
         from multimodal_unlearning_tpu.ops.rope import mrope_select
 
@@ -355,7 +363,8 @@ def forward(
         else:
             gate = proj("gate_proj", h_mlp)
             up = proj("up_proj", h_mlp)
-        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        # promote, never demote (torch act_fn runs in native dtype; f64 parity)
+        ff = jax.nn.silu(gate.astype(jnp.promote_types(gate.dtype, jnp.float32))).astype(x.dtype) * up
         ff = checkpoint_name(ff, "ffn_pre_down")
         x = x + dense(
             ff, lp["down_proj"],

@@ -64,6 +64,33 @@ def init_params(cfg: LlavaConfig, key, dtype=jnp.float32) -> dict:
     }
 
 
+def reachable_mask(params: dict, cfg: LlavaConfig) -> dict:
+    """Per-leaf 1/0 factors marking params the loss actually reaches.
+
+    LLaVA selects ``hidden_states[vision_feature_layer]`` (HF default -2,
+    config/model_config.yaml), so vision blocks at or above the cutoff never
+    receive gradients; torch leaves their ``.grad`` as None and
+    torch.optim.AdamW then skips them entirely — including weight decay.
+    A functional optimizer sees exact-zero grads instead and would decay
+    them every step (≈ lr·wd·w per step of silent divergence).  Feed this
+    into ``optim.make_optimizer(reachable_mask=...)``.  Stacked-layer leaves
+    get an [L,1,..] vector, everything else scalar True."""
+    L = cfg.vision.num_layers
+    cut = (L + 1 + cfg.vision_feature_layer) if cfg.vision_feature_layer < 0 \
+        else cfg.vision_feature_layer
+    used = jnp.arange(L) < cut
+
+    def leaf_mask(path, leaf):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if keys[:2] == ["vision_tower", "layers"]:
+            return used.astype(jnp.float32).reshape((L,) + (1,) * (leaf.ndim - 1))
+        if keys[:2] == ["vision_tower", "post_ln"]:
+            return False  # CLIP post_layernorm only feeds pooled output
+        return True
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
 def project(params, feats, lora=None, lora_scale: float = 0.0):
     def dense(x, name):
         y = x @ params[name].astype(x.dtype) + params[f"{name}_bias"]
@@ -73,7 +100,12 @@ def project(params, feats, lora=None, lora_scale: float = 0.0):
         return y
 
     h = dense(feats, "fc1")
-    h = jax.nn.gelu(h.astype(jnp.float32)).astype(feats.dtype)
+    # exact (erf) gelu: HF ACT2FN["gelu"] is torch.nn.GELU(approximate="none")
+    # (projector_hidden_act="gelu", LlavaConfig) — jax's default is the tanh
+    # approximation, a different function (~1e-3 abs), not an fp-noise matter
+    h = jax.nn.gelu(
+        h.astype(jnp.promote_types(h.dtype, jnp.float32)), approximate=False
+    ).astype(feats.dtype)
     return dense(h, "fc2")
 
 
@@ -107,7 +139,7 @@ def forward(
     remat_policy: str | None = None,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
-    logits_dtype=jnp.float32,
+    logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     last_logit_only: bool = False,
     mesh=None,
 ):

@@ -98,8 +98,10 @@ def merge_flat(flat_params: dict, lora: dict, scale: float) -> dict:
     out = dict(flat_params)
     for name, ab in lora.items():
         w = out[name]
-        delta = ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32)
-        out[name] = (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+        # promote, never demote: bf16 adapters fold in f32, f64 stays f64
+        acc = jnp.promote_types(ab["a"].dtype, jnp.float32)
+        delta = ab["a"].astype(acc) @ ab["b"].astype(acc)
+        out[name] = (w.astype(acc) + scale * delta).astype(w.dtype)
     return out
 
 
@@ -134,7 +136,9 @@ def merge(params: dict, lora: dict, scale: float) -> dict:
     merged_layers = dict(merged["layers"])
     for name, ab in lora.get("layers", {}).items():
         w = merged_layers[name]
-        delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32), ab["b"].astype(jnp.float32))
-        merged_layers[name] = (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+        # promote, never demote: bf16 adapters fold in f32, f64 stays f64
+        acc = jnp.promote_types(ab["a"].dtype, jnp.float32)
+        delta = jnp.einsum("lir,lro->lio", ab["a"].astype(acc), ab["b"].astype(acc))
+        merged_layers[name] = (w.astype(acc) + scale * delta).astype(w.dtype)
     merged["layers"] = merged_layers
     return merged

@@ -235,7 +235,9 @@ def vision_forward(
     y = layer_norm(x, m["ln_q"], cfg.layer_norm_eps)
     y = y.reshape(B, N // cfg.spatial_merge_size**2, cfg.merge_dim)
     y = dense(y, "fc1")
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    y = jax.nn.gelu(
+        y.astype(jnp.promote_types(y.dtype, jnp.float32)), approximate=False
+    ).astype(x.dtype)
     return dense(y, "fc2")
 
 
@@ -293,7 +295,7 @@ def forward(
     remat_policy: str | None = None,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
-    logits_dtype=jnp.float32,
+    logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     mesh=None,
     last_logit_only: bool = False,
 ):

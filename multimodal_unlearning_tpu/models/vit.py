@@ -90,7 +90,8 @@ def init_params(cfg: VitConfig, key, dtype=jnp.float32) -> dict:
 
 
 def layer_norm(x, p, eps):
-    x32 = x.astype(jnp.float32)
+    # promote, never demote (torch nn.LayerNorm runs in native dtype)
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
@@ -98,7 +99,9 @@ def layer_norm(x, p, eps):
 
 
 def quick_gelu(x):
-    return x * jax.nn.sigmoid(1.702 * x.astype(jnp.float32)).astype(x.dtype)
+    return x * jax.nn.sigmoid(
+        1.702 * x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    ).astype(x.dtype)
 
 
 def patchify(pixel_values, patch_size: int):

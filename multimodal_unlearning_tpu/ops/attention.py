@@ -89,7 +89,10 @@ def mha_reference(q, k, v, kv_mask=None, *, causal=False, q_offset=0, sm_scale=N
     if group > 1:
         k = jnp.repeat(k, group, axis=1)
         v = jnp.repeat(v, group, axis=1)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * sm_scale
+    # promote — never demote: bf16 runs in fp32 (torch sdpa upcasts its
+    # softmax too), f64 parity runs (vs torch sdpa in f64) stay exact
+    acc_t = jnp.promote_types(q.dtype, jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(acc_t), k.astype(acc_t)) * sm_scale
     mask = jnp.ones((B, 1, Sq, k.shape[2]), dtype=bool)
     if kv_mask is not None:
         mask &= kv_mask[:, None, None, :].astype(bool)
@@ -102,7 +105,7 @@ def mha_reference(q, k, v, kv_mask=None, *, causal=False, q_offset=0, sm_scale=N
     # fully-masked rows: softmax over -inf row is uniform garbage; zero it
     any_valid = mask.any(axis=-1, keepdims=True)
     p = jnp.where(any_valid, p, 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(acc_t))
     return out.astype(q.dtype)
 
 

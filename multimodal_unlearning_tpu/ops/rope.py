@@ -11,10 +11,15 @@ import jax.numpy as jnp
 
 
 def rope_table(max_len: int, head_dim: int, theta: float = 10000.0, dtype=jnp.float32):
-    """Precompute (cos, sin) tables of shape [max_len, head_dim]."""
+    """Precompute (cos, sin) tables of shape [max_len, head_dim].
+
+    ``inv_freq`` is always computed in f32 (HF registers it as an f32 buffer);
+    the angles and cos/sin run in ``dtype`` — f32 matches HF's forced-f32
+    rotary (LlamaRotaryEmbedding.forward autocast-disabled block), f64 is for
+    roundoff-exact parity runs where the torch side's rotary is run in f64."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
-    t = jnp.arange(max_len, dtype=jnp.float32)
-    freqs = jnp.outer(t, inv_freq)  # [L, D/2]
+    t = jnp.arange(max_len, dtype=dtype)
+    freqs = jnp.outer(t, inv_freq.astype(dtype))  # [L, D/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # [L, D]
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 

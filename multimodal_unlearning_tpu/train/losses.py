@@ -64,7 +64,9 @@ def _token_nll(logits, labels):
     lg, lb = shift(logits, labels)
     valid = lb != -100
     lb_safe = jnp.where(valid, lb, 0)
-    lg32 = lg.astype(jnp.float32)
+    # promote — never demote — so bf16 logits get fp32 math while f64
+    # parity runs (tests/test_reference_parity*.py) stay roundoff-exact
+    lg32 = lg.astype(jnp.promote_types(lg.dtype, jnp.float32))
     lse = jax.scipy.special.logsumexp(lg32, axis=-1)
     ll = jnp.take_along_axis(lg32, lb_safe[..., None], axis=-1)[..., 0]
     nll = lse - ll
@@ -85,12 +87,16 @@ def seq_sum_ce(logits, labels):
 
 def logits2logprobs(logits):
     """logits2probs(log=True): [B,S,V] → [B·S, V] log-softmax."""
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp = jax.nn.log_softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1
+    )
     return lp.reshape(-1, lp.shape[-1])
 
 
 def logits2probs(logits):
-    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    p = jax.nn.softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1
+    )
     return p.reshape(-1, p.shape[-1])
 
 
@@ -314,7 +320,10 @@ def l_regularization(
         if init_flat is None
         else jax.tree.map(lambda a, b: a - b, trainable_flat, init_flat)
     )
-    leaves = [x.reshape(-1).astype(jnp.float32) for x in jax.tree.leaves(delta)]
+    leaves = [
+        x.reshape(-1).astype(jnp.promote_types(x.dtype, jnp.float32))
+        for x in jax.tree.leaves(delta)
+    ]
     if not leaves:
         return 0.0
     flat = jnp.concatenate(leaves)

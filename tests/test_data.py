@@ -107,9 +107,11 @@ def test_forget_dataset_policies():
 
 def test_idk_substitution_actually_substitutes():
     """The reference builds idk_itm then passes forget_itm (mm/dataset.py:266)
-    — a bug we deliberately fix: idk answers must come from the corpus."""
+    — its MM idk split IS the forget split.  The default replicates that
+    (tests/test_reference_parity_data.py proves it differentially);
+    idk_fix=True applies the substitution the NLP stack does."""
     idk = set(a for a in load_idk_answers())
-    ds = MMMixedForgetDataset("synthetic", "synthetic", "dpo", "retain90", "forget10", seed=0)
+    ds = MMMixedForgetDataset("synthetic", "synthetic", "dpo", "retain90", "forget10", seed=0, idk_fix=True)
     hits = 0
     for i in range(min(6, len(ds))):
         ans = ds[i]["idk"]["answer"]
