@@ -12,7 +12,10 @@ variant so bench.py can pin the fastest configuration.  Variants:
              reference sweep (run_exps.py:92-103), 1-2 extra 7B forwards.
 
 Usage: python examples/perf_sweep.py [variant ...]
-  variant = "<precision>:<remat>[:<loss>]", default sweep list below.
+  variant = "<precision>:<remat>[:<loss>][:s<seqlen>]", default sweep list
+  below.  The optional trailing "s<seqlen>" field (e.g. ":s2048") moves the
+  op point off the default S=768 — config/mm/forget.yaml's max_length cap
+  is 2048, so ":s2048" is the literal config-cap operating point.
 """
 
 import os
@@ -26,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce"):
+def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce", seq=768):
     from multimodal_unlearning_tpu.cli.common import build_model_config
     from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
     from multimodal_unlearning_tpu.config import get_model_identifiers
@@ -38,7 +41,7 @@ def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce"):
     model_cfg = get_model_identifiers("llava")
     mcfg = build_model_config(model_cfg)
     dtype = jnp.bfloat16
-    B, S = 2, 768
+    B, S = 2, seq
     n_img = mcfg.num_image_tokens
     img_size = mcfg.vision.image_size
 
@@ -118,9 +121,13 @@ def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce"):
 def run_variant(name):
     parts = name.split(":")
     precision, remat_policy = parts[0], parts[1]
-    loss = parts[2] if len(parts) > 2 else "grad_diff_forget_ce_retain_ce"
+    seq = 768
+    rest = parts[2:]
+    if rest and rest[-1].startswith("s") and rest[-1][1:].isdigit():
+        seq = int(rest.pop()[1:])
+    loss = rest[0] if rest else "grad_diff_forget_ce_retain_ce"
     try:
-        step, state, params, teacher, batch, flops = build(precision, remat_policy, loss)
+        step, state, params, teacher, batch, flops = build(precision, remat_policy, loss, seq)
         t_c0 = time.perf_counter()
         state, metrics = step(state, params, teacher, batch)
         loss0 = float(metrics["loss"])

@@ -237,6 +237,14 @@ def make_tail_padder(batch_size: int):
     size ``batch_size // 4`` when the tail is at least that small.  Callers
     slice outputs back to the true row count.
 
+    Batches LARGER than ``batch_size`` also pass through here: the flattened
+    perturb batch is ``(batch_size // 4) × num_perturbed`` rows (mm/eval.py's
+    ``bsz * num_seq``), which exceeds ``batch_size`` whenever there are more
+    than 4 perturbed answers per sample (CLEAR/TOFU ship 5).  Those round up
+    to the next multiple of the small batch — a steady shape per loader, so
+    the jit-shape set stays bounded — never down (a downward target used to
+    feed ``np.repeat`` a negative count).
+
     Returns ``(pad_rows, target)`` where ``pad_rows(a, to)`` pads array ``a``
     (None passes through) and ``target(B)`` picks the padded size for a
     tail of ``B`` rows.
@@ -251,7 +259,11 @@ def make_tail_padder(batch_size: int):
         return np.concatenate([a, np.repeat(a[-1:], to - len(a), axis=0)])
 
     def target(B):
-        return small if B <= small else batch_size
+        if B <= small:
+            return small
+        if B <= batch_size:
+            return batch_size
+        return -(-B // small) * small
 
     return pad_rows, target
 

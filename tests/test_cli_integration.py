@@ -135,6 +135,50 @@ def test_mm_eval_single_task(ft_dir, tmp_path):
     json.loads(path.read_text())
 
 
+def test_mm_eval_generate_with_images(ft_dir, tmp_path):
+    """generate_with_images=true: generation conditions on the REAL prompt
+    (expanded image tokens + question, the -100-labeled span) instead of the
+    reference's re-tokenized text-only question (mm/eval.py:120-124 quirk).
+    The path must produce one generation per row and valid image prompts."""
+    from multimodal_unlearning_tpu.cli import mm_eval
+
+    cfg = _cfg(
+        "mm", "eval",
+        model_family="tiny-llava-test", model_path=str(ft_dir),
+        processor_path=None, save_dir=str(tmp_path / "eval_gwi"),
+        # batch_size=2 < the per-sample perturbed-answer count: the flattened
+        # perturb batch (small_bs × num_seq) EXCEEDS batch_size, exercising
+        # the tail padder's round-up (a downward target crashed here once)
+        ds_size=6, batch_size=2, max_length=256, dtype="float32",
+        eval_task_ids=[2], generate_with_images=True,
+    )
+    dict.__setitem__(cfg, "data_path", ["synthetic:n_persons=80,qa_per_person=8"] * 6)
+    dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
+    logs = mm_eval.run(cfg)["eval_log_forget.json"]
+    gen = logs["generated_text"]
+    assert len(gen) == 6
+    for _q, g, _a in gen.values():
+        assert isinstance(g, str)
+    assert all(np.isfinite(v) for v in logs["avg_gt_loss"].values())
+
+
+def test_tail_padder_targets():
+    """make_tail_padder: tails pad up to {small, batch_size}; batches LARGER
+    than batch_size (flattened perturb batches, small_bs × num_perturbed)
+    round UP to a multiple of small — never down (np.repeat negative-count
+    regression, found driving mm_eval at batch_size=2)."""
+    from multimodal_unlearning_tpu.cli.common import make_tail_padder
+
+    pad, target = make_tail_padder(8)  # small = 2
+    assert target(1) == 2 and target(2) == 2
+    assert target(3) == 8 and target(8) == 8
+    assert target(10) == 10  # 2 × 5 CLEAR perturbed answers: passthrough
+    assert target(9) == 10
+    a = np.arange(9 * 3).reshape(9, 3)
+    p = pad(a, 10)
+    assert p.shape == (10, 3) and (p[-1] == a[-1]).all() and (p[:9] == a).all()
+
+
 def test_mm_eval_int8_decode(tmp_path):
     """quantize_base eval (int8 decoder weights ≈ 2x HBM-bound decode rate):
     the quantized run's teacher-forced losses track the dense run's."""
