@@ -164,7 +164,13 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 
 def _cache_write(cache, k, v, layer_id, offset):
     """Write [B,H,S,D] k/v into the stacked cache carry at (layer, offset),
-    quantizing on the fly when the cache is int8."""
+    quantizing on the fly when the cache is int8.
+
+    ``offset`` may be a per-row [B] vector (continuous-batching decode:
+    every slot sits at its own sequence position — serve/engine.py); that
+    path is single-token (S == 1) and scatters one column per row."""
+    if isinstance(offset, jnp.ndarray) and offset.ndim == 1:
+        return _cache_write_per_row(cache, k, v, layer_id, offset)
     if cache["k"].dtype == jnp.int8:
         k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
@@ -183,6 +189,33 @@ def _cache_write(cache, k, v, layer_id, offset):
             cache["k"], k.astype(cache["k"].dtype)[None], (layer_id, 0, 0, offset, 0)),
         "v": jax.lax.dynamic_update_slice(
             cache["v"], v.astype(cache["v"].dtype)[None], (layer_id, 0, 0, offset, 0)),
+    }
+
+
+def _cache_write_per_row(cache, k, v, layer_id, offset):
+    """Single-token cache write at a DIFFERENT column per row: k/v are
+    [B,H,1,D], ``offset`` is [B].  One scatter per tensor — the batched
+    analog of the dynamic_update_slice path."""
+    B = k.shape[0]
+    rows = jnp.arange(B)
+    if cache["k"].dtype == jnp.int8:
+        k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        k_q = jnp.round(k.astype(jnp.float32) / jnp.maximum(k_s, 1e-12)).astype(jnp.int8)
+        v_q = jnp.round(v.astype(jnp.float32) / jnp.maximum(v_s, 1e-12)).astype(jnp.int8)
+        # advanced indices (rows, offset) split by the head slice broadcast
+        # to the FRONT: target block is [B, H, D] / scales [B, H]
+        return {
+            "k": cache["k"].at[layer_id, rows, :, offset, :].set(k_q[:, :, 0, :]),
+            "v": cache["v"].at[layer_id, rows, :, offset, :].set(v_q[:, :, 0, :]),
+            "k_s": cache["k_s"].at[layer_id, rows, :, 0, offset].set(k_s[:, :, 0, 0]),
+            "v_s": cache["v_s"].at[layer_id, rows, :, 0, offset].set(v_s[:, :, 0, 0]),
+        }
+    return {
+        "k": cache["k"].at[layer_id, rows, :, offset, :].set(
+            k.astype(cache["k"].dtype)[:, :, 0, :]),
+        "v": cache["v"].at[layer_id, rows, :, offset, :].set(
+            v.astype(cache["v"].dtype)[:, :, 0, :]),
     }
 
 

@@ -1,0 +1,3 @@
+from multimodal_unlearning_tpu.serve.engine import Request, ServingEngine
+
+__all__ = ["Request", "ServingEngine"]

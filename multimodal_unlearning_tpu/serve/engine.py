@@ -1,0 +1,328 @@
+"""Continuous-batching serving engine (beyond-reference).
+
+The reference stack serves its unlearned checkpoints through HF
+``model.generate`` one batch at a time (mm/eval.py:126-133): a batch
+admits requests together and releases them together, so one long answer
+stalls every finished row, and new requests wait for the whole batch to
+drain.  Production serving wants *iteration-level* (continuous) batching:
+a fixed pool of decode slots, each slot at its own sequence position,
+with finished slots refilled from the queue between decode steps.
+
+TPU-first design — everything static-shape, three compiled programs:
+
+- ``prefill+insert`` (one per prompt-length bucket): runs the prompt
+  through the model into a fresh [L,1,H,Sp,D] cache slab, then scatters
+  the slab, validity row, and slot metadata into the engine state at a
+  traced slot index.  Donated state -> in-place update, no cache copy.
+- ``decode_chunk``: ``lax.scan`` over T single-token steps for ALL slots
+  at once.  Every slot sits at a different column, so the KV write is a
+  per-row scatter (models/llama.py:_cache_write_per_row) and positions /
+  validity are per-row vectors — the flash-decode kernel already reads
+  the cache through a [B,Smax] validity mask, so mixed-progress slots
+  cost nothing extra.
+- the state (cache + slot metadata) is created INSIDE ``init`` and only
+  ever flows program->program: it never crosses to host, so XLA keeps one
+  buffer in its preferred layout (evaluation/generate.py header explains
+  why host-created caches relayout-copy).
+
+The host loop (``ServingEngine.run``) is pure bookkeeping: fill free
+slots, fire a chunk, scatter the emitted tokens to their requests, retire
+finished slots.  Token emission order within a chunk is deterministic, so
+an engine drain is reproducible.
+
+Greedy decoding matches evaluation/generate.py:greedy_generate token for
+token (tests/test_serve.py asserts exact agreement per request).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_unlearning_tpu.models import decoder_module, vlm_module
+
+
+@dataclass
+class Request:
+    """One generation request: prompt token ids -> generated token ids."""
+
+    uid: int
+    prompt_ids: list
+    max_new_tokens: int
+    pixel_values: np.ndarray | None = None
+    tokens: list = field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+class ServingEngine:
+    """Fixed-slot continuous-batching engine over one model.
+
+    Args:
+      params / model_cfg / kind: as returned by cli.common.init_or_load_params.
+      num_slots: decode batch width B (static).
+      max_len: per-slot cache length Smax (static; prompt + new tokens must
+        fit — longer submissions are rejected).
+      chunk: decode steps per dispatch (static; emission latency bound).
+      bucket_multiple: prompt lengths round up to this, bounding the number
+        of prefill executables.
+    """
+
+    def __init__(
+        self,
+        params,
+        model_cfg,
+        kind: str,
+        *,
+        num_slots: int = 8,
+        max_len: int = 2048,
+        chunk: int = 16,
+        bucket_multiple: int = 128,
+        pad_token_id: int = 0,
+        eos_token_id: int | None = None,
+        cache_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        mesh=None,
+    ):
+        if attn_impl == "auto":
+            attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.params = params
+        self.model_cfg = model_cfg
+        self.kind = kind
+        self.is_vlm = kind in ("llava", "qwen2_vl") or hasattr(model_cfg, "decoder")
+        self.dec_cfg = model_cfg.decoder if self.is_vlm else model_cfg
+        self.B = num_slots
+        self.smax = _bucket(max_len, 128)
+        self.chunk = chunk
+        self.bucket_multiple = bucket_multiple
+        self.pad_id = pad_token_id
+        self.eos = -1 if eos_token_id is None else eos_token_id
+        self.cache_dtype = cache_dtype
+        self.compute_dtype = compute_dtype
+        self.attn_impl = attn_impl
+        self.mesh = mesh
+
+        self._queue: list[Request] = []
+        self._slot_req: list[Request | None] = [None] * self.B
+        self._free = list(range(self.B))
+        self._uid = 0
+        self._state = None
+        self._insert_cache: dict[int, callable] = {}
+        self._decode_fn = None
+
+    # ------------------------------------------------------------------ jit
+    def _fwd(self, params):
+        if self.is_vlm:
+            return partial(
+                vlm_module(self.kind).forward, params, self.model_cfg,
+                attn_impl=self.attn_impl, compute_dtype=self.compute_dtype,
+                mesh=self.mesh,
+            )
+        return partial(
+            decoder_module(self.dec_cfg).forward, params, self.model_cfg,
+            attn_impl=self.attn_impl, compute_dtype=self.compute_dtype,
+            mesh=self.mesh,
+        )
+
+    def _init_state(self):
+        dec = decoder_module(self.dec_cfg)
+
+        @jax.jit
+        def init():
+            cache = dec.init_kv_cache(self.dec_cfg, self.B, self.smax, dtype=self.cache_dtype)
+            z = jnp.zeros((self.B,), jnp.int32)
+            return {
+                "cache": cache,
+                "kv_valid": jnp.zeros((self.B, self.smax), jnp.int32),
+                "write_col": z,          # next cache column per slot
+                "pos_next": z,           # next rope position per slot
+                "token": z,              # last emitted token per slot
+                "remaining": z,          # decode-step budget per slot
+                "rope_delta": z,         # qwen2-vl M-RoPE decode offset
+                "live": jnp.zeros((self.B,), bool),
+            }
+
+        return init()
+
+    def _insert_fn(self, sp: int, with_pixels: bool):
+        """Compiled prefill+insert for prompt bucket ``sp``."""
+        hit = self._insert_cache.get((sp, with_pixels))
+        if hit is not None:
+            return hit
+        dec = decoder_module(self.dec_cfg)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_insert(params, state, ids, mask, pix, slot, max_new):
+            fwd = self._fwd(params)
+            slab = dec.init_kv_cache(self.dec_cfg, 1, sp, dtype=self.cache_dtype)
+            kw = dict(
+                attention_mask=mask,
+                kv_cache=slab, cache_offset=0, kv_valid_mask=mask,
+            )
+            if self.is_vlm:
+                kw["pixel_values"] = pix
+            out = fwd(ids, last_logit_only=True, **kw)
+            slab = out["kv_cache"]
+            first = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+
+            cache = dict(state["cache"])
+            for key in cache:
+                at = (0, slot, 0, 0, 0)
+                cache[key] = jax.lax.dynamic_update_slice(cache[key], slab[key], at)
+            row = jnp.zeros((1, self.smax), jnp.int32).at[:, :sp].set(mask)
+            finished_now = (first[0] == self.eos) if self.eos >= 0 else jnp.array(False)
+            state = {
+                "cache": cache,
+                "kv_valid": jax.lax.dynamic_update_slice(state["kv_valid"], row, (slot, 0)),
+                "write_col": state["write_col"].at[slot].set(sp),
+                "pos_next": state["pos_next"].at[slot].set(jnp.sum(mask[0]).astype(jnp.int32)),
+                "token": state["token"].at[slot].set(first[0]),
+                "remaining": state["remaining"].at[slot].set(
+                    jnp.where(finished_now, 0, max_new - 1)),
+                "rope_delta": state["rope_delta"].at[slot].set(
+                    out["rope_delta"][0].astype(jnp.int32)
+                    if "rope_delta" in out and out.get("rope_delta") is not None
+                    else 0),
+                "live": state["live"].at[slot].set(~finished_now & (max_new - 1 > 0)),
+            }
+            return state, first[0]
+
+        self._insert_cache[(sp, with_pixels)] = prefill_insert
+        return prefill_insert
+
+    def _decode(self):
+        if self._decode_fn is not None:
+            return self._decode_fn
+        B, eos, pad = self.B, self.eos, self.pad_id
+        is_qwen = self.kind == "qwen2_vl"
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
+        def decode_chunk(params, state, n):
+            fwd = self._fwd(params)
+
+            def step(s, _):
+                live = s["live"] & (s["remaining"] > 0)
+                kv_valid = s["kv_valid"].at[jnp.arange(B), s["write_col"]].max(
+                    live.astype(jnp.int32))
+                dec_kw = dict(
+                    attention_mask=jnp.ones((B, 1), jnp.int32),
+                    positions=s["pos_next"][:, None],
+                    kv_cache=s["cache"],
+                    cache_offset=s["write_col"],
+                    kv_valid_mask=kv_valid,
+                )
+                if self.is_vlm:
+                    dec_kw["pixel_values"] = None
+                if is_qwen:
+                    dec_kw["rope_delta"] = s["rope_delta"]
+                out = fwd(s["token"][:, None], **dec_kw)
+                nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+                emit = jnp.where(live, nxt, pad)
+                hit_eos = (nxt == eos) if eos >= 0 else jnp.zeros((B,), bool)
+                remaining = jnp.where(live, s["remaining"] - 1, s["remaining"])
+                still = live & ~hit_eos & (remaining > 0)
+                s = {
+                    "cache": out["kv_cache"],
+                    "kv_valid": kv_valid,
+                    "write_col": s["write_col"] + live.astype(jnp.int32),
+                    "pos_next": s["pos_next"] + live.astype(jnp.int32),
+                    "token": jnp.where(live, nxt, s["token"]),
+                    "remaining": remaining,
+                    "rope_delta": s["rope_delta"],
+                    "live": still,
+                }
+                return s, (emit, live)
+
+            state, (emits, lives) = jax.lax.scan(step, state, None, length=n)
+            return state, emits, lives
+
+        self._decode_fn = decode_chunk
+        return decode_chunk
+
+    # ----------------------------------------------------------------- host
+    def submit(self, prompt_ids, max_new_tokens: int, pixel_values=None) -> Request:
+        sp = _bucket(len(prompt_ids), self.bucket_multiple)
+        if sp + max_new_tokens > self.smax:
+            raise ValueError(
+                f"prompt bucket {sp} + max_new {max_new_tokens} exceeds max_len {self.smax}")
+        self._uid += 1
+        req = Request(self._uid, list(prompt_ids), max_new_tokens, pixel_values)
+        self._queue.append(req)
+        return req
+
+    def _fill_slots(self):
+        while self._free and self._queue:
+            req = self._queue.pop(0)
+            slot = self._free.pop(0)
+            sp = _bucket(len(req.prompt_ids), self.bucket_multiple)
+            ids = np.full((1, sp), self.pad_id, np.int32)
+            mask = np.zeros((1, sp), np.int32)
+            ids[0, sp - len(req.prompt_ids):] = req.prompt_ids
+            mask[0, sp - len(req.prompt_ids):] = 1
+            pix = None
+            if req.pixel_values is not None:
+                pix = jnp.asarray(req.pixel_values[None], self.compute_dtype)
+            fn = self._insert_fn(sp, req.pixel_values is not None)
+            self._state, first = fn(
+                self.params, self._state, jnp.asarray(ids), jnp.asarray(mask),
+                pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
+            )
+            first = int(first)
+            if self.eos >= 0 and first == self.eos:
+                req.done = True
+                self._free.append(slot)
+            else:
+                req.tokens.append(first)
+                if req.max_new_tokens == 1:
+                    req.done = True
+                    self._free.append(slot)
+                else:
+                    self._slot_req[slot] = req
+
+    def step(self):
+        """One engine iteration: fill free slots, decode one chunk, deliver."""
+        if self._state is None:
+            self._state = self._init_state()
+        self._fill_slots()
+        if all(r is None for r in self._slot_req):
+            return
+        decode = self._decode()
+        self._state, emits, lives = decode(self.params, self._state, self.chunk)
+        emits = np.asarray(emits)   # [T, B]
+        lives = np.asarray(lives)
+        remaining = np.asarray(self._state["remaining"])
+        still_live = np.asarray(self._state["live"])
+        for b in range(self.B):
+            req = self._slot_req[b]
+            if req is None:
+                continue
+            for t in range(self.chunk):
+                if not lives[t, b]:
+                    break
+                tok = int(emits[t, b])
+                if self.eos >= 0 and tok == self.eos:
+                    break
+                req.tokens.append(tok)
+            if not still_live[b] or remaining[b] <= 0:
+                req.done = True
+                self._slot_req[b] = None
+                self._free.append(b)
+
+    def run(self):
+        """Drain the queue and all in-flight slots."""
+        while self._queue or any(r is not None for r in self._slot_req):
+            self.step()
+
+    def drain(self, requests: list[Request]) -> list[list[int]]:
+        """Run until the given requests complete; return their token lists."""
+        while not all(r.done for r in requests):
+            self.step()
+        return [r.tokens for r in requests]

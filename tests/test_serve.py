@@ -1,0 +1,129 @@
+"""Continuous-batching serving engine (serve/engine.py).
+
+The engine must be a pure re-batching of greedy decoding: every request's
+token stream equals what evaluation/generate.py:greedy_generate produces
+for that prompt alone, regardless of which slot it lands in, what else is
+in flight, or when it was admitted."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_unlearning_tpu.config import get_model_identifiers
+from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+from multimodal_unlearning_tpu.models import llama, llava
+from multimodal_unlearning_tpu.serve import ServingEngine
+
+
+def tiny_decoder():
+    arch = get_model_identifiers("tiny-llama-test").arch
+    cfg = llama.LlamaConfig.from_registry(arch)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _expected(params, cfg, prompt, max_new, bucket=16, eos=None, **kw):
+    """greedy_generate on the single left-padded prompt, engine-bucketed."""
+    sp = -(-len(prompt) // bucket) * bucket
+    ids = np.zeros((1, sp), np.int32)
+    mask = np.zeros((1, sp), np.int32)
+    ids[0, sp - len(prompt):] = prompt
+    mask[0, sp - len(prompt):] = 1
+    row = greedy_generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        max_new_tokens=max_new, pad_token_id=0, eos_token_id=eos,
+        cache_dtype=kw.pop("cache_dtype", jnp.float32),
+        compute_dtype=jnp.float32, **kw,
+    )
+    return np.asarray(row)[0]
+
+
+def test_engine_matches_greedy_generate_mixed_lengths():
+    """5 requests, 2 slots, different prompt lengths and budgets: every
+    request's stream must equal its solo greedy_generate run (slot reuse,
+    mixed per-slot progress, bucketed prefill)."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(0)
+    engine = ServingEngine(
+        params, cfg, "llama", num_slots=2, max_len=128, chunk=4,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    specs = [(5, 6), (11, 3), (3, 9), (14, 5), (8, 7)]  # (prompt_len, max_new)
+    reqs = []
+    for plen, max_new in specs:
+        prompt = rng.integers(3, cfg.vocab_size, plen).tolist()
+        reqs.append((engine.submit(prompt, max_new), prompt, max_new))
+    engine.drain([r for r, _, _ in reqs])
+    for req, prompt, max_new in reqs:
+        want = _expected(params, cfg, prompt, max_new)
+        got = np.asarray(req.tokens)
+        assert req.done
+        np.testing.assert_array_equal(got, want, err_msg=f"prompt_len={len(prompt)}")
+
+
+def test_engine_eos_early_stop_frees_slot():
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, cfg.vocab_size, 7).tolist()
+    free_run = _expected(params, cfg, prompt, 8)
+    eos = int(free_run[3])  # force a stop after 3 emitted tokens
+
+    engine = ServingEngine(
+        params, cfg, "llama", num_slots=1, max_len=128, chunk=4,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=eos,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    r1 = engine.submit(prompt, 8)
+    prompt2 = rng.integers(3, cfg.vocab_size, 4).tolist()
+    r2 = engine.submit(prompt2, 3)  # queued behind the single slot
+    engine.run()
+    assert r1.done and r1.tokens == free_run[:3].tolist()
+    want2_free = _expected(params, cfg, prompt2, 3)  # unconstrained stream
+    stop = np.argwhere(want2_free == eos)
+    n2 = int(stop[0][0]) if len(stop) else 3
+    assert r2.done and r2.tokens == want2_free[:n2].tolist()
+
+
+def test_engine_int8_cache_matches_greedy_int8():
+    """Per-row scatter KV write (int8 quantize-at-write) must reproduce the
+    batched greedy int8-cache decode."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, cfg.vocab_size, 9).tolist()
+    engine = ServingEngine(
+        params, cfg, "llama", num_slots=2, max_len=128, chunk=4,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.int8, compute_dtype=jnp.float32,
+    )
+    req = engine.submit(prompt, 6)
+    engine.drain([req])
+    want = _expected(params, cfg, prompt, 6, cache_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(req.tokens), want)
+
+
+def test_engine_vlm_request():
+    """LLaVA request: image-conditioned prefill into a slot, decode parity
+    with the solo greedy run."""
+    arch = get_model_identifiers("tiny-llava-test").arch
+    cfg = llava.LlavaConfig.from_registry(arch)
+    params = llava.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+
+    n_img = cfg.num_image_tokens
+    img = rng.normal(size=(cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32)
+    prompt = [cfg.image_token_id] * n_img + rng.integers(
+        3, cfg.decoder.vocab_size, 6).tolist()
+
+    engine = ServingEngine(
+        params, cfg, "llava", num_slots=2, max_len=128, chunk=4,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    req = engine.submit(prompt, 5, pixel_values=img)
+    engine.drain([req])
+    want = _expected(
+        params, cfg, prompt, 5, is_vlm=True,
+        pixel_values=jnp.asarray(img[None], jnp.float32),
+    )
+    np.testing.assert_array_equal(np.asarray(req.tokens), want)
