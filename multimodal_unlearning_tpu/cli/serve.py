@@ -1,0 +1,105 @@
+"""Offline serving entry point (beyond-reference).
+
+Drains a JSONL request file through the continuous-batching engine
+(serve/engine.py) and writes one completion per line.  The reference has
+no serving surface — its checkpoints are consumed through per-batch HF
+``generate`` calls inside the eval loop (mm/eval.py:126-133); this CLI is
+the production-shaped equivalent: admit requests as slots free up, retire
+each the step it finishes.
+
+Request lines: {"question": str, "image": optional path or null,
+"max_new_tokens": optional int}.  Questions are formatted through the
+model family's chat template exactly like training/eval samples.
+
+  python -m multimodal_unlearning_tpu.cli.serve \\
+      model_family=llava model_path=... requests=reqs.jsonl save_file=out.jsonl
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_unlearning_tpu.cli import common
+from multimodal_unlearning_tpu.config import main as config_main
+from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers
+
+
+def run(cfg):
+    dtype = common.dtype_of(cfg)
+    model_cfg = get_model_identifiers(cfg.model_family)
+    processor = common.build_processor(model_cfg, cfg)
+    kind, mcfg, params = common.init_or_load_params(
+        model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
+    )
+    if cfg.get("quantize_base", False):
+        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+        params = (
+            dict(params, language_model=quantize_tree(params["language_model"]))
+            if common.is_vlm(kind) else quantize_tree(params)
+        )
+
+    from multimodal_unlearning_tpu.data.processor import preprocess_image
+    from multimodal_unlearning_tpu.serve import ServingEngine
+
+    tok = processor.tokenizer
+    cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
+    engine = ServingEngine(
+        params, mcfg, kind,
+        num_slots=int(cfg.get("num_slots", 8)),
+        max_len=int(cfg.get("max_length", 2048)),
+        chunk=int(cfg.get("chunk", 16)),
+        pad_token_id=tok.pad_token_id,
+        eos_token_id=tok.eos_token_id,
+        cache_dtype=cache_dtype, compute_dtype=dtype,
+    )
+
+    default_new = int(cfg.generation.max_new_tokens)
+    reqs, texts = [], []
+    with open(cfg.requests) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            has_image = r.get("image") is not None and common.is_vlm(kind)
+            ids = processor._encode_expand(
+                processor.format(r["question"], None, has_image))
+            pix = None
+            if has_image:
+                from PIL import Image
+
+                img = r["image"]
+                arr = np.asarray(Image.open(img).convert("RGB")) if isinstance(img, str) else np.asarray(img)
+                pix = preprocess_image(arr, mcfg.vision.image_size).astype(np.float32)
+            reqs.append(engine.submit(
+                ids, int(r.get("max_new_tokens", default_new)), pixel_values=pix))
+            texts.append(r["question"])
+
+    t0 = time.perf_counter()
+    outs = engine.drain(reqs)
+    dt = time.perf_counter() - t0
+
+    results = []
+    with open(cfg.save_file, "w") as f:
+        for question, toks in zip(texts, outs):
+            row = {
+                "question": question,
+                "completion": tok.decode(toks, skip_special_tokens=True),
+                "tokens": len(toks),
+            }
+            results.append(row)
+            f.write(json.dumps(row) + "\n")
+    n_tok = sum(len(t) for t in outs)
+    print(f"served {len(reqs)} requests, {n_tok} tokens in {dt:.1f}s "
+          f"({n_tok / max(dt, 1e-9):.1f} tok/s) -> {cfg.save_file}")
+    return results
+
+
+main = config_main(config_dir() / "mm", "serve")(run)
+
+if __name__ == "__main__":
+    main()

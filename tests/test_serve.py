@@ -102,6 +102,45 @@ def test_engine_int8_cache_matches_greedy_int8():
     np.testing.assert_array_equal(np.asarray(req.tokens), want)
 
 
+def test_serve_cli(tmp_path):
+    """The serve CLI end-to-end: JSONL requests (text-only + image path)
+    through the chat template into the engine, completions written out."""
+    import json
+
+    from PIL import Image
+
+    from multimodal_unlearning_tpu.cli import serve
+    from multimodal_unlearning_tpu.config import load_config
+    from multimodal_unlearning_tpu.config.registry import config_dir
+
+    img_path = tmp_path / "face.png"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 32, 3), np.uint8)
+    ).save(img_path)
+    reqs = tmp_path / "requests.jsonl"
+    reqs.write_text(
+        json.dumps({"question": "Who is shown?", "image": str(img_path)}) + "\n"
+        + json.dumps({"question": "What color is the sky?", "max_new_tokens": 3}) + "\n"
+    )
+
+    cfg = load_config(config_dir() / "mm", "serve")
+    for k, v in {
+        "model_family": "tiny-llava-test", "model_path": None,
+        "processor_path": None, "requests": str(reqs),
+        "save_file": str(tmp_path / "out.jsonl"), "num_slots": 2,
+        "max_length": 256, "chunk": 4, "dtype": "float32",
+        "quantize_base": False,
+    }.items():
+        dict.__setitem__(cfg, k, v)
+    dict.__setitem__(cfg["generation"], "max_new_tokens", 5)
+
+    rows = serve.run(cfg)
+    assert len(rows) == 2
+    assert rows[0]["tokens"] >= 1 and rows[1]["tokens"] >= 1
+    written = [json.loads(l) for l in (tmp_path / "out.jsonl").read_text().splitlines()]
+    assert [r["question"] for r in written] == ["Who is shown?", "What color is the sky?"]
+
+
 def test_engine_vlm_request():
     """LLaVA request: image-conditioned prefill into a slot, decode parity
     with the solo greedy run."""
