@@ -102,6 +102,35 @@ def test_engine_int8_cache_matches_greedy_int8():
     np.testing.assert_array_equal(np.asarray(req.tokens), want)
 
 
+def test_engine_tensor_parallel_matches_unsharded():
+    """Engine under a tensor=2 mesh (decoder weights Megatron-sharded,
+    GSPMD collectives inside the prefill/decode programs) must stream the
+    same tokens as the unsharded engine."""
+    from multimodal_unlearning_tpu.cli.common import apply_tensor_parallel
+    from multimodal_unlearning_tpu.parallel import MeshSpec, make_mesh
+
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(4)
+    specs = [(6, 5), (10, 4), (4, 6)]
+    prompts = [rng.integers(3, cfg.vocab_size, p).tolist() for p, _ in specs]
+
+    def run(mesh, p):
+        eng = ServingEngine(
+            p, cfg, "llama", num_slots=2, max_len=128, chunk=4,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh,
+        )
+        reqs = [eng.submit(pr, m) for pr, (_, m) in zip(prompts, specs)]
+        return eng.drain(reqs)
+
+    base = run(None, params)
+    mesh = make_mesh(MeshSpec(data=2, fsdp=2, tensor=2))
+    tp_params = apply_tensor_parallel(mesh, cfg, "llama", jax.tree.map(jnp.asarray, params))
+    with mesh:
+        tp = run(mesh, tp_params)
+    assert tp == base
+
+
 def test_serve_cli(tmp_path):
     """The serve CLI end-to-end: JSONL requests (text-only + image path)
     through the chat template into the engine, completions written out."""
