@@ -32,7 +32,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _warn_if_chip_claim_stuck(timeout_s: int = 180):
+    """The axon pool's single chip can stay leased to a DEAD client (e.g. a
+    killed bench), in which case every jax.devices() call blocks until the
+    lease frees.  Probe it on a side thread and leave a diagnostic on stderr
+    if the probe doesn't return — the bench then keeps waiting (the claim
+    usually frees eventually) instead of dying silently."""
+    import sys
+    import threading
+
+    ready = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), ready.set()), daemon=True).start()
+    if not ready.wait(timeout_s):
+        print(
+            f"bench.py: jax.devices() has not returned after {timeout_s}s — "
+            "the TPU pool's chip claim is likely still held by a dead client; "
+            "waiting for the lease to free...",
+            file=sys.stderr, flush=True,
+        )
+        ready.wait()
+
+
 def main():
+    _warn_if_chip_claim_stuck()
     from multimodal_unlearning_tpu.cli.common import build_model_config
     from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
     from multimodal_unlearning_tpu.config import get_model_identifiers
