@@ -102,6 +102,33 @@ def test_engine_int8_cache_matches_greedy_int8():
     np.testing.assert_array_equal(np.asarray(req.tokens), want)
 
 
+def test_engine_gpt_family_matches_greedy():
+    """The other decoder family (neox: parallel residual, partial rotary)
+    through the engine's shared per-row cache-write path."""
+    from multimodal_unlearning_tpu.models import gpt_decoder
+
+    arch = dict(
+        decoder="neox", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, rope_theta=10000.0,
+        max_position_embeddings=256, layer_norm_eps=1e-5, rotary_pct=0.25,
+    )
+    cfg = gpt_decoder.GptConfig.from_registry(arch)
+    params = gpt_decoder.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    engine = ServingEngine(
+        params, cfg, "neox", num_slots=2, max_len=128, chunk=4,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    specs = [(6, 5), (12, 7), (4, 4)]
+    reqs = [(engine.submit((p := rng.integers(3, cfg.vocab_size, n).tolist()), m), p, m)
+            for n, m in specs]
+    engine.drain([r for r, _, _ in reqs])
+    for req, prompt, max_new in reqs:
+        want = _expected(params, cfg, prompt, max_new)
+        np.testing.assert_array_equal(np.asarray(req.tokens), want)
+
+
 def test_engine_tensor_parallel_matches_unsharded():
     """Engine under a tensor=2 mesh (decoder weights Megatron-sharded,
     GSPMD collectives inside the prefill/decode programs) must stream the
