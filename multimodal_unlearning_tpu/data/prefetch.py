@@ -44,22 +44,42 @@ class PrefetchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         err: list[BaseException] = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    # bounded put so an ABANDONED consumer (break / zip
+                    # stopping early / an exception upstream) releases this
+                    # thread instead of parking it on a full queue forever
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)
             finally:
-                q.put(self._END)
+                while True:
+                    try:
+                        q.put(self._END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._END:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._END:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -132,6 +132,33 @@ def test_prefetch_loader_yields_same_batches():
     assert base == pre
 
 
+def test_prefetch_loader_releases_producer_on_abandon():
+    """An abandoned iteration (break / zip stopping early) must release the
+    producer thread — it used to park on the full queue forever, leaving one
+    live thread (holding loader state) per abandoned epoch."""
+    import threading
+    import time
+
+    class L:
+        dataset = list(range(20))
+        batch_size = 1
+
+        def __len__(self):
+            return 20
+
+        def __iter__(self):
+            for i in range(20):
+                yield {"x": np.full((1,), i)}
+
+    before = threading.active_count()
+    for batch in PrefetchLoader(L(), depth=2):
+        break  # abandon immediately
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_prefetch_loader_propagates_errors():
     class Bad:
         dataset, batch_size = [], 1

@@ -201,7 +201,12 @@ def _run_ours(params, cfg, teacher_params, loss_type, batch, *, beta=1.0,
                 p, init_params, l1_lambda=l1, l0_lambda=l0)
         return loss
 
-    val, grads = jax.value_and_grad(loss_fn)(params)
+    # jit the whole value_and_grad: one pjit-path compile per loss instead of
+    # hundreds of eager per-primitive compiles under direct_linearize — the
+    # eager path segfaulted XLA:CPU twice deep into full-suite runs (always
+    # this file, always while compiling the layer scan's linearization);
+    # every jitted test in the suite uses the pjit path without issue
+    val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     return float(val), grads
 
 
