@@ -77,7 +77,8 @@ def run_engine(mcfg, params, requests, slots, chunk=16):
     outs = eng.drain(live)
     dt = time.perf_counter() - t0
     toks = sum(len(t) for t in outs)
-    return toks, dt
+    lat = sorted(r.done_t - r.submit_t for r in live)
+    return toks, dt, lat
 
 
 def run_batched(mcfg, params, requests, batch_size):
@@ -111,12 +112,16 @@ def run_batched(mcfg, params, requests, batch_size):
 
     t0 = time.perf_counter()
     toks = 0
+    lat = []
     for i in range(0, len(requests), batch_size):
         rows = requests[i: i + batch_size]
         one_batch(rows, bucket_new(max(r[1] for r in rows)))
+        # every request in the batch (and all earlier batches) waits until
+        # this batch drains — the per-request latency of batch serving
+        lat.extend([time.perf_counter() - t0] * len(rows))
         toks += sum(r[1] for r in rows)
     dt = time.perf_counter() - t0
-    return toks, dt
+    return toks, dt, sorted(lat)
 
 
 def main():
@@ -126,13 +131,19 @@ def main():
     mcfg, params = build(family)
     requests = make_requests(mcfg, n)
 
-    toks_b, dt_b = run_batched(mcfg, params, requests, slots)
-    print(f"batched    bs={slots}: {toks_b} useful tokens in {dt_b:6.1f}s "
-          f"= {toks_b / dt_b:6.1f} tok/s", flush=True)
+    def pct(lat, p):
+        return lat[min(int(p / 100 * len(lat)), len(lat) - 1)]
 
-    toks_e, dt_e = run_engine(mcfg, params, requests, slots)
+    toks_b, dt_b, lat_b = run_batched(mcfg, params, requests, slots)
+    print(f"batched    bs={slots}: {toks_b} useful tokens in {dt_b:6.1f}s "
+          f"= {toks_b / dt_b:6.1f} tok/s   "
+          f"latency p50 {pct(lat_b, 50):5.1f}s p95 {pct(lat_b, 95):5.1f}s", flush=True)
+
+    toks_e, dt_e, lat_e = run_engine(mcfg, params, requests, slots)
     print(f"continuous B={slots}: {toks_e} useful tokens in {dt_e:6.1f}s "
-          f"= {toks_e / dt_e:6.1f} tok/s   ({dt_b / dt_e:4.2f}x)", flush=True)
+          f"= {toks_e / dt_e:6.1f} tok/s   "
+          f"latency p50 {pct(lat_e, 50):5.1f}s p95 {pct(lat_e, 95):5.1f}s   "
+          f"({dt_b / dt_e:4.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

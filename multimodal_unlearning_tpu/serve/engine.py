@@ -36,6 +36,7 @@ token (tests/test_serve.py asserts exact agreement per request).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -56,6 +57,9 @@ class Request:
     pixel_values: np.ndarray | None = None
     tokens: list = field(default_factory=list)
     done: bool = False
+    submit_t: float = 0.0   # time.monotonic at submit
+    first_t: float = 0.0    # first token available (TTFT = first_t - submit_t)
+    done_t: float = 0.0     # request completed
 
 
 def _bucket(n: int, multiple: int) -> int:
@@ -255,6 +259,7 @@ class ServingEngine:
                 f"prompt bucket {sp} + max_new {max_new_tokens} exceeds max_len {self.smax}")
         self._uid += 1
         req = Request(self._uid, list(prompt_ids), max_new_tokens, pixel_values)
+        req.submit_t = time.monotonic()
         self._queue.append(req)
         return req
 
@@ -276,13 +281,16 @@ class ServingEngine:
                 pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
             )
             first = int(first)
+            req.first_t = time.monotonic()
             if self.eos >= 0 and first == self.eos:
                 req.done = True
+                req.done_t = req.first_t
                 self._free.append(slot)
             else:
                 req.tokens.append(first)
                 if req.max_new_tokens == 1:
                     req.done = True
+                    req.done_t = req.first_t
                     self._free.append(slot)
                 else:
                     self._slot_req[slot] = req
@@ -313,6 +321,7 @@ class ServingEngine:
                 req.tokens.append(tok)
             if not still_live[b] or remaining[b] <= 0:
                 req.done = True
+                req.done_t = time.monotonic()
                 self._slot_req[b] = None
                 self._free.append(b)
 
