@@ -95,6 +95,7 @@ class ServingEngine:
         compute_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         mesh=None,
+        pipeline: bool = True,
     ):
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -114,6 +115,7 @@ class ServingEngine:
         self.attn_impl = attn_impl
         self.mesh = mesh
 
+        self.pipeline = pipeline
         self._queue: list[Request] = []
         self._slot_req: list[Request | None] = [None] * self.B
         self._free = list(range(self.B))
@@ -121,6 +123,9 @@ class ServingEngine:
         self._state = None
         self._insert_cache: dict[int, callable] = {}
         self._decode_fn = None
+        # pipelined mode: the not-yet-consumed previous chunk —
+        # (emits, lives, slot->request snapshot at dispatch)
+        self._pending = None
 
     # ------------------------------------------------------------------ jit
     def _fwd(self, params):
@@ -295,39 +300,63 @@ class ServingEngine:
                 else:
                     self._slot_req[slot] = req
 
-    def step(self):
-        """One engine iteration: fill free slots, decode one chunk, deliver."""
-        if self._state is None:
-            self._state = self._init_state()
-        self._fill_slots()
-        if all(r is None for r in self._slot_req):
-            return
-        decode = self._decode()
-        self._state, emits, lives = decode(self.params, self._state, self.chunk)
-        emits = np.asarray(emits)   # [T, B]
+    def _consume(self, emits, lives, snapshot):
+        """Deliver one chunk's emissions to its dispatch-time slot mapping
+        and retire finished requests.  Retirement is decided from the
+        emission arrays alone (eos seen / budget reached) — the device state
+        may already have been donated into the NEXT chunk."""
+        emits = np.asarray(emits)   # [T, B] — blocks until the chunk lands
         lives = np.asarray(lives)
-        remaining = np.asarray(self._state["remaining"])
-        still_live = np.asarray(self._state["live"])
-        for b in range(self.B):
-            req = self._slot_req[b]
-            if req is None:
+        for b, req in enumerate(snapshot):
+            if req is None or req.done:
                 continue
+            hit_eos = False
             for t in range(self.chunk):
                 if not lives[t, b]:
                     break
                 tok = int(emits[t, b])
                 if self.eos >= 0 and tok == self.eos:
+                    hit_eos = True
                     break
                 req.tokens.append(tok)
-            if not still_live[b] or remaining[b] <= 0:
+            if hit_eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 req.done_t = time.monotonic()
                 self._slot_req[b] = None
                 self._free.append(b)
 
+    def step(self):
+        """One engine iteration: fill free slots, dispatch one decode chunk,
+        deliver the PREVIOUS chunk's tokens.
+
+        Pipelined (default): chunk k+1 is dispatched before chunk k's
+        emissions are read, so the device queue never drains — host
+        bookkeeping overlaps device compute.  Slot refills land one chunk
+        late (a freed slot idles one chunk); correctness is unaffected
+        because the device tracks per-slot liveness itself.  ``pipeline=
+        False`` reverts to dispatch→wait→deliver per chunk."""
+        if self._state is None:
+            self._state = self._init_state()
+        self._fill_slots()
+        prev, self._pending = self._pending, None
+        if any(r is not None for r in self._slot_req):
+            decode = self._decode()
+            snapshot = list(self._slot_req)
+            self._state, emits, lives = decode(self.params, self._state, self.chunk)
+            if self.pipeline:
+                self._pending = (emits, lives, snapshot)
+            else:
+                if prev is not None:  # mode flipped mid-flight
+                    self._consume(*prev)
+                    prev = None
+                self._consume(emits, lives, snapshot)
+        if prev is not None:
+            self._consume(*prev)
+
     def run(self):
         """Drain the queue and all in-flight slots."""
-        while self._queue or any(r is not None for r in self._slot_req):
+        while (self._queue or self._pending is not None
+               or any(r is not None for r in self._slot_req)):
             self.step()
 
     def drain(self, requests: list[Request]) -> list[list[int]]:

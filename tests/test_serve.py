@@ -38,16 +38,21 @@ def _expected(params, cfg, prompt, max_new, bucket=16, eos=None, **kw):
     return np.asarray(row)[0]
 
 
-def test_engine_matches_greedy_generate_mixed_lengths():
+import pytest
+
+
+@pytest.mark.parametrize("pipeline", [True, False], ids=["pipelined", "sync"])
+def test_engine_matches_greedy_generate_mixed_lengths(pipeline):
     """5 requests, 2 slots, different prompt lengths and budgets: every
     request's stream must equal its solo greedy_generate run (slot reuse,
-    mixed per-slot progress, bucketed prefill)."""
+    mixed per-slot progress, bucketed prefill) — in both the pipelined
+    (chunk k+1 dispatched before chunk k is read) and sync modes."""
     cfg, params = tiny_decoder()
     rng = np.random.default_rng(0)
     engine = ServingEngine(
         params, cfg, "llama", num_slots=2, max_len=128, chunk=4,
         bucket_multiple=16, pad_token_id=0, eos_token_id=None,
-        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32, pipeline=pipeline,
     )
     specs = [(5, 6), (11, 3), (3, 9), (14, 5), (8, 7)]  # (prompt_len, max_new)
     reqs = []
