@@ -107,6 +107,38 @@ def test_engine_int8_cache_matches_greedy_int8():
     np.testing.assert_array_equal(np.asarray(req.tokens), want)
 
 
+def test_engine_soak_many_requests_with_eos_churn():
+    """40 requests through 4 slots with tiny budgets and an eos that fires
+    often: maximal slot churn (admissions mid-flight, retirements mid-chunk,
+    pipelined consumption one chunk behind).  Every stream must equal its
+    solo greedy free-run truncated at the first eos."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(6)
+    # pick a *frequent* token as eos: the argmax over a random prompt's
+    # free-run — random-init models repeat themselves, so this fires a lot
+    probe = _expected(params, cfg, rng.integers(3, cfg.vocab_size, 6).tolist(), 8)
+    eos = int(np.bincount(probe).argmax())
+
+    engine = ServingEngine(
+        params, cfg, "llama", num_slots=4, max_len=64, chunk=3,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=eos,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    cases = []
+    for _ in range(40):
+        plen = int(rng.integers(3, 30))
+        budget = int(rng.integers(1, 7))
+        prompt = rng.integers(3, cfg.vocab_size, plen).tolist()
+        cases.append((engine.submit(prompt, budget), prompt, budget))
+    engine.drain([r for r, _, _ in cases])
+    for req, prompt, budget in cases:
+        free = _expected(params, cfg, prompt, budget)  # no-eos stream
+        stop = np.argwhere(free == eos)
+        n = int(stop[0][0]) if len(stop) else budget
+        assert req.tokens == free[:n].tolist(), (
+            f"plen={len(prompt)} budget={budget} eos={eos}")
+
+
 def test_engine_gpt_family_matches_greedy():
     """The other decoder family (neox: parallel residual, partial rotary)
     through the engine's shared per-row cache-write path."""
