@@ -141,7 +141,7 @@ def test_loss_and_grads_match_reference(shared, loss_type, beta, text_only):
         )
         return loss
 
-    ours_val, ours_grads = jax.value_and_grad(ours_loss)(shared["params"])
+    ours_val, ours_grads = jax.jit(jax.value_and_grad(ours_loss))(shared["params"])
     ours_val = float(ours_val)
 
     assert ours_val == pytest.approx(ref_val, rel=2e-3, abs=2e-5), (
@@ -288,7 +288,7 @@ def test_l1_l0_regularization_matches_reference(shared):
         )
         return loss + L.l_regularization(p, l1_lambda=1e-4, l0_lambda=1e-6)
 
-    ours_val, ours_grads = jax.value_and_grad(ours_loss)(shared["params"])
+    ours_val, ours_grads = jax.jit(jax.value_and_grad(ours_loss))(shared["params"])
     assert float(ours_val) == pytest.approx(ref_val, rel=2e-3)
     err, scale = _grad_err(ref_grads, ours_grads)
     assert err <= 2e-3 * scale + 1e-6

@@ -271,7 +271,7 @@ def test_adms_loss_matches_reference():
     def loss_fn(h, e):
         return resnet.adms_loss(h, e, jnp.asarray(labels), s=30.0, m=0.4)
 
-    our_loss, (gh, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+    our_loss, (gh, ge) = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))(
         head, jnp.asarray(x))
     assert abs(float(our_loss) - float(ref_loss)) / abs(float(ref_loss)) < 1e-5
     np.testing.assert_allclose(np.asarray(ge), ref_gx, atol=1e-5)

@@ -353,8 +353,9 @@ def _run_ours_train(hf_init, batch, *, n_rows, bs, accum, epochs):
             return total / accum
 
         losses = []
+        grad_fn = jax.jit(jax.value_and_grad(step_loss))
         for _ in range(steps):
-            val, grads = jax.value_and_grad(step_loss)(params)
+            val, grads = grad_fn(params)
             upd, state = tx.update(grads, state, params)
             params = jax.tree.map(lambda p, u: p + u, params, upd)
             losses.append(float(val))
