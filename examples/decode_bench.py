@@ -82,8 +82,13 @@ def main():
     for name in variants:
         # trailing "+aot": AUTO-layout AOT compile — weights device_put into
         # the executable's preferred formats once (no per-call relayout)
+        # trailing "+spec<K>": prompt-lookup speculative decode, K drafts
         aot = name.endswith("+aot")
         base_name = name[:-4] if aot else name
+        spec_k = 0
+        if "+spec" in base_name:
+            base_name, _, ks = base_name.partition("+spec")
+            spec_k = int(ks or 8)
         if base_name in ("int8", "w8a8", "w8a8c") and not quantized:
             quantize_inplace(params["language_model"])
             quantized = True
@@ -96,7 +101,7 @@ def main():
                 max_new_tokens=NEW, pad_token_id=0, eos_token_id=None,
                 pixel_values=pixel_values, is_vlm=True,
                 cache_dtype=cache_dtype, compute_dtype=dtype,
-                aot_layouts=aot,
+                aot_layouts=aot, speculate_k=spec_k,
             )
 
         try:
@@ -111,9 +116,24 @@ def main():
                 out = gen()
             int(np.asarray(out)[0, -1])
             dt = (time.perf_counter() - t0) / n
+            extra = ""
+            if spec_k:
+                from multimodal_unlearning_tpu.evaluation.generate import _spec_generate
+                from multimodal_unlearning_tpu.models.llama import INT8_COMPUTE
+
+                slack = 2 * spec_k + 2
+                _, rounds, n_out = _spec_generate(
+                    params, input_ids, attention_mask, pixel_values,
+                    model_cfg=mcfg, is_vlm=True, attn_impl="auto",
+                    compute_dtype=dtype, cache_dtype=cache_dtype,
+                    smax=-(-(S + NEW + slack) // 128) * 128,
+                    max_new_tokens=NEW, pad_token_id=0, eos=-1,
+                    int8_compute=INT8_COMPUTE, k_spec=spec_k,
+                    return_stats=True)
+                extra = (f"  tok/fwd={float(np.asarray(n_out).sum()) / int(rounds):.2f}")
             print(
-                f"{name:6s} {dt:6.2f} s/batch  {B / dt:5.2f} samples/s  "
-                f"{B * NEW / dt:6.0f} tok/s  (compile {compile_s:.0f}s)",
+                f"{name:12s} {dt:6.2f} s/batch  {B / dt:5.2f} samples/s  "
+                f"{B * NEW / dt:6.0f} tok/s  (compile {compile_s:.0f}s){extra}",
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001 — e.g. bf16 7B OOMs one chip

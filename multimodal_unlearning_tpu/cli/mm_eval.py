@@ -128,6 +128,9 @@ def _run(cfg):
     # the (int8) weights out once — kills the per-call relayout copies
     # (~1.5 GB s8 at 7B; evaluation/generate.py:_AOT_DECODE_CACHE)
     aot_layouts = bool(cfg.get("aot_param_layouts", False))
+    # speculative_k > 0: prompt-lookup speculative decoding — token-identical
+    # greedy output, 1..K+1 tokens per forward (evaluation/generate.py)
+    speculate_k = int(cfg.get("speculative_k", 0) or 0)
 
     def generate_fn(batch, max_new_tokens):
         pix = batch.get("pixel_values")
@@ -142,6 +145,7 @@ def _run(cfg):
             pixel_values=None if pix is None else jnp.asarray(_pad_rows(np.asarray(pix), to)),
             is_vlm=vlm, mesh=gen_mesh, aot_layouts=aot_layouts,
             cache_dtype=cache_dtype, compute_dtype=dtype,
+            speculate_k=speculate_k,
         )
         return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B]]
 

@@ -130,6 +130,7 @@ def _run(cfg):
                 pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
                 cache_dtype=cache_dtype, compute_dtype=dtype,
                 mesh=gen_mesh, aot_layouts=aot_layouts,
+                speculate_k=int(cfg.get("speculative_k", 0) or 0),
             )
             return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B_gen]]
 

@@ -123,6 +123,174 @@ def _generate(params, input_ids, attention_mask, pixel_values,
     return jnp.concatenate([first_emit[:, None], emitted.T], axis=1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg", "is_vlm", "attn_impl", "compute_dtype", "cache_dtype",
+        "smax", "max_new_tokens", "pad_token_id", "eos", "int8_compute",
+        "k_spec", "return_stats", "mesh",
+    ),
+)
+def _spec_generate(params, input_ids, attention_mask, pixel_values,
+                   *, model_cfg, is_vlm, attn_impl, compute_dtype, cache_dtype,
+                   smax, max_new_tokens, pad_token_id, eos, int8_compute,
+                   k_spec, return_stats=False, mesh=None):
+    """Prompt-lookup speculative greedy decode — TOKEN-IDENTICAL to
+    ``_generate`` by construction, in fewer (but heavier) forwards.
+
+    Each iteration drafts ``k_spec`` continuation tokens by matching the
+    current 2-gram against the row's own history (prompt + accepted
+    output — greedy eval generations echo names/captions and repeat
+    themselves, so lookups hit), then verifies the whole chunk with ONE
+    ``chunk_decode`` forward: a draft token is accepted only when it equals
+    the model's own argmax, and the model's argmax after the last accepted
+    token rides along free — 1..k_spec+1 tokens per forward.  Rows accept
+    independently (per-row cache columns via models/llama.py's per-row
+    cache write); rejected speculative cache entries are simply left
+    invalid and overwritten by later rounds.
+
+    No draft model, no resampling, no approximation: pure greedy
+    verification (HF's ``prompt_lookup_num_tokens`` is the same contract).
+    """
+    del int8_compute
+    dec_cfg = model_cfg.decoder if is_vlm else model_cfg
+    dec = decoder_module(dec_cfg)
+    B, S = input_ids.shape
+    K = k_spec
+    vocab = dec_cfg.vocab_size
+
+    cache = dec.init_kv_cache(dec_cfg, B, smax, dtype=cache_dtype)
+    kv_valid = jnp.zeros((B, smax), jnp.int32).at[:, :S].set(attention_mask)
+    prompt_len = jnp.sum(attention_mask, axis=-1).astype(jnp.int32)
+    fwd = _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params, mesh=mesh)
+
+    kw = dict(
+        attention_mask=attention_mask,
+        kv_cache=cache, cache_offset=0, kv_valid_mask=kv_valid,
+    )
+    if is_vlm:
+        kw["pixel_values"] = pixel_values
+    out = fwd(input_ids, last_logit_only=True, **kw)
+    cache = out["kv_cache"]
+    rope_delta = out.get("rope_delta")
+    first = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+
+    finished0 = (first == eos) if eos >= 0 else jnp.zeros((B,), bool)
+    finished0 = finished0 | (max_new_tokens <= 1)
+    # token history for the n-gram lookup: -2 marks never-match slots
+    ids_buf = jnp.full((B, smax), -2, jnp.int32)
+    ids_buf = ids_buf.at[:, :S].set(
+        jnp.where(attention_mask > 0, input_ids.astype(jnp.int32), -2))
+    out_buf = jnp.full((B, max_new_tokens + K + 1), pad_token_id, jnp.int32)
+    out_buf = out_buf.at[:, 0].set(jnp.where(finished0, pad_token_id, first))
+
+    ar = jnp.arange(K + 1, dtype=jnp.int32)
+    col = jnp.arange(smax, dtype=jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    def propose(ids_buf, token, cur):
+        """Most recent 2-gram match -> the K tokens that followed it.
+
+        Matches at the history edge have little known continuation (a pure
+        token run always matches at cur-3 with just one known follower), so
+        prefer the most recent match whose FULL K-token continuation is
+        known and fall back to the most recent with at least one."""
+        prev = ids_buf[rows, jnp.maximum(cur - 1, 0)]
+        nxt_buf = jnp.concatenate(
+            [ids_buf[:, 1:], jnp.full((B, 1), -3, jnp.int32)], axis=1)
+        m = (ids_buf == prev[:, None]) & (nxt_buf == token[:, None])
+        pcol = col[None, :]
+        p_full = jnp.max(
+            jnp.where(m & (pcol + 2 + K <= cur[:, None]), pcol, -1), axis=1)
+        p_any = jnp.max(
+            jnp.where(m & (pcol + 2 < cur[:, None]), pcol, -1), axis=1)
+        p = jnp.where(p_full >= 0, p_full, p_any)  # [B]
+        cols = p[:, None] + 2 + ar[None, :K]
+        vals = ids_buf[rows[:, None], jnp.clip(cols, 0, smax - 1)]
+        known = (p[:, None] >= 0) & (cols < cur[:, None])
+        return jnp.where(known, vals, -4)  # -4: never equals a real argmax
+
+    def cond(st):
+        return jnp.any(~st["finished"])
+
+    def body(st):
+        live = ~st["finished"]
+        cur, pos, token = st["cur"], st["pos"], st["token"]
+        draft = propose(st["ids_buf"], token, cur)          # [B, K]
+        chunk = jnp.concatenate([token[:, None], draft], axis=1)  # [B, K+1]
+        chunk_in = jnp.clip(chunk, 0, vocab - 1)
+
+        dec_kw = dict(
+            attention_mask=jnp.ones((B, K + 1), jnp.int32),
+            positions=pos[:, None] + ar[None, :],
+            kv_cache=st["cache"], cache_offset=cur,
+            kv_valid_mask=st["kv_valid"], chunk_decode=True,
+        )
+        if is_vlm:
+            dec_kw["pixel_values"] = None
+        if rope_delta is not None:
+            dec_kw["rope_delta"] = rope_delta
+        o = fwd(chunk_in, **dec_kw)
+        preds = jnp.argmax(o["logits"], axis=-1).astype(jnp.int32)  # [B, K+1]
+
+        # a = matched draft prefix length; emitted candidates preds[:, :a+1]
+        matches = jnp.cumprod(
+            (draft == preds[:, :K]).astype(jnp.int32), axis=1)
+        a = jnp.sum(matches, axis=1)                         # [B] in 0..K
+        n_emit = a + 1
+        if eos >= 0:
+            is_eos = preds == eos
+            eos_idx = jnp.min(
+                jnp.where(is_eos, ar[None, :], K + 1), axis=1)
+            n_emit = jnp.minimum(n_emit, eos_idx)            # eos emits pad
+            hit_eos = eos_idx <= a
+        else:
+            hit_eos = jnp.zeros((B,), bool)
+        rem = max_new_tokens - st["n_out"]
+        n_emit = jnp.minimum(n_emit, rem)
+        n_emit = jnp.where(live, n_emit, 0)
+
+        emit_mask = ar[None, :] < n_emit[:, None]            # [B, K+1]
+        out_cols = jnp.where(
+            emit_mask, st["n_out"][:, None] + ar[None, :], max_new_tokens + ar[None, :])
+        out_buf = st["out_buf"].at[rows[:, None], out_cols].set(
+            jnp.where(emit_mask, preds, pad_token_id))
+
+        # accepted context tokens chunk[0..a] extend history and validity
+        acc_mask = (ar[None, :] <= a[:, None]) & live[:, None]
+        ids_cols = jnp.where(acc_mask, cur[:, None] + ar[None, :], smax - 1)
+        ids_vals = jnp.where(
+            acc_mask, chunk, st["ids_buf"][rows[:, None], ids_cols])
+        ids_buf = st["ids_buf"].at[rows[:, None], ids_cols].set(ids_vals)
+        kv_valid = st["kv_valid"].at[rows[:, None], ids_cols].max(
+            acc_mask.astype(jnp.int32))
+
+        adv = jnp.where(live, a + 1, 0)
+        n_out = st["n_out"] + n_emit
+        finished = st["finished"] | hit_eos | (n_out >= max_new_tokens)
+        token = jnp.where(live, preds[rows, a], st["token"])
+        return {
+            "cache": o["kv_cache"], "kv_valid": kv_valid, "ids_buf": ids_buf,
+            "out_buf": out_buf, "cur": cur + adv, "pos": pos + adv,
+            "n_out": n_out, "token": token, "finished": finished,
+            "rounds": st["rounds"] + 1,
+        }
+
+    st = jax.lax.while_loop(cond, body, {
+        "cache": cache, "kv_valid": kv_valid, "ids_buf": ids_buf,
+        "out_buf": out_buf, "cur": jnp.full((B,), S, jnp.int32),
+        "pos": prompt_len, "n_out": jnp.ones((B,), jnp.int32),
+        "token": first, "finished": finished0,
+        "rounds": jnp.zeros((), jnp.int32),
+    })
+    tokens = st["out_buf"][:, :max_new_tokens]
+    if return_stats:
+        # verify rounds (≡ decode forwards) and per-row emitted counts:
+        # tokens-per-forward = n_out.sum() / rounds vs 1.0 for plain greedy
+        return tokens, st["rounds"], st["n_out"]
+    return tokens
+
+
 # AOT decode executables with AUTO parameter layouts, keyed by
 # (params identity, static config): the executable picks its preferred
 # weight layouts and the params are device_put into them ONCE — without
@@ -219,6 +387,7 @@ def greedy_generate(
     compute_dtype=jnp.bfloat16,
     mesh=None,
     aot_layouts: bool = False,
+    speculate_k: int = 0,
 ):
     """Returns generated token ids [B, max_new_tokens] (pad after eos).
 
@@ -226,13 +395,22 @@ def greedy_generate(
     over the mesh's head ('tensor') axis instead of downgrading to XLA.
     ``aot_layouts``: compile with AUTO parameter layouts and device_put the
     weights into the executable's preferred formats once (see
-    _AOT_DECODE_CACHE)."""
+    _AOT_DECODE_CACHE).
+    ``speculate_k``: >0 enables prompt-lookup speculative decoding — K
+    drafted tokens verified per forward, token-identical output
+    (_spec_generate; llama-family decoders)."""
     B, S = input_ids.shape
-    Smax = -(-(S + max_new_tokens) // 128) * 128  # lane-aligned cache
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from multimodal_unlearning_tpu.models import gpt_decoder
     from multimodal_unlearning_tpu.models.llama import INT8_COMPUTE
 
+    dec_cfg = model_cfg.decoder if is_vlm else model_cfg
+    if speculate_k and isinstance(dec_cfg, gpt_decoder.GptConfig):
+        speculate_k = 0  # chunk_decode branch is llama-family only
+
+    slack = 2 * speculate_k + 2 if speculate_k else 0
+    Smax = -(-(S + max_new_tokens + slack) // 128) * 128  # lane-aligned cache
     static_kw = dict(
         model_cfg=model_cfg, is_vlm=is_vlm,
         attn_impl=attn_impl, compute_dtype=compute_dtype,
@@ -242,6 +420,10 @@ def greedy_generate(
         int8_compute=INT8_COMPUTE,
         mesh=mesh,
     )
+    if speculate_k:
+        return _spec_generate(
+            params, input_ids, attention_mask, pixel_values,
+            k_spec=speculate_k, **static_kw)
     if aot_layouts:
         return _aot_generate(params, input_ids, attention_mask, pixel_values, static_kw)
     return _generate(params, input_ids, attention_mask, pixel_values, **static_kw)

@@ -193,29 +193,35 @@ def _cache_write(cache, k, v, layer_id, offset):
 
 
 def _cache_write_per_row(cache, k, v, layer_id, offset):
-    """Single-token cache write at a DIFFERENT column per row: k/v are
-    [B,H,1,D], ``offset`` is [B].  One scatter per tensor — the batched
-    analog of the dynamic_update_slice path."""
-    B = k.shape[0]
-    rows = jnp.arange(B)
+    """Cache write at a DIFFERENT column range per row: k/v are [B,H,C,D],
+    ``offset`` is [B] — row b's C tokens land at columns offset[b]..
+    offset[b]+C-1.  One scatter per tensor — the batched analog of the
+    dynamic_update_slice path.  C == 1 is the continuous-batching decode
+    (serve/engine.py); C > 1 is the speculative verify chunk
+    (evaluation/generate.py)."""
+    B, _, C, _ = k.shape
+    rows = jnp.arange(B)[:, None]                       # [B,1]
+    cols = offset[:, None] + jnp.arange(C)[None, :]     # [B,C]
     if cache["k"].dtype == jnp.int8:
         k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         k_q = jnp.round(k.astype(jnp.float32) / jnp.maximum(k_s, 1e-12)).astype(jnp.int8)
         v_q = jnp.round(v.astype(jnp.float32) / jnp.maximum(v_s, 1e-12)).astype(jnp.int8)
-        # advanced indices (rows, offset) split by the head slice broadcast
-        # to the FRONT: target block is [B, H, D] / scales [B, H]
+        # advanced indices (rows, cols) split by the head slice broadcast
+        # to the FRONT: target block is [B, C, H, D] / scales [B, C, H]
         return {
-            "k": cache["k"].at[layer_id, rows, :, offset, :].set(k_q[:, :, 0, :]),
-            "v": cache["v"].at[layer_id, rows, :, offset, :].set(v_q[:, :, 0, :]),
-            "k_s": cache["k_s"].at[layer_id, rows, :, 0, offset].set(k_s[:, :, 0, 0]),
-            "v_s": cache["v_s"].at[layer_id, rows, :, 0, offset].set(v_s[:, :, 0, 0]),
+            "k": cache["k"].at[layer_id, rows, :, cols, :].set(k_q.transpose(0, 2, 1, 3)),
+            "v": cache["v"].at[layer_id, rows, :, cols, :].set(v_q.transpose(0, 2, 1, 3)),
+            "k_s": cache["k_s"].at[layer_id, rows, :, 0, cols].set(
+                k_s[..., 0].transpose(0, 2, 1)),
+            "v_s": cache["v_s"].at[layer_id, rows, :, 0, cols].set(
+                v_s[..., 0].transpose(0, 2, 1)),
         }
     return {
-        "k": cache["k"].at[layer_id, rows, :, offset, :].set(
-            k.astype(cache["k"].dtype)[:, :, 0, :]),
-        "v": cache["v"].at[layer_id, rows, :, offset, :].set(
-            v.astype(cache["v"].dtype)[:, :, 0, :]),
+        "k": cache["k"].at[layer_id, rows, :, cols, :].set(
+            k.astype(cache["k"].dtype).transpose(0, 2, 1, 3)),
+        "v": cache["v"].at[layer_id, rows, :, cols, :].set(
+            v.astype(cache["v"].dtype).transpose(0, 2, 1, 3)),
     }
 
 
@@ -246,6 +252,7 @@ def forward(
     logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     return_hidden: bool = False,
     last_logit_only: bool = False,
+    chunk_decode: bool = False,
     mesh=None,
 ):
     """Decoder forward.
@@ -300,6 +307,13 @@ def forward(
 
     use_cache = kv_cache is not None
     decoding = use_cache and S == 1
+    # speculative verify chunk: C>1 candidate tokens read the WHOLE cache
+    # (accepted prefix + per-row in-chunk causal) instead of the local-only
+    # prefill attention; per-row cache columns via a [B] cache_offset
+    chunk_decode = chunk_decode and use_cache and not decoding
+    if chunk_decode:
+        offset_vec = jnp.broadcast_to(
+            jnp.asarray(cache_offset, jnp.int32).reshape(-1), (B,))
     kv_mask = kv_valid_mask if kv_valid_mask is not None else attention_mask
     has_lora = lora is not None and lora.get("layers") is not None
     L = cfg.num_layers
@@ -357,9 +371,17 @@ def forward(
             # write this token/chunk into the layer's slab of the FULL
             # stacked cache (scan carry -> in-place update, no per-layer
             # slab copies); int8 caches quantize at write
-            cache = _cache_write(cache, k, v, layer_id, cache_offset)
+            cache = _cache_write(
+                cache, k, v, layer_id,
+                offset_vec if chunk_decode else cache_offset)
 
-        if decoding:
+        if chunk_decode:
+            from multimodal_unlearning_tpu.ops.decode_attention import (
+                chunk_decode_attention,
+            )
+
+            attn = chunk_decode_attention(q, cache, layer_id, kv_mask, offset_vec)
+        elif decoding:
             # flash-decode: read layer_id's K/V straight out of the stacked
             # cache (scalar-prefetch indexing — see ops/decode_attention.py)
             from multimodal_unlearning_tpu.ops.decode_attention import decode_attention

@@ -141,6 +141,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     last_logit_only: bool = False,
+    chunk_decode: bool = False,
     mesh=None,
 ):
     """VLM forward. ``input_ids`` already contain expanded image tokens."""
@@ -184,6 +185,7 @@ def forward(
         compute_dtype=compute_dtype,
         logits_dtype=logits_dtype,
         last_logit_only=last_logit_only,
+        chunk_decode=chunk_decode,
         mesh=mesh,
     )
     return out

@@ -298,6 +298,7 @@ def forward(
     logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     mesh=None,
     last_logit_only: bool = False,
+    chunk_decode: bool = False,
 ):
     """VLM forward.  ``input_ids`` contain the expanded image-token span;
     ``pixel_values`` are pre-patchified [B, N, patch_dim] (flatten order of
@@ -356,6 +357,7 @@ def forward(
         compute_dtype=compute_dtype,
         logits_dtype=logits_dtype,
         last_logit_only=last_logit_only,
+        chunk_decode=chunk_decode,
         mesh=mesh,
     )
     if out_delta is not None:

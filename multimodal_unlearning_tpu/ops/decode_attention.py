@@ -225,3 +225,61 @@ def decode_attention(
         )
     out = run(*args)
     return out[:, :, :G].reshape(B, Hq, 1, D)
+
+
+def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None):
+    """C-token verify-chunk attention against layer ``layer`` of the cache.
+
+    The speculative-decode verify step (evaluation/generate.py) feeds C
+    candidate tokens at once; row b's queries sit at cache columns
+    offset[b]..offset[b]+C-1 (already written by this layer), so query i
+    may attend the valid prefix PLUS the in-chunk columns up to its own —
+    per-row causal alignment that the single-token kernel and
+    mha_reference don't express.
+
+    Args:
+      q: [B, Hq, C, D] (RoPE applied).
+      cache / layer: as decode_attention.
+      kv_valid: [B, Smax] — the ACCEPTED prefix only (chunk columns excluded;
+        the causal term below admits them).
+      offset: [B] int32 — each row's first in-chunk cache column.
+    Returns [B, Hq, C, D] in q's dtype.
+
+    XLA-only: runs as (dequant+)repeat+einsum and lets the compiler fuse.
+    It replaces C single-token steps, so per accepted token it streams the
+    same cache bytes as the fallback path; the Pallas single-token kernel
+    stays on the non-speculative path.
+    """
+    k_cache, v_cache = cache["k"], cache["v"]
+    B, Hq, C, D = q.shape
+    _, _, Hkv, Smax, _ = k_cache.shape
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+    if k_cache.dtype == jnp.int8:
+        k = _dequant(idx(k_cache), idx(cache["k_s"]))
+        v = _dequant(idx(v_cache), idx(cache["v_s"]))
+    else:
+        k, v = idx(k_cache), idx(v_cache)
+    k = jnp.repeat(k.astype(q.dtype), Hq // Hkv, axis=1)  # [B,Hq,Smax,D]
+    v = jnp.repeat(v.astype(q.dtype), Hq // Hkv, axis=1)
+    s = jnp.einsum(
+        "bhcd,bhsd->bhcs", q * sm_scale, k, preferred_element_type=jnp.float32
+    )
+    col = jnp.arange(Smax, dtype=jnp.int32)
+    # in-chunk causal: query i sees chunk columns offset..offset+i — bounded
+    # BELOW by offset so kv_valid=0 columns before it (left padding, stale
+    # rolled-back speculative entries) stay hidden; the accepted prefix is
+    # admitted by kv_valid alone
+    in_chunk = (col[None, None, :] >= offset[:, None, None]) & (
+        col[None, None, :]
+        <= offset[:, None, None] + jnp.arange(C, dtype=jnp.int32)[None, :, None]
+    )  # [B,C,Smax]
+    mask = (kv_valid[:, None, :] > 0) | in_chunk
+    s = jnp.where(mask[:, None, :, :], s, _NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    return jnp.einsum(
+        "bhcs,bhsd->bhcd", p.astype(v.dtype), v
+    ).astype(q.dtype)
