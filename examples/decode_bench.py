@@ -124,13 +124,17 @@ def main():
                 slack = 2 * spec_k + 2
                 _, rounds, n_out = _spec_generate(
                     params, input_ids, attention_mask, pixel_values,
+                    jnp.zeros((B, 0), jnp.int32),
                     model_cfg=mcfg, is_vlm=True, attn_impl="auto",
                     compute_dtype=dtype, cache_dtype=cache_dtype,
                     smax=-(-(S + NEW + slack) // 128) * 128,
                     max_new_tokens=NEW, pad_token_id=0, eos=-1,
                     int8_compute=INT8_COMPUTE, k_spec=spec_k,
                     return_stats=True)
-                extra = (f"  tok/fwd={float(np.asarray(n_out).sum()) / int(rounds):.2f}")
+                # honest batch metric: the loop is bound by the WORST row —
+                # plain greedy needs NEW-1 decode steps, speculation `rounds`
+                extra = (f"  verify-rounds={int(rounds)} vs {NEW - 1} plain "
+                         f"(x{(NEW - 1) / max(int(rounds), 1):.2f} steps)")
             print(
                 f"{name:12s} {dt:6.2f} s/batch  {B / dt:5.2f} samples/s  "
                 f"{B * NEW / dt:6.0f} tok/s  (compile {compile_s:.0f}s){extra}",

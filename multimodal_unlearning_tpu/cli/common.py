@@ -268,6 +268,19 @@ def make_tail_padder(batch_size: int):
     return pad_rows, target
 
 
+def pad_width(a, multiple: int, fill):
+    """Pad a [B, W] array's width up to a multiple (bounds the jit-shape set
+    for per-batch variable-width side inputs like draft_ref)."""
+    import numpy as np
+
+    W = a.shape[1]
+    Wp = -(-W // multiple) * multiple
+    if Wp == W:
+        return a
+    return np.concatenate(
+        [a, np.full((a.shape[0], Wp - W), fill, a.dtype)], axis=1)
+
+
 def _has_qtensor(tree) -> bool:
     if isinstance(tree, dict):
         if set(tree.keys()) == {"q", "s"}:

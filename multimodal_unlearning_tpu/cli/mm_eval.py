@@ -134,6 +134,7 @@ def _run(cfg):
 
     def generate_fn(batch, max_new_tokens):
         pix = batch.get("pixel_values")
+        dref = batch.get("draft_ref") if speculate_k else None
         B = len(batch["input_ids"])
         to = _target(B)
         gen = greedy_generate(
@@ -146,6 +147,8 @@ def _run(cfg):
             is_vlm=vlm, mesh=gen_mesh, aot_layouts=aot_layouts,
             cache_dtype=cache_dtype, compute_dtype=dtype,
             speculate_k=speculate_k,
+            draft_ref=None if dref is None else jnp.asarray(
+                _pad_rows(common.pad_width(np.asarray(dref), 64, -2), to)),
         )
         return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B]]
 

@@ -116,21 +116,33 @@ def _run(cfg):
         base_dl = mk_loader(base_ak, max(cfg.batch_size // 4, 1))
         pert_dl = mk_loader(pert_ak, max(cfg.batch_size // 4, 1))
 
-        def generate_fn(q_texts):
+        def generate_fn(q_texts, ref_texts=None):
             from multimodal_unlearning_tpu.evaluation.generate import pad_prompts
 
+            spec_k = int(cfg.get("speculative_k", 0) or 0)
             q_enc = [tok.encode(q, add_special_tokens=True) for q in q_texts]
             ids, mask = pad_prompts(q_enc, tok.pad_token_id)
             B_gen = len(ids)
             ids = _pad_rows(ids, _target(B_gen))
             mask = _pad_rows(mask, _target(B_gen))
+            dref = None
+            if spec_k and ref_texts is not None:
+                # ground-truth answers seed the lookup corpus (-2 padding);
+                # drafts are verified, output stays exactly greedy
+                enc = [tok.encode(r, add_special_tokens=False) for r in ref_texts]
+                R = -(-max((len(e) for e in enc), default=0) // 64) * 64
+                if R:
+                    dref = np.full((len(enc), R), -2, np.int32)
+                    for i, e in enumerate(enc):
+                        dref[i, :len(e)] = e
+                    dref = jnp.asarray(_pad_rows(dref, _target(B_gen)))
             gen = greedy_generate(
                 params, mcfg, jnp.asarray(ids), jnp.asarray(mask),
                 max_new_tokens=cfg.generation.max_new_tokens,
                 pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
                 cache_dtype=cache_dtype, compute_dtype=dtype,
                 mesh=gen_mesh, aot_layouts=aot_layouts,
-                speculate_k=int(cfg.get("speculative_k", 0) or 0),
+                speculate_k=spec_k, draft_ref=dref,
             )
             return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B_gen]]
 

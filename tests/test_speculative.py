@@ -174,6 +174,7 @@ def test_speculative_actually_accepts_drafts():
     max_new = 64
     tokens, rounds, n_out = _spec_generate(
         params, jnp.asarray(ids), jnp.asarray(mask), None,
+        jnp.zeros((1, 0), jnp.int32),
         model_cfg=cfg, is_vlm=False, attn_impl="xla",
         compute_dtype=jnp.float32, cache_dtype=jnp.float32,
         smax=256, max_new_tokens=max_new, pad_token_id=0, eos=-1,
@@ -186,3 +187,47 @@ def test_speculative_actually_accepts_drafts():
         max_new_tokens=max_new, pad_token_id=0, eos_token_id=None,
         cache_dtype=jnp.float32, compute_dtype=jnp.float32))
     np.testing.assert_array_equal(np.asarray(tokens), plain)
+
+
+def test_reference_seeded_drafts_accept_near_perfectly():
+    """Reference-corpus drafting: seed the lookup with the model's own plain
+    greedy output — every draft then equals the model's argmax, so the
+    verify loop must collapse to ~max_new/(K+1) rounds, and the output stays
+    token-identical.  (In the eval engine the corpus is the ground-truth
+    answer: acceptance is high exactly when the model tracks it.)"""
+    from multimodal_unlearning_tpu.evaluation.generate import _spec_generate
+    from multimodal_unlearning_tpu.models.llama import INT8_COMPUTE
+
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(5)
+    ids = rng.integers(3, cfg.vocab_size, (2, 16))
+    mask = np.ones((2, 16), np.int64)
+    max_new, k = 32, 4
+    plain = np.asarray(greedy_generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        max_new_tokens=max_new, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32))
+    tokens, rounds, n_out = _spec_generate(
+        params, jnp.asarray(ids), jnp.asarray(mask), None,
+        jnp.asarray(plain, jnp.int32),  # the corpus IS the greedy stream
+        model_cfg=cfg, is_vlm=False, attn_impl="xla",
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+        smax=128, max_new_tokens=max_new, pad_token_id=0, eos=-1,
+        int8_compute=INT8_COMPUTE, k_spec=k, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(tokens), plain)
+    # perfect acceptance would need ceil((max_new-1)/(k+1)) = 7 rounds;
+    # re-anchoring after duplicate 2-grams costs a few partial rounds —
+    # observed 13 (2.4x fewer forwards than the 31 plain steps)
+    assert int(rounds) <= 16, f"rounds={int(rounds)} (plain would be {max_new - 1})"
+
+
+def test_greedy_generate_draft_ref_plumbs_and_stays_exact():
+    """greedy_generate(draft_ref=...) with an arbitrary (even misleading)
+    reference must still emit exactly the plain greedy stream."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(6)
+    ids, mask = _prompts(cfg, rng)
+    plain = _gen(params, cfg, ids, mask, k=0)
+    bogus = rng.integers(3, cfg.vocab_size, (3, 20))
+    spec = _gen(params, cfg, ids, mask, k=4, draft_ref=jnp.asarray(bogus, jnp.int32))
+    np.testing.assert_array_equal(spec, plain)
