@@ -412,7 +412,7 @@ def greedy_generate(
     _AOT_DECODE_CACHE).
     ``speculate_k``: >0 enables prompt-lookup speculative decoding — K
     drafted tokens verified per forward, token-identical output
-    (_spec_generate; llama-family decoders).
+    (_spec_generate; all decoder families).
     ``draft_ref``: optional [B, R] reference token rows (-2 padded) seeding
     the lookup corpus — e.g. the eval sample's ground-truth answer; output
     is still exactly greedy, but generations that track the reference
@@ -420,12 +420,7 @@ def greedy_generate(
     B, S = input_ids.shape
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    from multimodal_unlearning_tpu.models import gpt_decoder
     from multimodal_unlearning_tpu.models.llama import INT8_COMPUTE
-
-    dec_cfg = model_cfg.decoder if is_vlm else model_cfg
-    if speculate_k and isinstance(dec_cfg, gpt_decoder.GptConfig):
-        speculate_k = 0  # chunk_decode branch is llama-family only
 
     slack = 2 * speculate_k + 2 if speculate_k else 0
     Smax = -(-(S + max_new_tokens + slack) // 128) * 128  # lane-aligned cache

@@ -202,9 +202,11 @@ def forward(
     logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     return_hidden: bool = False,
     last_logit_only: bool = False,
+    chunk_decode: bool = False,
     mesh=None,
 ):
-    """Decoder forward; same modes/contract as models/llama.py:forward."""
+    """Decoder forward; same modes/contract as models/llama.py:forward
+    (including the speculative ``chunk_decode`` verify mode)."""
     if logits_dtype is None:
         logits_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     if inputs_embeds is None:
@@ -242,6 +244,12 @@ def forward(
 
     use_cache = kv_cache is not None
     decoding = use_cache and S == 1
+    # speculative verify chunk — same contract as models/llama.py: C>1
+    # candidate tokens read the whole cache with per-row in-chunk causality
+    chunk_decode = chunk_decode and use_cache and not decoding
+    if chunk_decode:
+        offset_vec = jnp.broadcast_to(
+            jnp.asarray(cache_offset, jnp.int32).reshape(-1), (B,))
     kv_mask = kv_valid_mask if kv_valid_mask is not None else attention_mask
     has_lora = lora is not None and lora.get("layers") is not None
     act = _ACTS[cfg.act]
@@ -266,8 +274,16 @@ def forward(
                 # in-place update of the stacked cache carry (models/llama.py)
                 from multimodal_unlearning_tpu.models.llama import _cache_write
 
-                cache = _cache_write(cache, k, v, layer_id, cache_offset)
-            if decoding:
+                cache = _cache_write(
+                    cache, k, v, layer_id,
+                    offset_vec if chunk_decode else cache_offset)
+            if chunk_decode:
+                from multimodal_unlearning_tpu.ops.decode_attention import (
+                    chunk_decode_attention,
+                )
+
+                attn = chunk_decode_attention(q, cache, layer_id, kv_mask, offset_vec)
+            elif decoding:
                 from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
 
                 attn = decode_attention(

@@ -77,6 +77,14 @@ class ServingEngine:
       chunk: decode steps per dispatch (static; emission latency bound).
       bucket_multiple: prompt lengths round up to this, bounding the number
         of prefill executables.
+      speculate_k: >0 turns every decode step into a prompt-lookup
+        speculative VERIFY round (evaluation/generate.py:_spec_generate):
+        K drafted tokens checked with one chunk_decode forward, 1..K+1
+        tokens emitted per slot per step — output stays token-identical to
+        plain greedy.  Slots accept independently (per-row cache columns).
+      spec_ref_len: width of the per-slot draft-corpus buffer; requests may
+        carry ``draft_ref`` tokens (e.g. a cached prior answer) that seed
+        the lookup beyond the slot's own history.
     """
 
     def __init__(
@@ -96,6 +104,8 @@ class ServingEngine:
         attn_impl: str = "auto",
         mesh=None,
         pipeline: bool = True,
+        speculate_k: int = 0,
+        spec_ref_len: int = 0,
     ):
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -114,6 +124,8 @@ class ServingEngine:
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
         self.mesh = mesh
+        self.K = int(speculate_k)
+        self.R = int(spec_ref_len) if self.K else 0
 
         self.pipeline = pipeline
         self._queue: list[Request] = []

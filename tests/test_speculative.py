@@ -121,6 +121,26 @@ def test_speculative_matches_plain_greedy(cache_dtype):
         np.testing.assert_array_equal(spec, plain, err_msg=f"k={k}")
 
 
+@pytest.mark.parametrize("family", ["neox", "phi", "stablelm"])
+def test_speculative_gpt_family_matches_plain(family):
+    """chunk_decode is family-agnostic: the gpt decoders (parallel residual,
+    partial rotary, LayerNorm) run the same per-row verify-chunk attention,
+    so speculative output must equal plain greedy for every family."""
+    from multimodal_unlearning_tpu.models import gpt_decoder
+
+    cfg = gpt_decoder.GptConfig.from_registry(dict(
+        decoder=family, vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4,
+    ))
+    params = gpt_decoder.init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    ids, mask = _prompts(cfg, rng)
+    plain = _gen(params, cfg, ids, mask, k=0)
+    for k in (3, 6):
+        spec = _gen(params, cfg, ids, mask, k=k)
+        np.testing.assert_array_equal(spec, plain, err_msg=f"{family} k={k}")
+
+
 def test_speculative_matches_plain_greedy_with_eos():
     cfg, params = tiny_decoder()
     rng = np.random.default_rng(2)
