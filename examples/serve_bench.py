@@ -58,14 +58,16 @@ def make_requests(mcfg, n, seed=0):
     return reqs
 
 
-def run_engine(mcfg, params, requests, slots, chunk=16):
+def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0):
     from multimodal_unlearning_tpu.serve import ServingEngine
 
-    max_len = -(-(max(len(r[0]) for r in requests) + 300) // 128) * 128
+    slack = speculate_k + 1 if speculate_k else 0
+    max_len = -(-(max(len(r[0]) for r in requests) + 300 + slack) // 128) * 128
     eng = ServingEngine(
         params, mcfg, "llava", num_slots=slots, max_len=max_len, chunk=chunk,
         bucket_multiple=128, pad_token_id=0, eos_token_id=None,
         cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        speculate_k=speculate_k,
     )
     # warmup: compile the prefill bucket + the decode chunk
     w = [eng.submit(requests[0][0], 2, pixel_values=requests[0][2]),
@@ -144,6 +146,16 @@ def main():
           f"= {toks_e / dt_e:6.1f} tok/s   "
           f"latency p50 {pct(lat_e, 50):5.1f}s p95 {pct(lat_e, 95):5.1f}s   "
           f"({dt_b / dt_e:4.2f}x)", flush=True)
+
+    # opt-in speculative legs: trailing "spec<K>" args, e.g. ... llava spec4
+    for arg in sys.argv[4:]:
+        if arg.startswith("spec"):
+            k = int(arg[4:])
+            toks_s, dt_s, lat_s = run_engine(mcfg, params, requests, slots, speculate_k=k)
+            print(f"cont+spec{k} B={slots}: {toks_s} useful tokens in {dt_s:6.1f}s "
+                  f"= {toks_s / dt_s:6.1f} tok/s   "
+                  f"latency p50 {pct(lat_s, 50):5.1f}s p95 {pct(lat_s, 95):5.1f}s   "
+                  f"({dt_b / dt_s:4.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

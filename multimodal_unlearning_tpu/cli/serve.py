@@ -56,6 +56,8 @@ def run(cfg):
         pad_token_id=tok.pad_token_id,
         eos_token_id=tok.eos_token_id,
         cache_dtype=cache_dtype, compute_dtype=dtype,
+        speculate_k=int(cfg.get("speculative_k", 0) or 0),
+        spec_ref_len=int(cfg.get("spec_ref_len", 128) or 0),
     )
 
     default_new = int(cfg.generation.max_new_tokens)
@@ -75,8 +77,13 @@ def run(cfg):
                 img = r["image"]
                 arr = np.asarray(Image.open(img).convert("RGB")) if isinstance(img, str) else np.asarray(img)
                 pix = preprocess_image(arr, mcfg.vision.image_size).astype(np.float32)
+            # optional "draft": expected-answer text seeding the speculative
+            # lookup corpus (e.g. a cached prior completion) — output stays
+            # exactly greedy either way
+            dref = tok.encode(r["draft"]) if r.get("draft") else None
             reqs.append(engine.submit(
-                ids, int(r.get("max_new_tokens", default_new)), pixel_values=pix))
+                ids, int(r.get("max_new_tokens", default_new)),
+                pixel_values=pix, draft_ref=dref))
             texts.append(r["question"])
 
     t0 = time.perf_counter()

@@ -55,6 +55,7 @@ class Request:
     prompt_ids: list
     max_new_tokens: int
     pixel_values: np.ndarray | None = None
+    draft_ref: list = field(default_factory=list)  # lookup-corpus seed tokens
     tokens: list = field(default_factory=list)
     done: bool = False
     submit_t: float = 0.0   # time.monotonic at submit
@@ -160,7 +161,7 @@ class ServingEngine:
         def init():
             cache = dec.init_kv_cache(self.dec_cfg, self.B, self.smax, dtype=self.cache_dtype)
             z = jnp.zeros((self.B,), jnp.int32)
-            return {
+            state = {
                 "cache": cache,
                 "kv_valid": jnp.zeros((self.B, self.smax), jnp.int32),
                 "write_col": z,          # next cache column per slot
@@ -170,6 +171,12 @@ class ServingEngine:
                 "rope_delta": z,         # qwen2-vl M-RoPE decode offset
                 "live": jnp.zeros((self.B,), bool),
             }
+            if self.K:
+                # token history + per-slot draft corpus for the 2-gram
+                # lookup (-2 marks never-match slots, as in _spec_generate)
+                state["ids_buf"] = jnp.full((self.B, self.smax), -2, jnp.int32)
+                state["draft_ref"] = jnp.full((self.B, self.R), -2, jnp.int32)
+            return state
 
         return init()
 
@@ -181,7 +188,7 @@ class ServingEngine:
         dec = decoder_module(self.dec_cfg)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def prefill_insert(params, state, ids, mask, pix, slot, max_new):
+        def prefill_insert(params, state, ids, mask, pix, slot, max_new, dref):
             fwd = self._fwd(params)
             slab = dec.init_kv_cache(self.dec_cfg, 1, sp, dtype=self.cache_dtype)
             kw = dict(
@@ -200,6 +207,9 @@ class ServingEngine:
                 cache[key] = jax.lax.dynamic_update_slice(cache[key], slab[key], at)
             row = jnp.zeros((1, self.smax), jnp.int32).at[:, :sp].set(mask)
             finished_now = (first[0] == self.eos) if self.eos >= 0 else jnp.array(False)
+            old_spec = (
+                {"ids_buf": state["ids_buf"], "draft_ref": state["draft_ref"]}
+                if self.K else None)
             state = {
                 "cache": cache,
                 "kv_valid": jax.lax.dynamic_update_slice(state["kv_valid"], row, (slot, 0)),
@@ -214,6 +224,13 @@ class ServingEngine:
                     else 0),
                 "live": state["live"].at[slot].set(~finished_now & (max_new - 1 > 0)),
             }
+            if self.K:
+                hist = jnp.full((1, self.smax), -2, jnp.int32).at[:, :sp].set(
+                    jnp.where(mask > 0, ids.astype(jnp.int32), -2))
+                state["ids_buf"] = jax.lax.dynamic_update_slice(
+                    old_spec["ids_buf"], hist, (slot, 0))
+                state["draft_ref"] = jax.lax.dynamic_update_slice(
+                    old_spec["draft_ref"], dref, (slot, 0))
             return state, first[0]
 
         self._insert_cache[(sp, with_pixels)] = prefill_insert
@@ -221,6 +238,9 @@ class ServingEngine:
 
     def _decode(self):
         if self._decode_fn is not None:
+            return self._decode_fn
+        if self.K:
+            self._decode_fn = self._make_spec_decode()
             return self._decode_fn
         B, eos, pad = self.B, self.eos, self.pad_id
         is_qwen = self.kind == "qwen2_vl"
@@ -268,14 +288,123 @@ class ServingEngine:
         self._decode_fn = decode_chunk
         return decode_chunk
 
+    def _make_spec_decode(self):
+        """Speculative decode chunk: each scan step is one prompt-lookup
+        verify round per slot (evaluation/generate.py:_spec_generate, with
+        the lookup corpus and history held in the engine state).  Emits up
+        to K+1 tokens per slot per step; output is exactly greedy."""
+        B, eos, pad, K, R = self.B, self.eos, self.pad_id, self.K, self.R
+        smax = self.smax
+        is_qwen = self.kind == "qwen2_vl"
+        vocab = self.dec_cfg.vocab_size
+        ar = jnp.arange(K + 1, dtype=jnp.int32)
+        rows = jnp.arange(B, dtype=jnp.int32)
+        W = R + 1 + smax
+        col2 = jnp.arange(W, dtype=jnp.int32)
+
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
+        def decode_chunk(params, state, n):
+            fwd = self._fwd(params)
+
+            def propose(ids_buf, draft_ref, token, cur):
+                # most recent 2-gram match in [corpus | sep | history] ->
+                # the K tokens that followed (generate.py:propose, but the
+                # corpus is a per-slot state row)
+                sep = jnp.full((B, 1), -5, jnp.int32)
+                buf = jnp.concatenate([draft_ref, sep, ids_buf], axis=1)
+                prev = ids_buf[rows, jnp.maximum(cur - 1, 0)]
+                nxt = jnp.concatenate(
+                    [buf[:, 1:], jnp.full((B, 1), -3, jnp.int32)], axis=1)
+                m = (buf == prev[:, None]) & (nxt == token[:, None])
+                pcol = col2[None, :]
+                limit = jnp.where(pcol < R, R, R + 1 + cur[:, None])
+                p_full = jnp.max(jnp.where(m & (pcol + 2 + K <= limit), pcol, -1), axis=1)
+                p_any = jnp.max(jnp.where(m & (pcol + 2 < limit), pcol, -1), axis=1)
+                p = jnp.where(p_full >= 0, p_full, p_any)
+                cols = p[:, None] + 2 + ar[None, :K]
+                vals = buf[rows[:, None], jnp.clip(cols, 0, W - 1)]
+                p_limit = jnp.where(p < R, R, R + 1 + cur)
+                known = (p[:, None] >= 0) & (cols < p_limit[:, None])
+                return jnp.where(known, vals, -4)  # -4 never equals an argmax
+
+            def step(s, _):
+                live = s["live"] & (s["remaining"] > 0)
+                cur, pos, token = s["write_col"], s["pos_next"], s["token"]
+                draft = propose(s["ids_buf"], s["draft_ref"], token, cur)
+                chunk = jnp.concatenate([token[:, None], draft], axis=1)
+                chunk_in = jnp.clip(chunk, 0, vocab - 1)
+                # retired slots still run the forward: clamp their stale
+                # write columns so the K+1-wide per-row write stays in
+                # bounds (live rows satisfy cur + K < smax by the submit
+                # check; clamped garbage lands in never-valid columns)
+                cur_w = jnp.minimum(cur, smax - (K + 1))
+                dec_kw = dict(
+                    attention_mask=jnp.ones((B, K + 1), jnp.int32),
+                    positions=pos[:, None] + ar[None, :],
+                    kv_cache=s["cache"], cache_offset=cur_w,
+                    kv_valid_mask=s["kv_valid"], chunk_decode=True,
+                )
+                if self.is_vlm:
+                    dec_kw["pixel_values"] = None
+                if is_qwen:
+                    dec_kw["rope_delta"] = s["rope_delta"]
+                o = fwd(chunk_in, **dec_kw)
+                preds = jnp.argmax(o["logits"], axis=-1).astype(jnp.int32)  # [B,K+1]
+
+                matches = jnp.cumprod((draft == preds[:, :K]).astype(jnp.int32), axis=1)
+                a = jnp.sum(matches, axis=1)                  # accepted 0..K
+                n_emit = a + 1
+                if eos >= 0:
+                    is_eos = preds == eos
+                    eos_idx = jnp.min(jnp.where(is_eos, ar[None, :], K + 1), axis=1)
+                    n_emit = jnp.minimum(n_emit, eos_idx)     # eos not emitted
+                    hit_eos = eos_idx <= a
+                else:
+                    hit_eos = jnp.zeros((B,), bool)
+                n_emit = jnp.minimum(n_emit, s["remaining"])
+                n_emit = jnp.where(live, n_emit, 0)
+                emits = jnp.where(ar[None, :] < n_emit[:, None], preds, pad)
+
+                # accepted context tokens chunk[0..a] extend history+validity
+                acc_mask = (ar[None, :] <= a[:, None]) & live[:, None]
+                ids_cols = jnp.where(acc_mask, cur_w[:, None] + ar[None, :], smax - 1)
+                ids_vals = jnp.where(
+                    acc_mask, chunk, s["ids_buf"][rows[:, None], ids_cols])
+                ids_buf = s["ids_buf"].at[rows[:, None], ids_cols].set(ids_vals)
+                kv_valid = s["kv_valid"].at[rows[:, None], ids_cols].max(
+                    acc_mask.astype(jnp.int32))
+
+                remaining = s["remaining"] - n_emit
+                done = live & (hit_eos | (remaining <= 0))
+                adv = jnp.where(live, a + 1, 0)
+                s = {
+                    "cache": o["kv_cache"], "kv_valid": kv_valid,
+                    "write_col": cur + adv, "pos_next": pos + adv,
+                    "token": jnp.where(live, preds[rows, a], token),
+                    "remaining": remaining,
+                    "rope_delta": s["rope_delta"],
+                    "live": live & ~done,
+                    "ids_buf": ids_buf, "draft_ref": s["draft_ref"],
+                }
+                return s, (emits, n_emit, done)
+
+            state, (emits, n_emits, dones) = jax.lax.scan(step, state, None, length=n)
+            return state, emits, (n_emits, dones)
+
+        return decode_chunk
+
     # ----------------------------------------------------------------- host
-    def submit(self, prompt_ids, max_new_tokens: int, pixel_values=None) -> Request:
+    def submit(self, prompt_ids, max_new_tokens: int, pixel_values=None,
+               draft_ref=None) -> Request:
         sp = _bucket(len(prompt_ids), self.bucket_multiple)
-        if sp + max_new_tokens > self.smax:
+        slack = self.K + 1 if self.K else 0  # verify chunk writes K past cur
+        if sp + max_new_tokens + slack > self.smax:
             raise ValueError(
-                f"prompt bucket {sp} + max_new {max_new_tokens} exceeds max_len {self.smax}")
+                f"prompt bucket {sp} + max_new {max_new_tokens} (+ speculative "
+                f"slack {slack}) exceeds max_len {self.smax}")
         self._uid += 1
         req = Request(self._uid, list(prompt_ids), max_new_tokens, pixel_values)
+        req.draft_ref = list(draft_ref or [])[: self.R]
         req.submit_t = time.monotonic()
         self._queue.append(req)
         return req
@@ -292,10 +421,14 @@ class ServingEngine:
             pix = None
             if req.pixel_values is not None:
                 pix = jnp.asarray(req.pixel_values[None], self.compute_dtype)
+            dref = np.full((1, self.R), -2, np.int32)
+            if req.draft_ref:
+                dref[0, : len(req.draft_ref)] = req.draft_ref
             fn = self._insert_fn(sp, req.pixel_values is not None)
             self._state, first = fn(
                 self.params, self._state, jnp.asarray(ids), jnp.asarray(mask),
                 pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
+                jnp.asarray(dref),
             )
             first = int(first)
             req.first_t = time.monotonic()
@@ -312,11 +445,14 @@ class ServingEngine:
                 else:
                     self._slot_req[slot] = req
 
-    def _consume(self, emits, lives, snapshot):
+    def _consume(self, emits, aux, snapshot):
         """Deliver one chunk's emissions to its dispatch-time slot mapping
         and retire finished requests.  Retirement is decided from the
         emission arrays alone (eos seen / budget reached) — the device state
         may already have been donated into the NEXT chunk."""
+        if self.K:
+            return self._consume_spec(emits, aux, snapshot)
+        lives = aux
         emits = np.asarray(emits)   # [T, B] — blocks until the chunk lands
         lives = np.asarray(lives)
         for b, req in enumerate(snapshot):
@@ -337,6 +473,26 @@ class ServingEngine:
                 self._slot_req[b] = None
                 self._free.append(b)
 
+    def _consume_spec(self, emits, aux, snapshot):
+        """Spec-mode delivery: step t emitted ``n_emits[t,b]`` verified
+        tokens for slot b (eos never emitted; ``dones`` marks eos/budget
+        retirement — decided on device, so the host just replays it)."""
+        n_emits, dones = aux
+        emits = np.asarray(emits)       # [T, B, K+1] — blocks on the chunk
+        n_emits = np.asarray(n_emits)   # [T, B]
+        dones = np.asarray(dones)       # [T, B]
+        for b, req in enumerate(snapshot):
+            if req is None or req.done:
+                continue
+            for t in range(self.chunk):
+                req.tokens.extend(int(x) for x in emits[t, b, : n_emits[t, b]])
+                if dones[t, b]:
+                    req.done = True
+                    req.done_t = time.monotonic()
+                    self._slot_req[b] = None
+                    self._free.append(b)
+                    break
+
     def step(self):
         """One engine iteration: fill free slots, dispatch one decode chunk,
         deliver the PREVIOUS chunk's tokens.
@@ -354,14 +510,14 @@ class ServingEngine:
         if any(r is not None for r in self._slot_req):
             decode = self._decode()
             snapshot = list(self._slot_req)
-            self._state, emits, lives = decode(self.params, self._state, self.chunk)
+            self._state, emits, aux = decode(self.params, self._state, self.chunk)
             if self.pipeline:
-                self._pending = (emits, lives, snapshot)
+                self._pending = (emits, aux, snapshot)
             else:
                 if prev is not None:  # mode flipped mid-flight
                     self._consume(*prev)
                     prev = None
-                self._consume(emits, lives, snapshot)
+                self._consume(emits, aux, snapshot)
         if prev is not None:
             self._consume(*prev)
 

@@ -139,6 +139,131 @@ def test_engine_soak_many_requests_with_eos_churn():
             f"plen={len(prompt)} budget={budget} eos={eos}")
 
 
+@pytest.mark.parametrize("pipeline", [True, False], ids=["pipelined", "sync"])
+def test_engine_speculative_matches_plain_engine(pipeline):
+    """speculate_k>0 must be a pure throughput change: every request's
+    stream equals the plain engine's (and hence solo greedy_generate),
+    across slot reuse and mixed per-slot acceptance progress."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(7)
+    specs = [(5, 8), (11, 5), (3, 9), (14, 6), (8, 7)]
+    prompts = [rng.integers(3, cfg.vocab_size, p).tolist() for p, _ in specs]
+    # make row 0 repetitive so the lookup actually accepts drafts
+    prompts[0] = (prompts[0] * 4)[:16]
+
+    def run(k):
+        eng = ServingEngine(
+            params, cfg, "llama", num_slots=2, max_len=128, chunk=3,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+            pipeline=pipeline, speculate_k=k, spec_ref_len=24 if k else 0,
+        )
+        reqs = [eng.submit(p, m) for p, (_, m) in zip(prompts, specs)]
+        return eng.drain(reqs)
+
+    assert run(4) == run(0)
+
+
+def test_engine_speculative_eos_churn_soak():
+    """Spec engine under heavy eos churn (frequent eos, tiny budgets, 4
+    slots, 30 requests): device-decided retirement must replay exactly the
+    plain engine's streams."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(8)
+    probe = _expected(params, cfg, rng.integers(3, cfg.vocab_size, 6).tolist(), 8)
+    eos = int(np.bincount(probe).argmax())
+    cases = [(rng.integers(3, cfg.vocab_size, int(rng.integers(3, 30))).tolist(),
+              int(rng.integers(1, 7))) for _ in range(30)]
+
+    def run(k):
+        eng = ServingEngine(
+            params, cfg, "llama", num_slots=4, max_len=64, chunk=3,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=eos,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+            speculate_k=k,
+        )
+        reqs = [eng.submit(p, m) for p, m in cases]
+        return eng.drain(reqs)
+
+    assert run(3) == run(0)
+
+
+def test_engine_speculative_draft_ref_exact_and_accepts():
+    """Per-request draft corpora: seeding each request with its own plain
+    greedy stream keeps output identical AND must actually accept (the
+    drained spec run finishes in fewer decode dispatches than plain)."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, cfg.vocab_size, n).tolist() for n in (6, 12)]
+    plain = [_expected(params, cfg, p, 24).tolist() for p in prompts]
+
+    def run(k, refs):
+        eng = ServingEngine(
+            params, cfg, "llama", num_slots=2, max_len=128, chunk=2,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+            speculate_k=k, spec_ref_len=24 if k else 0,
+        )
+        reqs = [eng.submit(p, 24, draft_ref=r) for p, r in zip(prompts, refs)]
+        n_steps = 0
+        while not all(r.done for r in reqs):
+            eng.step()
+            n_steps += 1
+        return [r.tokens for r in reqs], n_steps
+
+    toks_plain, steps_plain = run(0, [None, None])
+    toks_spec, steps_spec = run(4, plain)
+    assert toks_plain == plain and toks_spec == plain
+    assert steps_spec < steps_plain, (steps_spec, steps_plain)
+    # misleading corpus: still exact
+    bogus = [rng.integers(3, cfg.vocab_size, 20).tolist() for _ in prompts]
+    toks_bogus, _ = run(4, bogus)
+    assert toks_bogus == plain
+
+
+def test_engine_speculative_vlm_and_gpt():
+    """Spec engine across model kinds: llava (VLM wrapper chunk_decode) and
+    neox (gpt-family chunk_decode) both stream exactly greedy."""
+    from multimodal_unlearning_tpu.models import gpt_decoder
+
+    rng = np.random.default_rng(10)
+    # --- gpt family ---
+    gcfg = gpt_decoder.GptConfig.from_registry(dict(
+        decoder="neox", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, rotary_pct=0.25,
+    ))
+    gparams = gpt_decoder.init_params(gcfg, jax.random.PRNGKey(0))
+    prompt = rng.integers(3, gcfg.vocab_size, 9).tolist()
+    eng = ServingEngine(
+        gparams, gcfg, "neox", num_slots=2, max_len=128, chunk=3,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32, speculate_k=3,
+    )
+    req = eng.submit(prompt, 7)
+    eng.drain([req])
+    np.testing.assert_array_equal(
+        np.asarray(req.tokens), _expected(gparams, gcfg, prompt, 7))
+
+    # --- llava ---
+    arch = get_model_identifiers("tiny-llava-test").arch
+    vcfg = llava.LlavaConfig.from_registry(arch)
+    vparams = llava.init_params(vcfg, jax.random.PRNGKey(0))
+    n_img = vcfg.num_image_tokens
+    img = rng.normal(size=(vcfg.vision.image_size, vcfg.vision.image_size, 3)).astype(np.float32)
+    vprompt = [vcfg.image_token_id] * n_img + rng.integers(
+        3, vcfg.decoder.vocab_size, 6).tolist()
+    eng = ServingEngine(
+        vparams, vcfg, "llava", num_slots=2, max_len=128, chunk=3,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32, speculate_k=3,
+    )
+    req = eng.submit(vprompt, 5, pixel_values=img)
+    eng.drain([req])
+    want = _expected(vparams, vcfg, vprompt, 5, is_vlm=True,
+                     pixel_values=jnp.asarray(img[None], jnp.float32))
+    np.testing.assert_array_equal(np.asarray(req.tokens), want)
+
+
 def test_engine_gpt_family_matches_greedy():
     """The other decoder family (neox: parallel residual, partial rotary)
     through the engine's shared per-row cache-write path."""
