@@ -58,6 +58,9 @@ def run(cfg):
         cache_dtype=cache_dtype, compute_dtype=dtype,
         speculate_k=int(cfg.get("speculative_k", 0) or 0),
         spec_ref_len=int(cfg.get("spec_ref_len", 128) or 0),
+        temperature=float(cfg.get("temperature", 0.0) or 0.0),
+        top_k=int(cfg.get("top_k", 0) or 0),
+        top_p=float(cfg.get("top_p", 1.0) or 1.0),
     )
 
     default_new = int(cfg.generation.max_new_tokens)
@@ -83,7 +86,8 @@ def run(cfg):
             dref = tok.encode(r["draft"]) if r.get("draft") else None
             reqs.append(engine.submit(
                 ids, int(r.get("max_new_tokens", default_new)),
-                pixel_values=pix, draft_ref=dref))
+                pixel_values=pix, draft_ref=dref,
+                sample_seed=r.get("sample_seed")))
             texts.append(r["question"])
 
     t0 = time.perf_counter()

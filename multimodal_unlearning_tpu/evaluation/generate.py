@@ -59,11 +59,14 @@ def _fwd_fn(model_cfg, is_vlm, attn_impl, compute_dtype, params, mesh=None):
     static_argnames=(
         "model_cfg", "is_vlm", "attn_impl", "compute_dtype", "cache_dtype",
         "smax", "max_new_tokens", "pad_token_id", "eos", "int8_compute", "mesh",
+        "do_sample", "temperature", "top_k", "top_p",
     ),
 )
 def _generate(params, input_ids, attention_mask, pixel_values,
               *, model_cfg, is_vlm, attn_impl, compute_dtype, cache_dtype,
-              smax, max_new_tokens, pad_token_id, eos, int8_compute, mesh=None):
+              smax, max_new_tokens, pad_token_id, eos, int8_compute, mesh=None,
+              do_sample: bool = False, sample_seeds=None,
+              temperature=1.0, top_k: int = 0, top_p=1.0):
     # int8_compute is read as a module global at trace time (models.llama
     # INT8_COMPUTE); it is in the signature ONLY to key the jit cache so
     # toggling the flag retraces instead of reusing a stale executable
@@ -90,7 +93,18 @@ def _generate(params, input_ids, attention_mask, pixel_values,
     cache = out["kv_cache"]
     # Qwen2-VL M-RoPE: decode positions continue from max prompt position
     rope_delta = out.get("rope_delta")
-    first_token = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(input_ids.dtype)
+    if do_sample:
+        # per-row fold-in keys: token i of seed s is a pure function of
+        # (s, i) — identical through the serving engine (sampling.py)
+        from multimodal_unlearning_tpu.evaluation.sampling import row_keys, sample_token
+
+        keys = row_keys(sample_seeds)
+        pick = lambda logits, idx: sample_token(
+            keys, idx, logits, temperature, top_k, top_p)
+        first_token = pick(
+            out["logits"][:, -1, :], jnp.zeros((B,), jnp.int32)).astype(input_ids.dtype)
+    else:
+        first_token = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(input_ids.dtype)
 
     finished0 = (first_token == eos) if eos >= 0 else jnp.zeros((B,), bool)
     first_emit = jnp.where(finished0, pad_token_id, first_token)
@@ -111,7 +125,12 @@ def _generate(params, input_ids, attention_mask, pixel_values,
         if rope_delta is not None:
             dec_kw["rope_delta"] = rope_delta
         out = fwd(token[:, None], **dec_kw)
-        nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(token.dtype)
+        if do_sample:
+            nxt = pick(
+                out["logits"][:, -1, :],
+                jnp.full((B,), t + 1, jnp.int32)).astype(token.dtype)
+        else:
+            nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(token.dtype)
         newly_finished = finished | (nxt == eos)
         emit = jnp.where(newly_finished, pad_token_id, nxt)
         return (out["kv_cache"], kv_valid, nxt, newly_finished), emit
@@ -402,6 +421,11 @@ def greedy_generate(
     aot_layouts: bool = False,
     speculate_k: int = 0,
     draft_ref=None,
+    do_sample: bool = False,
+    temperature=1.0,
+    top_k: int = 0,
+    top_p=1.0,
+    sample_seeds=None,
 ):
     """Returns generated token ids [B, max_new_tokens] (pad after eos).
 
@@ -416,7 +440,12 @@ def greedy_generate(
     ``draft_ref``: optional [B, R] reference token rows (-2 padded) seeding
     the lookup corpus — e.g. the eval sample's ground-truth answer; output
     is still exactly greedy, but generations that track the reference
-    accept K drafts per forward."""
+    accept K drafts per forward.
+    ``do_sample``: stochastic decoding (temperature / top_k / top_p —
+    evaluation/sampling.py, beyond-reference).  ``sample_seeds`` [B] give
+    each row its stream seed (default arange(B)); token i of seed s is a
+    pure function of (s, i), so streams reproduce through the serving
+    engine."""
     B, S = input_ids.shape
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -433,6 +462,19 @@ def greedy_generate(
         int8_compute=INT8_COMPUTE,
         mesh=mesh,
     )
+    if do_sample:
+        # stochastic decoding (sampling.py): exact greedy contracts
+        # (speculative verify, AOT layout cache keys) don't apply
+        if speculate_k:
+            raise ValueError("speculate_k verifies against greedy argmax; "
+                             "combine it with do_sample=False")
+        if sample_seeds is None:
+            sample_seeds = jnp.arange(B, dtype=jnp.int32)
+        return _generate(
+            params, input_ids, attention_mask, pixel_values,
+            do_sample=True, sample_seeds=jnp.asarray(sample_seeds, jnp.int32),
+            temperature=float(temperature), top_k=top_k,
+            top_p=float(top_p), **static_kw)
     if speculate_k:
         if draft_ref is None:
             draft_ref = jnp.zeros((B, 0), jnp.int32)

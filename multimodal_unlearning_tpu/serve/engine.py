@@ -56,6 +56,7 @@ class Request:
     max_new_tokens: int
     pixel_values: np.ndarray | None = None
     draft_ref: list = field(default_factory=list)  # lookup-corpus seed tokens
+    sample_seed: int = 0  # stream seed under sampled decoding
     tokens: list = field(default_factory=list)
     done: bool = False
     submit_t: float = 0.0   # time.monotonic at submit
@@ -107,6 +108,9 @@ class ServingEngine:
         pipeline: bool = True,
         speculate_k: int = 0,
         spec_ref_len: int = 0,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -127,6 +131,16 @@ class ServingEngine:
         self.mesh = mesh
         self.K = int(speculate_k)
         self.R = int(spec_ref_len) if self.K else 0
+        # stochastic decoding (evaluation/sampling.py): temperature > 0
+        # samples; token i of a request seeded s depends only on (s, i), so
+        # streams reproduce solo greedy_generate(do_sample=True) runs
+        self.do_sample = float(temperature) > 0.0
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        if self.do_sample and self.K:
+            raise ValueError("speculate_k verifies against greedy argmax; "
+                             "use temperature=0 with speculation")
 
         self.pipeline = pipeline
         self._queue: list[Request] = []
@@ -176,6 +190,9 @@ class ServingEngine:
                 # lookup (-2 marks never-match slots, as in _spec_generate)
                 state["ids_buf"] = jnp.full((self.B, self.smax), -2, jnp.int32)
                 state["draft_ref"] = jnp.full((self.B, self.R), -2, jnp.int32)
+            if self.do_sample:
+                state["seed"] = z      # per-slot stream seed
+                state["out_idx"] = z   # next output position (the fold index)
             return state
 
         return init()
@@ -188,7 +205,7 @@ class ServingEngine:
         dec = decoder_module(self.dec_cfg)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def prefill_insert(params, state, ids, mask, pix, slot, max_new, dref):
+        def prefill_insert(params, state, ids, mask, pix, slot, max_new, dref, seed):
             fwd = self._fwd(params)
             slab = dec.init_kv_cache(self.dec_cfg, 1, sp, dtype=self.cache_dtype)
             kw = dict(
@@ -199,7 +216,16 @@ class ServingEngine:
                 kw["pixel_values"] = pix
             out = fwd(ids, last_logit_only=True, **kw)
             slab = out["kv_cache"]
-            first = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+            if self.do_sample:
+                from multimodal_unlearning_tpu.evaluation.sampling import (
+                    row_keys, sample_token)
+
+                first = sample_token(
+                    row_keys(seed[None]), jnp.zeros((1,), jnp.int32),
+                    out["logits"][:, -1, :], self.temperature, self.top_k,
+                    self.top_p)
+            else:
+                first = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
 
             cache = dict(state["cache"])
             for key in cache:
@@ -210,6 +236,9 @@ class ServingEngine:
             old_spec = (
                 {"ids_buf": state["ids_buf"], "draft_ref": state["draft_ref"]}
                 if self.K else None)
+            old_sample = (
+                {"seed": state["seed"], "out_idx": state["out_idx"]}
+                if self.do_sample else None)
             state = {
                 "cache": cache,
                 "kv_valid": jax.lax.dynamic_update_slice(state["kv_valid"], row, (slot, 0)),
@@ -231,6 +260,9 @@ class ServingEngine:
                     old_spec["ids_buf"], hist, (slot, 0))
                 state["draft_ref"] = jax.lax.dynamic_update_slice(
                     old_spec["draft_ref"], dref, (slot, 0))
+            if self.do_sample:
+                state["seed"] = old_sample["seed"].at[slot].set(seed)
+                state["out_idx"] = old_sample["out_idx"].at[slot].set(1)
             return state, first[0]
 
         self._insert_cache[(sp, with_pixels)] = prefill_insert
@@ -265,11 +297,23 @@ class ServingEngine:
                 if is_qwen:
                     dec_kw["rope_delta"] = s["rope_delta"]
                 out = fwd(s["token"][:, None], **dec_kw)
-                nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+                if self.do_sample:
+                    from multimodal_unlearning_tpu.evaluation.sampling import (
+                        row_keys, sample_token)
+
+                    nxt = sample_token(
+                        row_keys(s["seed"]), s["out_idx"],
+                        out["logits"][:, -1, :], self.temperature,
+                        self.top_k, self.top_p)
+                else:
+                    nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
                 emit = jnp.where(live, nxt, pad)
                 hit_eos = (nxt == eos) if eos >= 0 else jnp.zeros((B,), bool)
                 remaining = jnp.where(live, s["remaining"] - 1, s["remaining"])
                 still = live & ~hit_eos & (remaining > 0)
+                if self.do_sample:
+                    s2_seed = s["seed"]
+                    s2_idx = s["out_idx"] + live.astype(jnp.int32)
                 s = {
                     "cache": out["kv_cache"],
                     "kv_valid": kv_valid,
@@ -280,6 +324,9 @@ class ServingEngine:
                     "rope_delta": s["rope_delta"],
                     "live": still,
                 }
+                if self.do_sample:
+                    s["seed"] = s2_seed
+                    s["out_idx"] = s2_idx
                 return s, (emit, live)
 
             state, (emits, lives) = jax.lax.scan(step, state, None, length=n)
@@ -395,7 +442,7 @@ class ServingEngine:
 
     # ----------------------------------------------------------------- host
     def submit(self, prompt_ids, max_new_tokens: int, pixel_values=None,
-               draft_ref=None) -> Request:
+               draft_ref=None, sample_seed=None) -> Request:
         sp = _bucket(len(prompt_ids), self.bucket_multiple)
         slack = self.K + 1 if self.K else 0  # verify chunk writes K past cur
         if sp + max_new_tokens + slack > self.smax:
@@ -405,6 +452,7 @@ class ServingEngine:
         self._uid += 1
         req = Request(self._uid, list(prompt_ids), max_new_tokens, pixel_values)
         req.draft_ref = list(draft_ref or [])[: self.R]
+        req.sample_seed = self._uid if sample_seed is None else int(sample_seed)
         req.submit_t = time.monotonic()
         self._queue.append(req)
         return req
@@ -428,7 +476,7 @@ class ServingEngine:
             self._state, first = fn(
                 self.params, self._state, jnp.asarray(ids), jnp.asarray(mask),
                 pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
-                jnp.asarray(dref),
+                jnp.asarray(dref), jnp.int32(req.sample_seed),
             )
             first = int(first)
             req.first_t = time.monotonic()
