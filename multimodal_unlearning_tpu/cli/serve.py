@@ -63,6 +63,13 @@ def run(cfg):
         top_p=float(cfg.get("top_p", 1.0) or 1.0),
     )
 
+    # shared system prompt -> prefix cache: prefilled once, every text-only
+    # request prefills just its own (template-formatted) suffix
+    prefix_id = None
+    if cfg.get("system_prompt"):
+        prefix_id = engine.register_prefix(
+            tok.encode(str(cfg.system_prompt), add_special_tokens=True))
+
     default_new = int(cfg.generation.max_new_tokens)
     reqs, texts = [], []
     with open(cfg.requests) as f:
@@ -73,6 +80,7 @@ def run(cfg):
             has_image = r.get("image") is not None and common.is_vlm(kind)
             ids = processor._encode_expand(
                 processor.format(r["question"], None, has_image))
+            pid = prefix_id if not has_image else None  # image prompts prefill whole
             pix = None
             if has_image:
                 from PIL import Image
@@ -87,7 +95,7 @@ def run(cfg):
             reqs.append(engine.submit(
                 ids, int(r.get("max_new_tokens", default_new)),
                 pixel_values=pix, draft_ref=dref,
-                sample_seed=r.get("sample_seed")))
+                sample_seed=r.get("sample_seed"), prefix=pid))
             texts.append(r["question"])
 
     t0 = time.perf_counter()

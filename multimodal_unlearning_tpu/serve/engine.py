@@ -57,6 +57,7 @@ class Request:
     pixel_values: np.ndarray | None = None
     draft_ref: list = field(default_factory=list)  # lookup-corpus seed tokens
     sample_seed: int = 0  # stream seed under sampled decoding
+    prefix: int | None = None  # registered shared-prefix id (prefix cache)
     tokens: list = field(default_factory=list)
     done: bool = False
     submit_t: float = 0.0   # time.monotonic at submit
@@ -148,7 +149,9 @@ class ServingEngine:
         self._free = list(range(self.B))
         self._uid = 0
         self._state = None
-        self._insert_cache: dict[int, callable] = {}
+        self._insert_cache: dict = {}
+        self._prefix_fill_cache: dict = {}
+        self._prefixes: dict[int, dict] = {}
         self._decode_fn = None
         # pipelined mode: the not-yet-consumed previous chunk —
         # (emits, lives, slot->request snapshot at dispatch)
@@ -267,6 +270,136 @@ class ServingEngine:
 
         self._insert_cache[(sp, with_pixels)] = prefill_insert
         return prefill_insert
+
+    # -------------------------------------------------------- prefix cache
+    def register_prefix(self, prompt_ids, pixel_values=None) -> int:
+        """Prefill a shared prompt prefix (e.g. a system prompt, or an
+        image + preamble) ONCE into a reusable KV slab; requests submitted
+        with ``prefix=<id>`` prefill only their suffix against it.
+
+        The slab is copied into the slot's cache columns at insert — the
+        saving is the recomputation (one prefix forward total instead of
+        one per request), not cache memory.  Left-padded to its bucket like
+        any prompt, so suffix columns continue contiguously."""
+        if self.kind == "qwen2_vl":
+            raise NotImplementedError(
+                "prefix caching with M-RoPE suffix offsets is not supported")
+        P = _bucket(len(prompt_ids), self.bucket_multiple)
+        ids = np.full((1, P), self.pad_id, np.int32)
+        mask = np.zeros((1, P), np.int32)
+        ids[0, P - len(prompt_ids):] = prompt_ids
+        mask[0, P - len(prompt_ids):] = 1
+        pix = None
+        if pixel_values is not None:
+            pix = jnp.asarray(np.asarray(pixel_values)[None], self.compute_dtype)
+
+        key = (P, pixel_values is not None)
+        fn = self._prefix_fill_cache.get(key)
+        if fn is None:
+            dec = decoder_module(self.dec_cfg)
+
+            @jax.jit
+            def prefix_fill(params, ids, mask, pix):
+                fwd = self._fwd(params)
+                slab = dec.init_kv_cache(self.dec_cfg, 1, P, dtype=self.cache_dtype)
+                kw = dict(attention_mask=mask, kv_cache=slab,
+                          cache_offset=0, kv_valid_mask=mask)
+                if self.is_vlm:
+                    kw["pixel_values"] = pix
+                return fwd(ids, last_logit_only=True, **kw)["kv_cache"]
+
+            self._prefix_fill_cache[key] = prefix_fill
+            fn = prefix_fill
+
+        slab = fn(self.params, jnp.asarray(ids), jnp.asarray(mask), pix)
+        pid = len(self._prefixes)
+        hist = np.where(mask[0] > 0, ids[0], -2).astype(np.int32)
+        self._prefixes[pid] = dict(
+            slab=slab, mask=mask, plen=len(prompt_ids), P=P, hist=hist)
+        return pid
+
+    def _suffix_insert_fn(self, sp: int, P: int):
+        """Compiled suffix-prefill+insert: the prefix slab lands in cache
+        columns 0..P-1, the RIGHT-padded suffix runs as one chunk_decode
+        pass (queries read the prefix through kv_valid + their own chunk
+        columns causally) written at columns P..P+sp-1."""
+        key = ("suffix", sp, P)
+        hit = self._insert_cache.get(key)
+        if hit is not None:
+            return hit
+        dec = decoder_module(self.dec_cfg)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def suffix_insert(params, state, pslab, pvalid, phist, plen,
+                          ids, n_sfx, slot, max_new, dref, seed):
+            fwd = self._fwd(params)
+            slab = dec.init_kv_cache(self.dec_cfg, 1, P + sp, dtype=self.cache_dtype)
+            for k in slab:
+                slab[k] = jax.lax.dynamic_update_slice(
+                    slab[k], pslab[k], (0, 0, 0, 0, 0))
+            kv_row = jnp.zeros((1, P + sp), jnp.int32).at[:, :P].set(pvalid)
+            sfx_cols = jnp.arange(sp, dtype=jnp.int32)
+            dec_kw = dict(
+                attention_mask=jnp.ones((1, sp), jnp.int32),
+                positions=plen + sfx_cols[None, :],
+                kv_cache=slab, cache_offset=jnp.full((1,), P, jnp.int32),
+                kv_valid_mask=kv_row, chunk_decode=True,
+            )
+            if self.is_vlm:
+                dec_kw["pixel_values"] = None
+            out = fwd(ids, **dec_kw)
+            slab = out["kv_cache"]
+            last = out["logits"][0, n_sfx - 1, :][None]  # last REAL suffix position
+            if self.do_sample:
+                from multimodal_unlearning_tpu.evaluation.sampling import (
+                    row_keys, sample_token)
+
+                first = sample_token(
+                    row_keys(seed[None]), jnp.zeros((1,), jnp.int32),
+                    last, self.temperature, self.top_k, self.top_p)
+            else:
+                first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+            cache = dict(state["cache"])
+            for k in cache:
+                cache[k] = jax.lax.dynamic_update_slice(
+                    cache[k], slab[k], (0, slot, 0, 0, 0))
+            row = jnp.zeros((1, self.smax), jnp.int32).at[:, : P + sp].set(
+                kv_row.at[:, P:].set((sfx_cols[None, :] < n_sfx).astype(jnp.int32)))
+            finished_now = (first[0] == self.eos) if self.eos >= 0 else jnp.array(False)
+            old_spec = (
+                {"ids_buf": state["ids_buf"], "draft_ref": state["draft_ref"]}
+                if self.K else None)
+            old_sample = (
+                {"seed": state["seed"], "out_idx": state["out_idx"]}
+                if self.do_sample else None)
+            state = {
+                "cache": cache,
+                "kv_valid": jax.lax.dynamic_update_slice(state["kv_valid"], row, (slot, 0)),
+                "write_col": state["write_col"].at[slot].set(P + n_sfx),
+                "pos_next": state["pos_next"].at[slot].set(plen + n_sfx),
+                "token": state["token"].at[slot].set(first[0]),
+                "remaining": state["remaining"].at[slot].set(
+                    jnp.where(finished_now, 0, max_new - 1)),
+                "rope_delta": state["rope_delta"].at[slot].set(0),
+                "live": state["live"].at[slot].set(~finished_now & (max_new - 1 > 0)),
+            }
+            if self.K:
+                hist = jnp.full((1, self.smax), -2, jnp.int32)
+                hist = hist.at[:, :P].set(phist)
+                hist = hist.at[:, P: P + sp].set(
+                    jnp.where(sfx_cols[None, :] < n_sfx, ids.astype(jnp.int32), -2))
+                state["ids_buf"] = jax.lax.dynamic_update_slice(
+                    old_spec["ids_buf"], hist, (slot, 0))
+                state["draft_ref"] = jax.lax.dynamic_update_slice(
+                    old_spec["draft_ref"], dref, (slot, 0))
+            if self.do_sample:
+                state["seed"] = old_sample["seed"].at[slot].set(seed)
+                state["out_idx"] = old_sample["out_idx"].at[slot].set(1)
+            return state, first[0]
+
+        self._insert_cache[key] = suffix_insert
+        return suffix_insert
 
     def _decode(self):
         if self._decode_fn is not None:
@@ -442,8 +575,12 @@ class ServingEngine:
 
     # ----------------------------------------------------------------- host
     def submit(self, prompt_ids, max_new_tokens: int, pixel_values=None,
-               draft_ref=None, sample_seed=None) -> Request:
+               draft_ref=None, sample_seed=None, prefix=None) -> Request:
         sp = _bucket(len(prompt_ids), self.bucket_multiple)
+        if prefix is not None:
+            if not len(prompt_ids):
+                raise ValueError("prefix requests need >= 1 suffix token")
+            sp += self._prefixes[prefix]["P"]
         slack = self.K + 1 if self.K else 0  # verify chunk writes K past cur
         if sp + max_new_tokens + slack > self.smax:
             raise ValueError(
@@ -451,6 +588,7 @@ class ServingEngine:
                 f"slack {slack}) exceeds max_len {self.smax}")
         self._uid += 1
         req = Request(self._uid, list(prompt_ids), max_new_tokens, pixel_values)
+        req.prefix = prefix
         req.draft_ref = list(draft_ref or [])[: self.R]
         req.sample_seed = self._uid if sample_seed is None else int(sample_seed)
         req.submit_t = time.monotonic()
@@ -461,6 +599,9 @@ class ServingEngine:
         while self._free and self._queue:
             req = self._queue.pop(0)
             slot = self._free.pop(0)
+            if req.prefix is not None:
+                self._fill_with_prefix(req, slot)
+                continue
             sp = _bucket(len(req.prompt_ids), self.bucket_multiple)
             ids = np.full((1, sp), self.pad_id, np.int32)
             mask = np.zeros((1, sp), np.int32)
@@ -478,20 +619,43 @@ class ServingEngine:
                 pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
                 jnp.asarray(dref), jnp.int32(req.sample_seed),
             )
-            first = int(first)
-            req.first_t = time.monotonic()
-            if self.eos >= 0 and first == self.eos:
+            self._after_insert(req, slot, first)
+
+    def _fill_with_prefix(self, req, slot):
+        """Admit a request against a registered prefix: copy the cached
+        slab, prefill only the RIGHT-padded suffix (chunk_decode pass)."""
+        pre = self._prefixes[req.prefix]
+        sp = _bucket(max(len(req.prompt_ids), 1), self.bucket_multiple)
+        ids = np.full((1, sp), self.pad_id, np.int32)
+        ids[0, : len(req.prompt_ids)] = req.prompt_ids
+        dref = np.full((1, self.R), -2, np.int32)
+        if req.draft_ref:
+            dref[0, : len(req.draft_ref)] = req.draft_ref
+        fn = self._suffix_insert_fn(sp, pre["P"])
+        self._state, first = fn(
+            self.params, self._state, pre["slab"], jnp.asarray(pre["mask"]),
+            jnp.asarray(pre["hist"][None]), jnp.int32(pre["plen"]),
+            jnp.asarray(ids), jnp.int32(len(req.prompt_ids)),
+            jnp.int32(slot), jnp.int32(req.max_new_tokens),
+            jnp.asarray(dref), jnp.int32(req.sample_seed),
+        )
+        self._after_insert(req, slot, first)
+
+    def _after_insert(self, req, slot, first):
+        first = int(first)
+        req.first_t = time.monotonic()
+        if self.eos >= 0 and first == self.eos:
+            req.done = True
+            req.done_t = req.first_t
+            self._free.append(slot)
+        else:
+            req.tokens.append(first)
+            if req.max_new_tokens == 1:
                 req.done = True
                 req.done_t = req.first_t
                 self._free.append(slot)
             else:
-                req.tokens.append(first)
-                if req.max_new_tokens == 1:
-                    req.done = True
-                    req.done_t = req.first_t
-                    self._free.append(slot)
-                else:
-                    self._slot_req[slot] = req
+                self._slot_req[slot] = req
 
     def _consume(self, emits, aux, snapshot):
         """Deliver one chunk's emissions to its dispatch-time slot mapping
