@@ -80,6 +80,9 @@ def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0):
     dt = time.perf_counter() - t0
     toks = sum(len(t) for t in outs)
     lat = sorted(r.done_t - r.submit_t for r in live)
+    if speculate_k:
+        print(f"  spec{speculate_k} acceptance: "
+              f"{eng.stats()['tokens_per_round']:.2f} tok/round", flush=True)
     return toks, dt, lat
 
 
@@ -126,6 +129,50 @@ def run_batched(mcfg, params, requests, batch_size):
     return toks, dt, sorted(lat)
 
 
+def run_prefix_leg(mcfg, params, slots, pct, n=32):
+    """Shared-context workload: N questions about ONE image (+preamble) —
+    prefix caching prefills the image span once instead of N times."""
+    from multimodal_unlearning_tpu.serve import ServingEngine
+
+    rng = np.random.default_rng(1)
+    n_img = mcfg.num_image_tokens
+    img = rng.normal(size=(mcfg.vision.image_size, mcfg.vision.image_size, 3)).astype(np.float32)
+    preamble = [mcfg.image_token_id] * n_img + rng.integers(
+        10, mcfg.decoder.vocab_size - 70, 24).tolist()
+    cases = [(rng.integers(10, mcfg.decoder.vocab_size - 70,
+                           int(rng.integers(12, 40))).tolist(),
+              int(rng.integers(8, 48))) for _ in range(n)]
+    max_len = -(-(len(preamble) + 128 + 48) // 128) * 128
+
+    def eng():
+        return ServingEngine(
+            params, mcfg, "llava", num_slots=slots, max_len=max_len, chunk=16,
+            bucket_multiple=128, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        )
+
+    for use_prefix in (False, True):
+        e = eng()
+        pid = e.register_prefix(preamble, pixel_values=img) if use_prefix else None
+        # warmup compile
+        w = (e.submit(cases[0][0], 2, prefix=pid) if use_prefix
+             else e.submit(preamble + cases[0][0], 2, pixel_values=img))
+        e.drain([w])
+        t0 = time.perf_counter()
+        if use_prefix:
+            live = [e.submit(q, m, prefix=pid) for q, m in cases]
+        else:
+            live = [e.submit(preamble + q, m, pixel_values=img) for q, m in cases]
+        outs = e.drain(live)
+        dt = time.perf_counter() - t0
+        toks = sum(len(t) for t in outs)
+        lat = sorted(r.done_t - r.submit_t for r in live)
+        tag = "prefix-cached" if use_prefix else "full-prefill "
+        print(f"{tag} B={slots}: {toks} useful tokens in {dt:6.1f}s "
+              f"= {toks / dt:6.1f} tok/s   "
+              f"latency p50 {pct(lat, 50):5.2f}s p95 {pct(lat, 95):5.2f}s", flush=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -156,6 +203,8 @@ def main():
                   f"= {toks_s / dt_s:6.1f} tok/s   "
                   f"latency p50 {pct(lat_s, 50):5.1f}s p95 {pct(lat_s, 95):5.1f}s   "
                   f"({dt_b / dt_s:4.2f}x)", flush=True)
+        elif arg == "prefix":
+            run_prefix_leg(mcfg, params, slots, pct)
 
 
 if __name__ == "__main__":

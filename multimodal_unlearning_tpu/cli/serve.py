@@ -113,8 +113,10 @@ def run(cfg):
             results.append(row)
             f.write(json.dumps(row) + "\n")
     n_tok = sum(len(t) for t in outs)
+    st = engine.stats()
     print(f"served {len(reqs)} requests, {n_tok} tokens in {dt:.1f}s "
-          f"({n_tok / max(dt, 1e-9):.1f} tok/s) -> {cfg.save_file}")
+          f"({n_tok / max(dt, 1e-9):.1f} tok/s; {st['dispatches']} dispatches, "
+          f"{st['tokens_per_round']:.2f} tok/round) -> {cfg.save_file}")
     return results
 
 

@@ -149,6 +149,12 @@ class ServingEngine:
         self._free = list(range(self.B))
         self._uid = 0
         self._state = None
+        # host-side counters (stats()): dispatches, per-slot live rounds,
+        # emitted tokens — spec acceptance = emitted / live_rounds
+        self._n_dispatch = 0
+        self._n_prefill = 0
+        self._n_live_rounds = 0
+        self._n_emitted = 0
         self._insert_cache: dict = {}
         self._prefix_fill_cache: dict = {}
         self._prefixes: dict[int, dict] = {}
@@ -642,6 +648,7 @@ class ServingEngine:
         self._after_insert(req, slot, first)
 
     def _after_insert(self, req, slot, first):
+        self._n_prefill += 1
         first = int(first)
         req.first_t = time.monotonic()
         if self.eos >= 0 and first == self.eos:
@@ -667,6 +674,7 @@ class ServingEngine:
         lives = aux
         emits = np.asarray(emits)   # [T, B] — blocks until the chunk lands
         lives = np.asarray(lives)
+        self._n_live_rounds += int(lives.sum())
         for b, req in enumerate(snapshot):
             if req is None or req.done:
                 continue
@@ -679,6 +687,7 @@ class ServingEngine:
                     hit_eos = True
                     break
                 req.tokens.append(tok)
+                self._n_emitted += 1
             if hit_eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 req.done_t = time.monotonic()
@@ -692,12 +701,14 @@ class ServingEngine:
         n_emits, dones = aux
         emits = np.asarray(emits)       # [T, B, K+1] — blocks on the chunk
         n_emits = np.asarray(n_emits)   # [T, B]
-        dones = np.asarray(dones)       # [T, B]
+        dones = np.asarray(dones)
+        self._n_live_rounds += int((n_emits > 0).sum())       # [T, B]
         for b, req in enumerate(snapshot):
             if req is None or req.done:
                 continue
             for t in range(self.chunk):
                 req.tokens.extend(int(x) for x in emits[t, b, : n_emits[t, b]])
+                self._n_emitted += int(n_emits[t, b])
                 if dones[t, b]:
                     req.done = True
                     req.done_t = time.monotonic()
@@ -721,6 +732,7 @@ class ServingEngine:
         prev, self._pending = self._pending, None
         if any(r is not None for r in self._slot_req):
             decode = self._decode()
+            self._n_dispatch += 1
             snapshot = list(self._slot_req)
             self._state, emits, aux = decode(self.params, self._state, self.chunk)
             if self.pipeline:
@@ -738,6 +750,20 @@ class ServingEngine:
         while (self._queue or self._pending is not None
                or any(r is not None for r in self._slot_req)):
             self.step()
+
+    def stats(self) -> dict:
+        """Engine counters: decode dispatches, prefills, per-slot live
+        rounds and emitted tokens.  ``tokens_per_round`` is the decode
+        efficiency — 1.0 for plain greedy, up to K+1 under speculation
+        (the measured acceptance)."""
+        rounds = max(self._n_live_rounds, 1)
+        return {
+            "dispatches": self._n_dispatch,
+            "prefills": self._n_prefill,
+            "live_rounds": self._n_live_rounds,
+            "emitted": self._n_emitted,
+            "tokens_per_round": self._n_emitted / rounds,
+        }
 
     def drain(self, requests: list[Request]) -> list[list[int]]:
         """Run until the given requests complete; return their token lists."""

@@ -215,6 +215,15 @@ def test_engine_speculative_draft_ref_exact_and_accepts():
     toks_spec, steps_spec = run(4, plain)
     assert toks_plain == plain and toks_spec == plain
     assert steps_spec < steps_plain, (steps_spec, steps_plain)
+    # the stats counter agrees: reference-seeded drafts accept > 1 tok/round
+    eng = ServingEngine(
+        params, cfg, "llama", num_slots=2, max_len=128, chunk=2,
+        bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+        cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+        speculate_k=4, spec_ref_len=24,
+    )
+    eng.drain([eng.submit(p, 24, draft_ref=r) for p, r in zip(prompts, plain)])
+    assert eng.stats()["tokens_per_round"] > 1.5, eng.stats()
     # misleading corpus: still exact
     bogus = [rng.integers(3, cfg.vocab_size, 20).tolist() for _ in prompts]
     toks_bogus, _ = run(4, bogus)
