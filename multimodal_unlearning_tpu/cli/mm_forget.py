@@ -270,6 +270,14 @@ def _run(cfg):
             final = state.trainable if merged_frozen is None else merge_trees(state.trainable, merged_frozen)
         common.save_model(save_dir, model_cfg, final)
         print(f"Saved model to {save_dir}")
+    if use_lora and cfg.get("save_adapters"):
+        # raw adapters alongside the merged model: the whole forget sweep
+        # becomes servable through ONE multi-LoRA engine (cli/serve.py)
+        from multimodal_unlearning_tpu.train.checkpoints import save_adapter
+
+        save_adapter(save_dir / "adapter", state.trainable, scale,
+                     meta={"forget_loss": str(cfg.forget_loss)})
+        print(f"Saved raw LoRA adapter to {save_dir / 'adapter'}")
     return history
 
 

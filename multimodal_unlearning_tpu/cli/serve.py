@@ -48,6 +48,14 @@ def run(cfg):
 
     tok = processor.tokenizer
     cache_dtype = jnp.int8 if str(cfg.get("kv_cache_dtype") or "") == "int8" else dtype
+    # multi-LoRA: {name: dir-with-adapter.safetensors} -> one engine serves
+    # every sweep variant; requests pick theirs via an "adapter" field
+    adapters = None
+    if cfg.get("adapters"):
+        from multimodal_unlearning_tpu.train.checkpoints import load_adapter
+
+        adapters = {name: load_adapter(path)
+                    for name, path in dict(cfg.adapters).items()}
     engine = ServingEngine(
         params, mcfg, kind,
         num_slots=int(cfg.get("num_slots", 8)),
@@ -61,6 +69,7 @@ def run(cfg):
         temperature=float(cfg.get("temperature", 0.0) or 0.0),
         top_k=int(cfg.get("top_k", 0) or 0),
         top_p=float(cfg.get("top_p", 1.0) or 1.0),
+        adapters=adapters,
     )
 
     # shared system prompt -> prefix cache: prefilled once, every text-only
@@ -95,7 +104,8 @@ def run(cfg):
             reqs.append(engine.submit(
                 ids, int(r.get("max_new_tokens", default_new)),
                 pixel_values=pix, draft_ref=dref,
-                sample_seed=r.get("sample_seed"), prefix=pid))
+                sample_seed=r.get("sample_seed"), prefix=pid,
+                adapter=r.get("adapter")))
             texts.append(r["question"])
 
     t0 = time.perf_counter()

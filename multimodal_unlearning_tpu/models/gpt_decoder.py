@@ -203,6 +203,7 @@ def forward(
     return_hidden: bool = False,
     last_logit_only: bool = False,
     chunk_decode: bool = False,
+    lora_ids=None,
     mesh=None,
 ):
     """Decoder forward; same modes/contract as models/llama.py:forward
@@ -260,7 +261,7 @@ def forward(
 
         def proj(name, t, bias_name=None):
             ll = lora_l.get(name) if has_lora else None
-            y = dense(t, lp[name], ll, lora_scale)
+            y = dense(t, lp[name], ll, lora_scale, lora_ids)
             if bias_name is not None and bias_name in lp:
                 y = y + lp[bias_name].astype(y.dtype)
             return y
@@ -351,7 +352,7 @@ def forward(
     x = layer_norm(x, params["final_ln"], cfg.layer_norm_eps)
     lm_lora = lora.get("lm_head") if lora is not None else None
     xh = x[:, -1:] if last_logit_only else x  # see models/llama.py
-    logits = dense(xh, params["lm_head"], lm_lora, lora_scale)
+    logits = dense(xh, params["lm_head"], lm_lora, lora_scale, lora_ids)
     if "lm_head_bias" in params:
         logits = logits + params["lm_head_bias"].astype(logits.dtype)
     logits = logits.astype(logits_dtype)

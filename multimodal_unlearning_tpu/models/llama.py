@@ -134,17 +134,32 @@ def _maybe_dequant(w, dtype):
     return w.astype(dtype)
 
 
-def dense(x, w, lora_leaf=None, lora_scale: float = 0.0):
+def apply_lora_delta(y, t, ll, scale, ids=None):
+    """Add a LoRA delta to projection output ``y`` (input ``t`` [B,S,in]).
+
+    ``ll`` leaves are [in,r]/[r,out] for one adapter, or an ADAPTER BANK
+    [A,in,r]/[A,r,out] selected per batch row by ``ids`` [B] — multi-LoRA
+    serving (serve/engine.py): each slot decodes through its own adapter in
+    the same forward, the bank gather feeding two batched einsums."""
+    if ll is None:
+        return y
+    a, b = ll["a"].astype(t.dtype), ll["b"].astype(t.dtype)
+    if a.ndim == 3:
+        if ids is None:  # a silent [A,in,r] @ matmul broadcast would be wrong
+            raise ValueError("multi-adapter LoRA bank applied without lora_ids")
+        return y + jnp.einsum(
+            "bsr,bro->bso", jnp.einsum("bsi,bir->bsr", t, a[ids]), b[ids]) * scale
+    return y + ((t @ a) @ b) * scale
+
+
+def dense(x, w, lora_leaf=None, lora_scale: float = 0.0, lora_ids=None):
     if isinstance(w, dict) and INT8_COMPUTE:
         from multimodal_unlearning_tpu.utils.quantize import int8_matmul
 
         y = int8_matmul(x, w["q"], w["s"])
     else:
         y = x @ _maybe_dequant(w, x.dtype)
-    if lora_leaf is not None:
-        a, b = lora_leaf["a"].astype(x.dtype), lora_leaf["b"].astype(x.dtype)
-        y = y + ((x @ a) @ b) * lora_scale
-    return y
+    return apply_lora_delta(y, x, lora_leaf, lora_scale, lora_ids)
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
@@ -253,6 +268,7 @@ def forward(
     return_hidden: bool = False,
     last_logit_only: bool = False,
     chunk_decode: bool = False,
+    lora_ids=None,
     mesh=None,
 ):
     """Decoder forward.
@@ -323,9 +339,7 @@ def forward(
 
         def extras(y, t, name):
             ll = lora_l.get(name) if has_lora else None
-            if ll is not None:
-                a, b = ll["a"].astype(t.dtype), ll["b"].astype(t.dtype)
-                y = y + ((t @ a) @ b) * lora_scale
+            y = apply_lora_delta(y, t, ll, lora_scale, lora_ids)
             bias = lp.get(name[0] + "_bias") if name != "o_proj" else None
             if bias is not None:
                 y = y + bias.astype(y.dtype)
@@ -333,7 +347,7 @@ def forward(
 
         def proj(name, t):
             ll = lora_l.get(name) if has_lora else None
-            y = dense(t, lp[name], ll, lora_scale)
+            y = dense(t, lp[name], ll, lora_scale, lora_ids)
             bias = lp.get(name[0] + "_bias") if name != "o_proj" else None
             if bias is not None:
                 y = y + bias.astype(y.dtype)
@@ -423,7 +437,7 @@ def forward(
         ff = checkpoint_name(ff, "ffn_pre_down")
         x = x + dense(
             ff, lp["down_proj"],
-            lora_l.get("down_proj") if has_lora else None, lora_scale,
+            lora_l.get("down_proj") if has_lora else None, lora_scale, lora_ids,
         )
         return x, cache
 
@@ -469,7 +483,7 @@ def forward(
     # prefill-for-decode only needs the final position: skipping the full
     # [B,S,V] head saves S/1 x the logit memory (1.9 GB at B8 S3712 V32k)
     xh = x[:, -1:] if last_logit_only else x
-    logits = dense(xh, params["lm_head"], lm_lora, lora_scale).astype(logits_dtype)
+    logits = dense(xh, params["lm_head"], lm_lora, lora_scale, lora_ids).astype(logits_dtype)
 
     return {
         "logits": logits,

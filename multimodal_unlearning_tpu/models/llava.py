@@ -91,13 +91,11 @@ def reachable_mask(params: dict, cfg: LlavaConfig) -> dict:
     return jax.tree_util.tree_map_with_path(leaf_mask, params)
 
 
-def project(params, feats, lora=None, lora_scale: float = 0.0):
+def project(params, feats, lora=None, lora_scale: float = 0.0, lora_ids=None):
     def dense(x, name):
         y = x @ params[name].astype(x.dtype) + params[f"{name}_bias"]
-        if lora is not None and name in lora:
-            ab = lora[name]
-            y = y + ((x @ ab["a"].astype(x.dtype)) @ ab["b"].astype(x.dtype)) * lora_scale
-        return y
+        ab = lora.get(name) if lora is not None else None
+        return llama.apply_lora_delta(y, x, ab, lora_scale, lora_ids)
 
     h = dense(feats, "fc1")
     # exact (erf) gelu: HF ACT2FN["gelu"] is torch.nn.GELU(approximate="none")
@@ -142,6 +140,7 @@ def forward(
     logits_dtype=None,  # None -> promote(compute dtype, f32): f32 for bf16 runs, f64 stays f64
     last_logit_only: bool = False,
     chunk_decode: bool = False,
+    lora_ids=None,
     mesh=None,
 ):
     """VLM forward. ``input_ids`` already contain expanded image tokens."""
@@ -163,7 +162,7 @@ def forward(
         image_embeds = project(
             params["projector"], feats,
             lora=None if lora is None else lora.get("projector"),
-            lora_scale=lora_scale,
+            lora_scale=lora_scale, lora_ids=lora_ids,
         )
         mask = input_ids == cfg.image_token_id
         embeds = splice_image_embeds(embeds, image_embeds, mask)
@@ -186,6 +185,7 @@ def forward(
         logits_dtype=logits_dtype,
         last_logit_only=last_logit_only,
         chunk_decode=chunk_decode,
+        lora_ids=lora_ids,
         mesh=mesh,
     )
     return out

@@ -93,6 +93,23 @@ def init_model_lora(params: dict, r: int, key, *, projector: bool = True, dtype=
     return adapters
 
 
+def stack_adapters(trees: list, scales: list) -> dict:
+    """Stack same-structure adapter trees into ONE multi-adapter bank for
+    per-row serving (models/llama.py:apply_lora_delta with ``lora_ids``;
+    apply with ``lora_scale=1.0`` — each adapter's own alpha/r scale is
+    folded into its ``b`` here).
+
+    Decoder layer leaves [L,in,r] stack to [L,A,in,r] (axis 1: the layer
+    scan still slices L); flat projector leaves [in,r] stack to [A,in,r]."""
+    scaled = [
+        jax.tree_util.tree_map_with_path(
+            lambda p, x, s=s: x * s if p[-1].key == "b" else x, t)
+        for t, s in zip(trees, scales)
+    ]
+    return jax.tree.map(
+        lambda *xs: jnp.stack(xs, axis=1 if xs[0].ndim == 3 else 0), *scaled)
+
+
 def merge_flat(flat_params: dict, lora: dict, scale: float) -> dict:
     """Fold flat (2-D) adapters into their dense weights."""
     out = dict(flat_params)

@@ -188,6 +188,7 @@ def vision_forward(
     compute_dtype=jnp.bfloat16,
     merger_lora: dict | None = None,
     lora_scale: float = 0.0,
+    lora_ids=None,
 ):
     """Encode pre-patchified images → merged features.
 
@@ -227,10 +228,8 @@ def vision_forward(
 
     def dense(z, name):
         y = z @ m[name].astype(z.dtype) + m[f"{name}_bias"]
-        if merger_lora is not None and name in merger_lora:
-            ab = merger_lora[name]
-            y = y + ((z @ ab["a"].astype(z.dtype)) @ ab["b"].astype(z.dtype)) * lora_scale
-        return y
+        ab = merger_lora.get(name) if merger_lora is not None else None
+        return llama.apply_lora_delta(y, z, ab, lora_scale, lora_ids)
 
     y = layer_norm(x, m["ln_q"], cfg.layer_norm_eps)
     y = y.reshape(B, N // cfg.spatial_merge_size**2, cfg.merge_dim)
@@ -299,6 +298,7 @@ def forward(
     mesh=None,
     last_logit_only: bool = False,
     chunk_decode: bool = False,
+    lora_ids=None,
 ):
     """VLM forward.  ``input_ids`` contain the expanded image-token span;
     ``pixel_values`` are pre-patchified [B, N, patch_dim] (flatten order of
@@ -323,7 +323,7 @@ def forward(
             params["vision_tower"], cfg.vision, pixel_values,
             grid=grid, attn_impl=attn_impl, compute_dtype=compute_dtype,
             merger_lora=None if lora is None else lora.get("projector"),
-            lora_scale=lora_scale,
+            lora_scale=lora_scale, lora_ids=lora_ids,
         )
         from multimodal_unlearning_tpu.models.llava import splice_image_embeds
 
@@ -358,6 +358,7 @@ def forward(
         logits_dtype=logits_dtype,
         last_logit_only=last_logit_only,
         chunk_decode=chunk_decode,
+        lora_ids=lora_ids,
         mesh=mesh,
     )
     if out_delta is not None:

@@ -58,6 +58,7 @@ class Request:
     draft_ref: list = field(default_factory=list)  # lookup-corpus seed tokens
     sample_seed: int = 0  # stream seed under sampled decoding
     prefix: int | None = None  # registered shared-prefix id (prefix cache)
+    lora_id: int = 0  # adapter index under multi-LoRA serving (0 = base)
     tokens: list = field(default_factory=list)
     done: bool = False
     submit_t: float = 0.0   # time.monotonic at submit
@@ -112,6 +113,7 @@ class ServingEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        adapters: dict | None = None,
     ):
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -142,6 +144,22 @@ class ServingEngine:
         if self.do_sample and self.K:
             raise ValueError("speculate_k verifies against greedy argmax; "
                              "use temperature=0 with speculation")
+        # multi-LoRA serving: {name: (adapter_tree, scale)} stacked into one
+        # bank; each slot decodes through its own adapter in the same
+        # forward (per-row gather — models/lora.py:stack_adapters).  Index 0
+        # is the bare base model (a zero adapter).
+        self._adapter_ids = {None: 0}
+        self._lora = None
+        if adapters:
+            from multimodal_unlearning_tpu.models.lora import stack_adapters
+
+            trees, scales = [], []
+            for i, (name, (tree, scale)) in enumerate(adapters.items()):
+                self._adapter_ids[name] = i + 1
+                trees.append(tree)
+                scales.append(float(scale))
+            zero = jax.tree.map(jnp.zeros_like, trees[0])
+            self._lora = stack_adapters([zero] + trees, [0.0] + scales)
 
         self.pipeline = pipeline
         self._queue: list[Request] = []
@@ -165,16 +183,19 @@ class ServingEngine:
 
     # ------------------------------------------------------------------ jit
     def _fwd(self, params):
+        extra = {}
+        if self._lora is not None:
+            extra = dict(lora=self._lora, lora_scale=1.0)
         if self.is_vlm:
             return partial(
                 vlm_module(self.kind).forward, params, self.model_cfg,
                 attn_impl=self.attn_impl, compute_dtype=self.compute_dtype,
-                mesh=self.mesh,
+                mesh=self.mesh, **extra,
             )
         return partial(
             decoder_module(self.dec_cfg).forward, params, self.model_cfg,
             attn_impl=self.attn_impl, compute_dtype=self.compute_dtype,
-            mesh=self.mesh,
+            mesh=self.mesh, **extra,
         )
 
     def _init_state(self):
@@ -202,6 +223,8 @@ class ServingEngine:
             if self.do_sample:
                 state["seed"] = z      # per-slot stream seed
                 state["out_idx"] = z   # next output position (the fold index)
+            if self._lora is not None:
+                state["lora_id"] = z   # per-slot adapter index (0 = base)
             return state
 
         return init()
@@ -214,7 +237,8 @@ class ServingEngine:
         dec = decoder_module(self.dec_cfg)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def prefill_insert(params, state, ids, mask, pix, slot, max_new, dref, seed):
+        def prefill_insert(params, state, ids, mask, pix, slot, max_new, dref,
+                           seed, lora_id):
             fwd = self._fwd(params)
             slab = dec.init_kv_cache(self.dec_cfg, 1, sp, dtype=self.cache_dtype)
             kw = dict(
@@ -223,6 +247,8 @@ class ServingEngine:
             )
             if self.is_vlm:
                 kw["pixel_values"] = pix
+            if self._lora is not None:
+                kw["lora_ids"] = lora_id[None]
             out = fwd(ids, last_logit_only=True, **kw)
             slab = out["kv_cache"]
             if self.do_sample:
@@ -248,6 +274,7 @@ class ServingEngine:
             old_sample = (
                 {"seed": state["seed"], "out_idx": state["out_idx"]}
                 if self.do_sample else None)
+            old_lora = state["lora_id"] if self._lora is not None else None
             state = {
                 "cache": cache,
                 "kv_valid": jax.lax.dynamic_update_slice(state["kv_valid"], row, (slot, 0)),
@@ -272,13 +299,15 @@ class ServingEngine:
             if self.do_sample:
                 state["seed"] = old_sample["seed"].at[slot].set(seed)
                 state["out_idx"] = old_sample["out_idx"].at[slot].set(1)
+            if self._lora is not None:
+                state["lora_id"] = old_lora.at[slot].set(lora_id)
             return state, first[0]
 
         self._insert_cache[(sp, with_pixels)] = prefill_insert
         return prefill_insert
 
     # -------------------------------------------------------- prefix cache
-    def register_prefix(self, prompt_ids, pixel_values=None) -> int:
+    def register_prefix(self, prompt_ids, pixel_values=None, adapter=None) -> int:
         """Prefill a shared prompt prefix (e.g. a system prompt, or an
         image + preamble) ONCE into a reusable KV slab; requests submitted
         with ``prefix=<id>`` prefill only their suffix against it.
@@ -299,29 +328,36 @@ class ServingEngine:
         if pixel_values is not None:
             pix = jnp.asarray(np.asarray(pixel_values)[None], self.compute_dtype)
 
+        if adapter is not None and adapter not in self._adapter_ids:
+            raise KeyError(f"unknown adapter {adapter!r}")
+        aid = self._adapter_ids[adapter]
         key = (P, pixel_values is not None)
         fn = self._prefix_fill_cache.get(key)
         if fn is None:
             dec = decoder_module(self.dec_cfg)
 
             @jax.jit
-            def prefix_fill(params, ids, mask, pix):
+            def prefix_fill(params, ids, mask, pix, lora_id):
                 fwd = self._fwd(params)
                 slab = dec.init_kv_cache(self.dec_cfg, 1, P, dtype=self.cache_dtype)
                 kw = dict(attention_mask=mask, kv_cache=slab,
                           cache_offset=0, kv_valid_mask=mask)
                 if self.is_vlm:
                     kw["pixel_values"] = pix
+                if self._lora is not None:
+                    kw["lora_ids"] = lora_id[None]
                 return fwd(ids, last_logit_only=True, **kw)["kv_cache"]
 
             self._prefix_fill_cache[key] = prefix_fill
             fn = prefix_fill
 
-        slab = fn(self.params, jnp.asarray(ids), jnp.asarray(mask), pix)
+        slab = fn(self.params, jnp.asarray(ids), jnp.asarray(mask), pix,
+                  jnp.int32(aid))
         pid = len(self._prefixes)
         hist = np.where(mask[0] > 0, ids[0], -2).astype(np.int32)
         self._prefixes[pid] = dict(
-            slab=slab, mask=mask, plen=len(prompt_ids), P=P, hist=hist)
+            slab=slab, mask=mask, plen=len(prompt_ids), P=P, hist=hist,
+            adapter=adapter)
         return pid
 
     def _suffix_insert_fn(self, sp: int, P: int):
@@ -337,7 +373,7 @@ class ServingEngine:
 
         @partial(jax.jit, donate_argnums=(1,))
         def suffix_insert(params, state, pslab, pvalid, phist, plen,
-                          ids, n_sfx, slot, max_new, dref, seed):
+                          ids, n_sfx, slot, max_new, dref, seed, lora_id):
             fwd = self._fwd(params)
             slab = dec.init_kv_cache(self.dec_cfg, 1, P + sp, dtype=self.cache_dtype)
             for k in slab:
@@ -353,6 +389,8 @@ class ServingEngine:
             )
             if self.is_vlm:
                 dec_kw["pixel_values"] = None
+            if self._lora is not None:
+                dec_kw["lora_ids"] = lora_id[None]
             out = fwd(ids, **dec_kw)
             slab = out["kv_cache"]
             last = out["logits"][0, n_sfx - 1, :][None]  # last REAL suffix position
@@ -379,6 +417,7 @@ class ServingEngine:
             old_sample = (
                 {"seed": state["seed"], "out_idx": state["out_idx"]}
                 if self.do_sample else None)
+            old_lora = state["lora_id"] if self._lora is not None else None
             state = {
                 "cache": cache,
                 "kv_valid": jax.lax.dynamic_update_slice(state["kv_valid"], row, (slot, 0)),
@@ -402,6 +441,8 @@ class ServingEngine:
             if self.do_sample:
                 state["seed"] = old_sample["seed"].at[slot].set(seed)
                 state["out_idx"] = old_sample["out_idx"].at[slot].set(1)
+            if self._lora is not None:
+                state["lora_id"] = old_lora.at[slot].set(lora_id)
             return state, first[0]
 
         self._insert_cache[key] = suffix_insert
@@ -435,6 +476,8 @@ class ServingEngine:
                     dec_kw["pixel_values"] = None
                 if is_qwen:
                     dec_kw["rope_delta"] = s["rope_delta"]
+                if self._lora is not None:
+                    dec_kw["lora_ids"] = s["lora_id"]
                 out = fwd(s["token"][:, None], **dec_kw)
                 if self.do_sample:
                     from multimodal_unlearning_tpu.evaluation.sampling import (
@@ -453,6 +496,8 @@ class ServingEngine:
                 if self.do_sample:
                     s2_seed = s["seed"]
                     s2_idx = s["out_idx"] + live.astype(jnp.int32)
+                if self._lora is not None:
+                    s2_lora = s["lora_id"]
                 s = {
                     "cache": out["kv_cache"],
                     "kv_valid": kv_valid,
@@ -466,6 +511,8 @@ class ServingEngine:
                 if self.do_sample:
                     s["seed"] = s2_seed
                     s["out_idx"] = s2_idx
+                if self._lora is not None:
+                    s["lora_id"] = s2_lora
                 return s, (emit, live)
 
             state, (emits, lives) = jax.lax.scan(step, state, None, length=n)
@@ -534,6 +581,8 @@ class ServingEngine:
                     dec_kw["pixel_values"] = None
                 if is_qwen:
                     dec_kw["rope_delta"] = s["rope_delta"]
+                if self._lora is not None:
+                    dec_kw["lora_ids"] = s["lora_id"]
                 o = fwd(chunk_in, **dec_kw)
                 preds = jnp.argmax(o["logits"], axis=-1).astype(jnp.int32)  # [B,K+1]
 
@@ -563,6 +612,7 @@ class ServingEngine:
                 remaining = s["remaining"] - n_emit
                 done = live & (hit_eos | (remaining <= 0))
                 adv = jnp.where(live, a + 1, 0)
+                s2_lora = s["lora_id"] if self._lora is not None else None
                 s = {
                     "cache": o["kv_cache"], "kv_valid": kv_valid,
                     "write_col": cur + adv, "pos_next": pos + adv,
@@ -572,6 +622,8 @@ class ServingEngine:
                     "live": live & ~done,
                     "ids_buf": ids_buf, "draft_ref": s["draft_ref"],
                 }
+                if s2_lora is not None:
+                    s["lora_id"] = s2_lora
                 return s, (emits, n_emit, done)
 
             state, (emits, n_emits, dones) = jax.lax.scan(step, state, None, length=n)
@@ -581,7 +633,8 @@ class ServingEngine:
 
     # ----------------------------------------------------------------- host
     def submit(self, prompt_ids, max_new_tokens: int, pixel_values=None,
-               draft_ref=None, sample_seed=None, prefix=None) -> Request:
+               draft_ref=None, sample_seed=None, prefix=None,
+               adapter=None) -> Request:
         sp = _bucket(len(prompt_ids), self.bucket_multiple)
         if prefix is not None:
             if not len(prompt_ids):
@@ -595,6 +648,18 @@ class ServingEngine:
         self._uid += 1
         req = Request(self._uid, list(prompt_ids), max_new_tokens, pixel_values)
         req.prefix = prefix
+        if adapter is not None and adapter not in self._adapter_ids:
+            raise KeyError(f"unknown adapter {adapter!r}; "
+                           f"registered: {[k for k in self._adapter_ids if k]}")
+        if prefix is not None:
+            pre_ad = self._prefixes[prefix]["adapter"]
+            if adapter is None:
+                adapter = pre_ad
+            elif adapter != pre_ad:
+                raise ValueError(
+                    f"prefix {prefix} was prefilled with adapter {pre_ad!r}; "
+                    f"request asks for {adapter!r}")
+        req.lora_id = self._adapter_ids[adapter]
         req.draft_ref = list(draft_ref or [])[: self.R]
         req.sample_seed = self._uid if sample_seed is None else int(sample_seed)
         req.submit_t = time.monotonic()
@@ -624,6 +689,7 @@ class ServingEngine:
                 self.params, self._state, jnp.asarray(ids), jnp.asarray(mask),
                 pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
                 jnp.asarray(dref), jnp.int32(req.sample_seed),
+                jnp.int32(req.lora_id),
             )
             self._after_insert(req, slot, first)
 
@@ -644,6 +710,7 @@ class ServingEngine:
             jnp.asarray(ids), jnp.int32(len(req.prompt_ids)),
             jnp.int32(slot), jnp.int32(req.max_new_tokens),
             jnp.asarray(dref), jnp.int32(req.sample_seed),
+            jnp.int32(req.lora_id),
         )
         self._after_insert(req, slot, first)
 

@@ -57,6 +57,45 @@ def load_hf_checkpoint(path: str | Path) -> dict:
     return sd
 
 
+def save_adapter(save_dir: str | Path, adapters: dict, scale: float, meta: dict | None = None):
+    """Save a RAW LoRA adapter tree (adapter.safetensors, '/'-joined keys,
+    + adapter_meta.json carrying the alpha/r scale).
+
+    The reference only ships merged checkpoints (peft merge_and_unload at
+    mm/finetune.py:129-133); raw adapters additionally enable multi-LoRA
+    serving — all sweep variants through ONE engine (serve/engine.py)."""
+    from safetensors.numpy import save_file
+
+    p = Path(save_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    leaves = jax.tree_util.tree_flatten_with_path(adapters)[0]
+    flat = {
+        "/".join(str(k.key) for k in path): np.ascontiguousarray(np.asarray(v))
+        for path, v in leaves
+    }
+    save_file(flat, str(p / "adapter.safetensors"))
+    with open(p / "adapter_meta.json", "w") as f:
+        json.dump(dict(meta or {}, scale=float(scale)), f, indent=2)
+
+
+def load_adapter(path: str | Path):
+    """Load (adapter_tree, scale) saved by save_adapter."""
+    from safetensors.numpy import load_file
+
+    p = Path(path)
+    flat = load_file(str(p / "adapter.safetensors"))
+    tree: dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jax.numpy.asarray(val)
+    with open(p / "adapter_meta.json") as f:
+        meta = json.load(f)
+    return tree, float(meta["scale"])
+
+
 # ---------------------------------------------------------------------------
 # Training-state resume (Orbax)
 # ---------------------------------------------------------------------------
