@@ -142,6 +142,11 @@ def run(cfg):
     else:
         final = state.trainable if frozen_arg is None else merge_trees(state.trainable, frozen_arg)
     common.save_model(save_dir, model_cfg, final)
+    if use_lora and cfg.get("save_adapters"):
+        from multimodal_unlearning_tpu.train.checkpoints import save_adapter
+
+        save_adapter(save_dir / "adapter", state.trainable, scale)
+        print(f"Saved raw LoRA adapter to {save_dir / 'adapter'}")
     print(f"Saved model to {save_dir}")
     return history
 

@@ -205,6 +205,13 @@ def run(cfg):
             final = final_trainable
         common.save_model(save_dir, model_cfg, final)
         print(f"Saved model to {save_dir}")
+    if use_lora and cfg.get("save_adapters"):
+        # raw adapters for multi-LoRA serving (see cli/mm_forget.py)
+        from multimodal_unlearning_tpu.train.checkpoints import save_adapter
+
+        save_adapter(save_dir / "adapter", final_trainable, scale,
+                     meta={"forget_loss": str(cfg.forget_loss)})
+        print(f"Saved raw LoRA adapter to {save_dir / 'adapter'}")
 
 
 main = config_main(config_dir() / "nlp", "forget")(run)
