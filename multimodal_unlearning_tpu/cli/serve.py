@@ -28,7 +28,9 @@ from multimodal_unlearning_tpu.config import main as config_main
 from multimodal_unlearning_tpu.config.registry import config_dir, get_model_identifiers
 
 
-def run(cfg):
+def build_engine(cfg):
+    """Engine + processor + kind/mcfg from a serve config (shared with
+    cli/serve_http.py)."""
     dtype = common.dtype_of(cfg)
     model_cfg = get_model_identifiers(cfg.model_family)
     processor = common.build_processor(model_cfg, cfg)
@@ -43,7 +45,6 @@ def run(cfg):
             if common.is_vlm(kind) else quantize_tree(params)
         )
 
-    from multimodal_unlearning_tpu.data.processor import preprocess_image
     from multimodal_unlearning_tpu.serve import ServingEngine
 
     tok = processor.tokenizer
@@ -71,7 +72,15 @@ def run(cfg):
         top_p=float(cfg.get("top_p", 1.0) or 1.0),
         adapters=adapters,
     )
+    return engine, processor, kind, mcfg
 
+
+def run(cfg):
+    engine, processor, kind, mcfg = build_engine(cfg)
+
+    from multimodal_unlearning_tpu.data.processor import preprocess_image
+
+    tok = processor.tokenizer
     # shared system prompt -> prefix cache: prefilled once, every text-only
     # request prefills just its own (template-formatted) suffix
     prefix_id = None

@@ -1,3 +1,4 @@
 from multimodal_unlearning_tpu.serve.engine import Request, ServingEngine
+from multimodal_unlearning_tpu.serve.http import EngineServer
 
-__all__ = ["Request", "ServingEngine"]
+__all__ = ["EngineServer", "Request", "ServingEngine"]
