@@ -135,11 +135,34 @@ def _generate(params, input_ids, attention_mask, pixel_values,
         emit = jnp.where(newly_finished, pad_token_id, nxt)
         return (out["kv_cache"], kv_valid, nxt, newly_finished), emit
 
-    (_, _, _, _), emitted = jax.lax.scan(
-        step, (cache, kv_valid, first_token, finished0),
-        jnp.arange(max_new_tokens - 1),
-    )
-    return jnp.concatenate([first_emit[:, None], emitted.T], axis=1)
+    if eos < 0:
+        # fixed token budget: a plain scan (known trip count pipelines best)
+        (_, _, _, _), emitted = jax.lax.scan(
+            step, (cache, kv_valid, first_token, finished0),
+            jnp.arange(max_new_tokens - 1),
+        )
+        return jnp.concatenate([first_emit[:, None], emitted.T], axis=1)
+
+    # eos set: early-exit while_loop — real answers finish long before the
+    # max_new_tokens budget (eval default 300), and the reference-style
+    # fixed-length decode burns the remainder on every already-drained batch.
+    # Emitted tokens are IDENTICAL to the scan (finished rows emit pad; the
+    # loop just stops once every row is finished).
+    out_buf = jnp.full((B, max_new_tokens), pad_token_id, jnp.int32)
+    out_buf = out_buf.at[:, 0].set(first_emit.astype(jnp.int32))
+
+    def w_cond(st):
+        return jnp.any(~st[0][3]) & (st[1] < max_new_tokens - 1)
+
+    def w_body(st):
+        carry, t, buf = st
+        carry, emit = step(carry, t)
+        return carry, t + 1, buf.at[:, t + 1].set(emit.astype(jnp.int32))
+
+    _, _, out_buf = jax.lax.while_loop(
+        w_cond, w_body,
+        ((cache, kv_valid, first_token, finished0), jnp.int32(0), out_buf))
+    return out_buf.astype(input_ids.dtype)
 
 
 @partial(

@@ -315,10 +315,9 @@ class ServingEngine:
         The slab is copied into the slot's cache columns at insert — the
         saving is the recomputation (one prefix forward total instead of
         one per request), not cache memory.  Left-padded to its bucket like
-        any prompt, so suffix columns continue contiguously."""
-        if self.kind == "qwen2_vl":
-            raise NotImplementedError(
-                "prefix caching with M-RoPE suffix offsets is not supported")
+        any prompt, so suffix columns continue contiguously.  Qwen2-VL
+        prefixes carry their M-RoPE ``rope_delta``: text suffixes continue
+        as decode-style offset positions (models/qwen2_vl.py:forward)."""
         P = _bucket(len(prompt_ids), self.bucket_multiple)
         ids = np.full((1, P), self.pad_id, np.int32)
         mask = np.zeros((1, P), np.int32)
@@ -346,18 +345,21 @@ class ServingEngine:
                     kw["pixel_values"] = pix
                 if self._lora is not None:
                     kw["lora_ids"] = lora_id[None]
-                return fwd(ids, last_logit_only=True, **kw)["kv_cache"]
+                out = fwd(ids, last_logit_only=True, **kw)
+                delta = (out["rope_delta"][0].astype(jnp.int32)
+                         if out.get("rope_delta") is not None else jnp.int32(0))
+                return out["kv_cache"], delta
 
             self._prefix_fill_cache[key] = prefix_fill
             fn = prefix_fill
 
-        slab = fn(self.params, jnp.asarray(ids), jnp.asarray(mask), pix,
-                  jnp.int32(aid))
+        slab, rope_delta = fn(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                              pix, jnp.int32(aid))
         pid = len(self._prefixes)
         hist = np.where(mask[0] > 0, ids[0], -2).astype(np.int32)
         self._prefixes[pid] = dict(
             slab=slab, mask=mask, plen=len(prompt_ids), P=P, hist=hist,
-            adapter=adapter)
+            adapter=adapter, rope_delta=int(rope_delta))
         return pid
 
     def _suffix_insert_fn(self, sp: int, P: int):
@@ -373,7 +375,8 @@ class ServingEngine:
 
         @partial(jax.jit, donate_argnums=(1,))
         def suffix_insert(params, state, pslab, pvalid, phist, plen,
-                          ids, n_sfx, slot, max_new, dref, seed, lora_id):
+                          ids, n_sfx, slot, max_new, dref, seed, lora_id,
+                          rope_delta):
             fwd = self._fwd(params)
             slab = dec.init_kv_cache(self.dec_cfg, 1, P + sp, dtype=self.cache_dtype)
             for k in slab:
@@ -389,6 +392,10 @@ class ServingEngine:
             )
             if self.is_vlm:
                 dec_kw["pixel_values"] = None
+            if self.kind == "qwen2_vl":
+                # M-RoPE: suffix positions continue decode-style, offset by
+                # the prefix's rope delta
+                dec_kw["rope_delta"] = rope_delta[None]
             if self._lora is not None:
                 dec_kw["lora_ids"] = lora_id[None]
             out = fwd(ids, **dec_kw)
@@ -426,7 +433,7 @@ class ServingEngine:
                 "token": state["token"].at[slot].set(first[0]),
                 "remaining": state["remaining"].at[slot].set(
                     jnp.where(finished_now, 0, max_new - 1)),
-                "rope_delta": state["rope_delta"].at[slot].set(0),
+                "rope_delta": state["rope_delta"].at[slot].set(rope_delta),
                 "live": state["live"].at[slot].set(~finished_now & (max_new - 1 > 0)),
             }
             if self.K:
@@ -710,7 +717,7 @@ class ServingEngine:
             jnp.asarray(ids), jnp.int32(len(req.prompt_ids)),
             jnp.int32(slot), jnp.int32(req.max_new_tokens),
             jnp.asarray(dref), jnp.int32(req.sample_seed),
-            jnp.int32(req.lora_id),
+            jnp.int32(req.lora_id), jnp.int32(pre["rope_delta"]),
         )
         self._after_insert(req, slot, first)
 

@@ -156,11 +156,32 @@ def test_prefix_rejections():
     with pytest.raises(ValueError):
         eng.submit([], 4, prefix=pid)
 
+
+def test_prefix_qwen2vl_mrope():
+    """Qwen2-VL prefix: the image+preamble slab carries its M-RoPE rope
+    delta; text suffixes continue decode-style.  Streams == full-prompt."""
     arch = get_model_identifiers("tiny-qwen2vl-test").arch
     from multimodal_unlearning_tpu.models import qwen2_vl
 
     qcfg = qwen2_vl.QwenVLConfig.from_registry(arch)
     qparams = qwen2_vl.init_params(qcfg, jax.random.PRNGKey(0))
-    qeng = _engine(qparams, qcfg, kind="qwen2_vl")
-    with pytest.raises(NotImplementedError):
-        qeng.register_prefix([5, 6, 7])
+    rng = np.random.default_rng(6)
+    grid = qcfg.default_grid
+    ms = qcfg.vision.spatial_merge_size
+    n_img = grid[0] * (grid[1] // ms) * (grid[2] // ms)
+    pix = rng.normal(
+        size=(grid[0] * grid[1] * grid[2], qcfg.vision.patch_dim)).astype(np.float32)
+    preamble = [qcfg.image_token_id] * n_img + rng.integers(
+        3, qcfg.decoder.vocab_size, 4).tolist()
+    questions = [rng.integers(3, qcfg.decoder.vocab_size, n).tolist() for n in (5, 9)]
+
+    def run(use_prefix):
+        e = _engine(qparams, qcfg, kind="qwen2_vl", max_len=192)
+        if use_prefix:
+            pid = e.register_prefix(preamble, pixel_values=pix)
+            reqs = [e.submit(q, 5, prefix=pid) for q in questions]
+        else:
+            reqs = [e.submit(preamble + q, 5, pixel_values=pix) for q in questions]
+        return e.drain(reqs)
+
+    assert run(True) == run(False)
