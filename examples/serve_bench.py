@@ -62,7 +62,9 @@ def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0):
     from multimodal_unlearning_tpu.serve import ServingEngine
 
     slack = speculate_k + 1 if speculate_k else 0
-    max_len = -(-(max(len(r[0]) for r in requests) + 300 + slack) // 128) * 128
+    # submit checks BUCKETED prompt length + budget (+ spec slack)
+    sp_max = -(-max(len(r[0]) for r in requests) // 128) * 128
+    max_len = -(-(sp_max + 300 + slack) // 128) * 128
     eng = ServingEngine(
         params, mcfg, "llava", num_slots=slots, max_len=max_len, chunk=chunk,
         bucket_multiple=128, pad_token_id=0, eos_token_id=None,
@@ -142,7 +144,8 @@ def run_prefix_leg(mcfg, params, slots, pct, n=32):
     cases = [(rng.integers(10, mcfg.decoder.vocab_size - 70,
                            int(rng.integers(12, 40))).tolist(),
               int(rng.integers(8, 48))) for _ in range(n)]
-    max_len = -(-(len(preamble) + 128 + 48) // 128) * 128
+    p_bucket = -(-len(preamble) // 128) * 128
+    max_len = -(-(p_bucket + 128 + 48) // 128) * 128
 
     def eng():
         return ServingEngine(

@@ -152,6 +152,26 @@ def _run(cfg):
         )
         return [tok.decode(row, skip_special_tokens=True) for row in np.asarray(gen)[:B]]
 
+    # engine_generate: run each task's generations as ONE continuous-batching
+    # drain over the serving engine (evaluator._pregenerate) — slots refill
+    # across batch boundaries, so eval throughput is bound by total tokens,
+    # not by each batch's longest answer.  Output text identical.
+    gen_engine = None
+    if cfg.get("engine_generate"):
+        from multimodal_unlearning_tpu.serve import ServingEngine
+
+        slack = 2 * speculate_k + 2 if speculate_k else 0
+        gen_engine = ServingEngine(
+            params, mcfg, kind,
+            num_slots=int(cfg.get("engine_slots", cfg.batch_size)),
+            max_len=-(-(cfg.max_length + cfg.generation.max_new_tokens + slack) // 128) * 128,
+            chunk=int(cfg.get("engine_chunk", 16)),
+            pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
+            cache_dtype=cache_dtype, compute_dtype=dtype, mesh=gen_mesh,
+            speculate_k=speculate_k,
+            spec_ref_len=int(cfg.get("spec_ref_len", 128) or 0) if speculate_k else 0,
+        )
+
     aggregated = {}
     zipped = zip(
         cfg.data_path, cfg.split_list, cfg.question_key, cfg.question_strategy,
@@ -181,6 +201,7 @@ def _run(cfg):
             apply_fn=apply_fn, generate_fn=generate_fn, processor=processor,
             max_new_tokens=cfg.generation.max_new_tokens,
             generate_with_images=bool(cfg.get("generate_with_images", False)),
+            gen_engine=gen_engine,
         )
         evaluator.save_eval_logs(cfg.save_dir, task, logs)
         aggregated[f"{task}.json"] = logs

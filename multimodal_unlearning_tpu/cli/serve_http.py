@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import time
 
-from multimodal_unlearning_tpu.cli import common
 from multimodal_unlearning_tpu.cli.serve import build_engine
 from multimodal_unlearning_tpu.config import main as config_main
 from multimodal_unlearning_tpu.config.registry import config_dir

@@ -95,6 +95,50 @@ def eval_perturbation_ratio(base_loader, perturb_loader, apply_fn):
     return logs
 
 
+def _gen_prompt_rows(batch, tok, generate_with_images):
+    """Generation inputs for one eval batch: the per-row question span
+    (exactly as the main loop builds them), pixel rows, and the
+    ground-truth draft corpus.  ``batch`` must still hold 'answers'."""
+    import numpy as np
+
+    raw_answers = np.asarray(batch["answers"])
+    answers = [tok.decode(a, skip_special_tokens=True) for a in raw_answers]
+    draft_ref = np.where(raw_answers == tok.pad_token_id, -2, raw_answers)
+    if generate_with_images:
+        ids_np = np.asarray(batch["input_ids"])
+        qmask = (np.asarray(batch["labels"]) == -100) & (
+            np.asarray(batch["attention_mask"]) == 1)
+        rows = [ids_np[r][qmask[r]].tolist() for r in range(len(ids_np))]
+        pix = np.asarray(batch["pixel_values"])
+    else:
+        str_inputs = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
+        questions = [s[: s.rfind(a)] if a and s.rfind(a) != -1 else s
+                     for s, a in zip(str_inputs, answers)]
+        rows = [tok.encode(q, add_special_tokens=True) for q in questions]
+        pix = None
+    return rows, pix, draft_ref
+
+
+def _pregenerate(gen_engine, eval_loader, tok, max_new_tokens, generate_with_images):
+    """Continuous-batching pregeneration (beyond-reference): submit EVERY
+    eval sample's question to the serving engine up front and drain once —
+    finished slots refill across batch boundaries, so one long answer never
+    stalls the rest of the dataset.  Tokens equal the per-batch
+    greedy_generate path (tests/test_serve.py exactness), so the eval logs
+    are unchanged."""
+    reqs = []
+    for batch in eval_loader:
+        rows, pix, dref = _gen_prompt_rows(batch, tok, generate_with_images)
+        for i, row in enumerate(rows):
+            reqs.append(gen_engine.submit(
+                row, max_new_tokens,
+                pixel_values=None if pix is None else pix[i],
+                draft_ref=dref[i].tolist() if gen_engine.K else None,
+            ))
+    gen_engine.drain(reqs)
+    return [tok.decode(r.tokens, skip_special_tokens=True) for r in reqs]
+
+
 def get_all_evals(
     eval_task: str,
     eval_loader,
@@ -106,14 +150,23 @@ def get_all_evals(
     processor,
     max_new_tokens: int,
     generate_with_images: bool = False,
+    gen_engine=None,
 ):
-    """mm/eval.py:102-163."""
+    """mm/eval.py:102-163.
+
+    ``gen_engine``: optional ServingEngine — generations run as ONE
+    continuous-batching drain over the whole task up front (_pregenerate)
+    instead of per-batch greedy_generate calls; output text is identical."""
     logs = defaultdict(dict)
     gen_answers, true_ans, all_questions, all_indices = [], [], [], []
 
     logs.update(eval_perturbation_ratio(base_loader, perturb_loader, apply_fn))
 
     tok = processor.tokenizer
+    gen_cache = (
+        _pregenerate(gen_engine, eval_loader, tok, max_new_tokens, generate_with_images)
+        if gen_engine is not None else None)
+    gen_cursor = 0
     for batch in eval_loader:
         indices = [int(i) for i in batch.pop("indices")]
         raw_answers = np.asarray(batch.pop("answers"))
@@ -129,7 +182,12 @@ def get_all_evals(
         str_inputs = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
         questions = [s[: s.rfind(a)] if a and s.rfind(a) != -1 else s for s, a in zip(str_inputs, answers)]
 
-        if generate_with_images:
+        if gen_cache is not None:
+            # engine pregeneration: texts were drained up front, in order
+            n_rows = len(batch["input_ids"])
+            gen_texts = gen_cache[gen_cursor: gen_cursor + n_rows]
+            gen_cursor += n_rows
+        elif generate_with_images:
             # question span = -100-labeled non-pad positions (incl. the
             # expanded image tokens) — exact and tokenizer-agnostic
             from multimodal_unlearning_tpu.evaluation.generate import pad_prompts

@@ -135,6 +135,31 @@ def test_mm_eval_single_task(ft_dir, tmp_path):
     json.loads(path.read_text())
 
 
+def test_mm_eval_engine_generate_identical_logs(ft_dir, tmp_path):
+    """engine_generate=true: generations run as one continuous-batching
+    drain over the serving engine (evaluator._pregenerate).  The aggregated
+    eval logs must be IDENTICAL to the per-batch greedy path — same text,
+    same ROUGE, same everything."""
+    from multimodal_unlearning_tpu.cli import mm_eval
+
+    def run(engine, out):
+        cfg = _cfg(
+            "mm", "eval",
+            model_family="tiny-llava-test", model_path=str(ft_dir),
+            processor_path=None, save_dir=str(tmp_path / out),
+            ds_size=5, batch_size=2, max_length=256, dtype="float32",
+            eval_task_ids=[2], engine_generate=engine,
+        )
+        dict.__setitem__(cfg, "data_path", ["synthetic:n_persons=80,qa_per_person=8"] * 6)
+        dict.__setitem__(cfg["generation"], "max_new_tokens", 5)
+        return mm_eval.run(cfg)
+
+    plain = run(False, "eval_plain")
+    engine = run(True, "eval_engine")
+    assert json.dumps(plain, sort_keys=True, default=list) == json.dumps(
+        engine, sort_keys=True, default=list)
+
+
 def test_mm_eval_generate_with_images(ft_dir, tmp_path):
     """generate_with_images=true: generation conditions on the REAL prompt
     (expanded image tokens + question, the -100-labeled span) instead of the
