@@ -92,6 +92,25 @@ def _run(cfg):
     gen_mesh = mesh if mesh.shape["tensor"] > 1 else None  # see mm_eval
     aot_layouts = bool(cfg.get("aot_param_layouts", False))  # see mm_eval
 
+    # engine_generate: generations as one continuous-batching drain per task
+    # (evaluator._nlp_pregenerate) — identical text, see cli/mm_eval.py
+    gen_engine = None
+    if cfg.get("engine_generate"):
+        from multimodal_unlearning_tpu.serve import ServingEngine
+
+        spec_k = int(cfg.get("speculative_k", 0) or 0)
+        slack = 2 * spec_k + 2 if spec_k else 0
+        gen_engine = ServingEngine(
+            params, mcfg, kind,
+            num_slots=int(cfg.get("engine_slots", cfg.batch_size)),
+            max_len=-(-(cfg.max_length + cfg.generation.max_new_tokens + slack) // 128) * 128,
+            chunk=int(cfg.get("engine_chunk", 16)),
+            pad_token_id=tok.pad_token_id, eos_token_id=tok.eos_token_id,
+            cache_dtype=cache_dtype, compute_dtype=dtype, mesh=gen_mesh,
+            speculate_k=spec_k,
+            spec_ref_len=int(cfg.get("spec_ref_len", 128) or 0) if spec_k else 0,
+        )
+
     aggregated = {}
     zipped = zip(
         cfg.data_path, cfg.split_list, cfg.question_key, cfg.answer_key,
@@ -149,6 +168,8 @@ def _run(cfg):
         logs = evaluator.nlp_get_all_evals(
             task, eval_dl, base_dl, pert_dl,
             apply_fn=apply_fn, generate_fn=generate_fn, tok=tok, tags=tags,
+            gen_engine=gen_engine,
+            max_new_tokens=int(cfg.generation.max_new_tokens),
         )
 
         evaluator.save_eval_logs(cfg.save_dir, task, logs)

@@ -255,6 +255,40 @@ def nlp_split_symbol(tags: dict) -> tuple[str, bool]:
     return tags.get("question_end_tag", "") or "", True
 
 
+def _nlp_split_questions(dec, answers, split_symbol, reappend):
+    """Prompt/ground-truth recovery from decoded inputs (the reference's
+    run_generation split rule — see nlp_get_all_evals docstring)."""
+    q_texts, gts = [], []
+    for s, fallback in zip(dec, answers):
+        parts = s.split(split_symbol) if split_symbol else [s]
+        if len(parts) > 1:
+            q_texts.append(parts[0] + (split_symbol if reappend else ""))
+            gts.append(parts[1])
+        else:
+            q_texts.append(s)
+            gts.append(fallback)
+    return q_texts, gts
+
+
+def _nlp_pregenerate(gen_engine, eval_loader, tok, tags, max_new_tokens):
+    """Continuous-batching pregeneration for the text stack — the NLP
+    analog of _pregenerate (prompts recovered by the split rule, ground
+    truths seeding the speculative draft corpus)."""
+    split_symbol, reappend = nlp_split_symbol(tags)
+    reqs = []
+    for batch in eval_loader:
+        answers = batch.get("answers_text", [""] * len(batch["input_ids"]))
+        dec = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
+        q_texts, gts = _nlp_split_questions(dec, answers, split_symbol, reappend)
+        for q, gt in zip(q_texts, gts):
+            dref = tok.encode(gt, add_special_tokens=False) if gen_engine.K else None
+            reqs.append(gen_engine.submit(
+                tok.encode(q, add_special_tokens=True), max_new_tokens,
+                draft_ref=dref))
+    gen_engine.drain(reqs)
+    return [tok.decode(r.tokens, skip_special_tokens=True) for r in reqs]
+
+
 def nlp_get_all_evals(
     eval_task: str,
     eval_loader,
@@ -266,6 +300,8 @@ def nlp_get_all_evals(
     tok,
     tags: dict,
     normalize_gt: bool | None = None,
+    gen_engine=None,
+    max_new_tokens: int | None = None,
 ):
     """nlp/evaluate_util.py:252-335 — the text-stack eval engine.
 
@@ -284,6 +320,10 @@ def nlp_get_all_evals(
     logs.update(eval_perturbation_ratio(base_loader, perturb_loader, apply_fn))
 
     split_symbol, reappend = nlp_split_symbol(tags)
+    gen_cache = (
+        _nlp_pregenerate(gen_engine, eval_loader, tok, tags, max_new_tokens)
+        if gen_engine is not None else None)
+    gen_cursor = 0
     gen_answers, true_ans, all_indices = [], [], []
     for batch in eval_loader:
         indices = [int(i) for i in batch.pop("indices")]
@@ -293,21 +333,17 @@ def nlp_get_all_evals(
         gt_loss, num_token_gt = _model_losses(apply_fn, batch)
 
         dec = [tok.decode(r, skip_special_tokens=True) for r in batch["input_ids"]]
-        q_texts, gts = [], []
-        for s, fallback in zip(dec, answers):
-            parts = s.split(split_symbol) if split_symbol else [s]
-            if len(parts) > 1:
-                q_texts.append(parts[0] + (split_symbol if reappend else ""))
-                gts.append(parts[1])
-            else:
-                q_texts.append(s)
-                gts.append(fallback)
-        try:
-            # ground-truth texts seed the speculative-decode reference
-            # corpus when the CLI's generate_fn supports it
-            gen_texts = generate_fn(q_texts, ref_texts=gts)
-        except TypeError:
-            gen_texts = generate_fn(q_texts)
+        q_texts, gts = _nlp_split_questions(dec, answers, split_symbol, reappend)
+        if gen_cache is not None:
+            gen_texts = gen_cache[gen_cursor: gen_cursor + len(q_texts)]
+            gen_cursor += len(q_texts)
+        else:
+            try:
+                # ground-truth texts seed the speculative-decode reference
+                # corpus when the CLI's generate_fn supports it
+                gen_texts = generate_fn(q_texts, ref_texts=gts)
+            except TypeError:
+                gen_texts = generate_fn(q_texts)
 
         gen_answers.extend(gen_texts)
         true_ans.extend(gts)

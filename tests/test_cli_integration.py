@@ -160,6 +160,27 @@ def test_mm_eval_engine_generate_identical_logs(ft_dir, tmp_path):
         engine, sort_keys=True, default=list)
 
 
+def test_nlp_eval_engine_generate_identical_logs(tmp_path):
+    """NLP analog of the engine_generate equality contract."""
+    from multimodal_unlearning_tpu.cli import nlp_eval
+
+    def run(engine, out):
+        cfg = _cfg(
+            "nlp", "eval_everything",
+            model_family="tiny-llama-test", model_path=None,
+            data_path=["synthetic:n_persons=8,qa_per_person=4"] * 4,
+            save_dir=str(tmp_path / out), batch_size=2, dtype="float32",
+            engine_generate=engine,
+        )
+        dict.__setitem__(cfg["generation"], "max_new_tokens", 5)
+        dict.__setitem__(cfg["generation"], "max_length", 64)
+        return nlp_eval.run(cfg)
+
+    plain = run(False, "plain")
+    eng = run(True, "eng")
+    assert json.dumps(plain, sort_keys=True) == json.dumps(eng, sort_keys=True)
+
+
 def test_mm_eval_generate_with_images(ft_dir, tmp_path):
     """generate_with_images=true: generation conditions on the REAL prompt
     (expanded image tokens + question, the -100-labeled span) instead of the
