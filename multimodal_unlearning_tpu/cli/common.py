@@ -317,3 +317,37 @@ def apply_tensor_parallel(mesh, dec_cfg, kind, *trees):
 
     out = tuple(place(t) for t in trees)
     return out if len(out) != 1 else out[0]
+
+
+def apply_pipeline_parallel(mesh, dec_cfg, kind, *trees):
+    """GPipe pipeline placement over the 'pipe' mesh axis for every decoder
+    copy in ``trees`` (student/frozen/teacher params, bf16 or int8 QTensor —
+    QTensor leaves keep their leading layer dim, so stage placement applies
+    unchanged).  No-op when pipe==1.  Mutually exclusive with decoder TP:
+    inside the pipeline's shard_map region Megatron all-reduces would need
+    hand-written collectives (parallel/pp.py header)."""
+    pipe = mesh.shape["pipe"]
+    if pipe <= 1:
+        return trees if len(trees) != 1 else trees[0]
+    if mesh.shape["tensor"] > 1:
+        raise ValueError("pipe>1 and tensor>1 cannot both shard the decoder")
+    if dec_cfg.num_layers % pipe != 0:
+        raise ValueError(f"pipe={pipe} does not divide num_layers={dec_cfg.num_layers}")
+    from multimodal_unlearning_tpu.parallel.pp import pp_shard_decoder
+
+    lm_key = "language_model" if is_vlm(kind) else None
+
+    def place(tree):
+        if tree is None or not isinstance(tree, dict):
+            return tree
+        if lm_key is not None:
+            lm = tree.get(lm_key)
+            if isinstance(lm, dict) and "layers" in lm:
+                return dict(tree, **{lm_key: pp_shard_decoder(lm, mesh)})
+            return tree
+        if "layers" in tree:
+            return pp_shard_decoder(tree, mesh)
+        return tree
+
+    out = tuple(place(t) for t in trees)
+    return out if len(out) != 1 else out[0]

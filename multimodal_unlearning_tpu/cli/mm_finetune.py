@@ -98,7 +98,7 @@ def run(cfg):
                 params, language_model=quantize_tree(params["language_model"])
             ) if common.is_vlm(kind) else quantize_tree(params)
             frozen_arg = params
-        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=dtype)
+        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=dtype, mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"))
         combine = lambda tr, fr: (fr, tr)
     else:
         freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and common.is_vlm(kind)
@@ -109,7 +109,7 @@ def run(cfg):
         else:
             trainable, frozen_arg = params, None
         print_trainable_parameters(trainable, frozen_arg or {})
-        apply_fn = make_apply_fn(kind, mcfg, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=dtype)
+        apply_fn = make_apply_fn(kind, mcfg, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=dtype, mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"))
 
     step_fn = trainer.make_train_step(
         apply_fn, tx, loss_type="retain_ft",
@@ -125,6 +125,13 @@ def run(cfg):
                 trainable=common.apply_tensor_parallel(mesh, dec_cfg, kind, state.trainable)
             )
         frozen_arg = common.apply_tensor_parallel(mesh, dec_cfg, kind, frozen_arg)
+    if mesh.shape["pipe"] > 1:
+        dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_pipeline_parallel(mesh, dec_cfg, kind, state.trainable)
+            )
+        frozen_arg = common.apply_pipeline_parallel(mesh, dec_cfg, kind, frozen_arg)
 
     state, history = train_loop(
         train_step=step_fn, state=state, frozen=frozen_arg, teacher_params=None,

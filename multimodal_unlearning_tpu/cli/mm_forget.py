@@ -28,7 +28,7 @@ from multimodal_unlearning_tpu.utils.pytree import (
 SKU_LOSS_ARGS = {"bad_weight": 2.5, "random_weight": 1.0, "normal_weight": 0.5}
 
 
-def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, remat_policy=None, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=None, mesh=None):
+def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, remat_policy=None, attn_impl="auto", compute_dtype=jnp.bfloat16, logits_dtype=None, mesh=None, pp_microbatches=None):
     """apply_fn(params_or_(params,lora), batch_part, capture_layer) → outputs.
 
     ``logits_dtype`` defaults to ``compute_dtype``: a fp32 [B,S,V] logits
@@ -61,6 +61,11 @@ def make_apply_fn(kind, mcfg, *, lora_cfg=None, remat=False, remat_policy=None, 
             kw["pixel_values"] = jnp.asarray(part["pixel_values"])
         elif attn_impl == "ring":
             kw["mesh"] = mesh  # sequence-parallel ring attention (llama path)
+        from multimodal_unlearning_tpu.parallel.pp import pp_degree
+
+        if pp_degree(mesh) > 1:  # GPipe pipeline over the 'pipe' mesh axis
+            kw["mesh"] = mesh
+            kw["pp_microbatches"] = pp_microbatches
         out = fwd(base, mcfg, jnp.asarray(part["input_ids"]), **kw)
         return {"logits": out["logits"], "captured": out["captured"]}
 
@@ -192,7 +197,7 @@ def _run(cfg):
                 from multimodal_unlearning_tpu.utils.quantize import enable_int8_bwd
 
                 enable_int8_bwd(True)  # dx backward on the int8 MXU too
-        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=compute_dtype)
+        apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=compute_dtype, mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"))
         combine = lambda tr, fr: (fr, tr)
         merged_frozen = params  # flows through the frozen arg, not a closure
     else:
@@ -202,7 +207,7 @@ def _run(cfg):
         else:
             trainable, frozen = params, None
         print_trainable_parameters(trainable, frozen or {})
-        apply_fn = make_apply_fn(kind, mcfg, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=compute_dtype)
+        apply_fn = make_apply_fn(kind, mcfg, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=compute_dtype, mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"))
         merged_frozen = frozen
 
     control_vec = None
@@ -235,6 +240,16 @@ def _run(cfg):
                 trainable=common.apply_tensor_parallel(mesh, dec_cfg, kind, state.trainable)
             )
         merged_frozen, teacher_params = common.apply_tensor_parallel(
+            mesh, dec_cfg, kind, merged_frozen, teacher_params
+        )
+    if mesh.shape["pipe"] > 1:
+        # GPipe pipeline over the 'pipe' axis (beyond-reference): stage-
+        # resident layer placement for every decoder copy
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_pipeline_parallel(mesh, dec_cfg, kind, state.trainable)
+            )
+        merged_frozen, teacher_params = common.apply_pipeline_parallel(
             mesh, dec_cfg, kind, merged_frozen, teacher_params
         )
 

@@ -89,6 +89,7 @@ def run(cfg):
         kind, mcfg, lora_cfg=scale if use_lora else None,
         compute_dtype=dtype, logits_dtype=dtype if dtype == jnp.bfloat16 else jnp.float32,
         attn_impl="auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla",
+        mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"),
     )
 
     step_fn = trainer.make_train_step(
@@ -103,6 +104,12 @@ def run(cfg):
                 trainable=common.apply_tensor_parallel(mesh, mcfg, kind, state.trainable)
             )
         frozen = common.apply_tensor_parallel(mesh, mcfg, kind, frozen)
+    if mesh.shape["pipe"] > 1:
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_pipeline_parallel(mesh, mcfg, kind, state.trainable)
+            )
+        frozen = common.apply_pipeline_parallel(mesh, mcfg, kind, frozen)
     state, _ = train_loop(
         train_step=step_fn, state=state, frozen=frozen, teacher_params=None,
         dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,

@@ -125,7 +125,7 @@ def run(cfg):
     apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale if use_lora else None,
                              remat=remat, attn_impl=attn_impl, compute_dtype=dtype,
                              logits_dtype=dtype if dtype == jnp.bfloat16 else jnp.float32,
-                             mesh=mesh)
+                             mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"))
 
     effective_loss = "retain_ft" if idk_concat else loss_name
 
@@ -185,6 +185,14 @@ def run(cfg):
                     trainable=common.apply_tensor_parallel(mesh, mcfg, kind, state.trainable)
                 )
             frozen, teacher_params = common.apply_tensor_parallel(
+                mesh, mcfg, kind, frozen, teacher_params
+            )
+        if mesh.shape["pipe"] > 1:
+            if not use_lora:
+                state = state.replace(
+                    trainable=common.apply_pipeline_parallel(mesh, mcfg, kind, state.trainable)
+                )
+            frozen, teacher_params = common.apply_pipeline_parallel(
                 mesh, mcfg, kind, frozen, teacher_params
             )
         state, _ = train_loop(

@@ -270,6 +270,7 @@ def forward(
     chunk_decode: bool = False,
     lora_ids=None,
     mesh=None,
+    pp_microbatches=None,
 ):
     """Decoder forward.
 
@@ -282,6 +283,10 @@ def forward(
 
     ``attn_impl="ring"`` runs sequence-parallel ring attention over the
     mesh's 'seq' axis (requires ``mesh``; train/no-cache mode only).
+
+    A ``mesh`` with pipe > 1 runs the layer stack as a GPipe microbatch
+    pipeline over the 'pipe' axis (parallel/pp.py; train/no-cache mode only;
+    ``pp_microbatches`` sets the schedule's microbatch count).
 
     Returns dict(logits, kv_cache, captured, hidden).
     """
@@ -334,8 +339,11 @@ def forward(
     has_lora = lora is not None and lora.get("layers") is not None
     L = cfg.num_layers
 
-    def block(x, lp, lora_l, cache, layer_id):
+    def block(x, lp, lora_l, cache, layer_id, cos_p=cos_p, sin_p=sin_p, kv_mask=kv_mask):
+        # rope/mask default to the full-batch closures (plain scan); the
+        # pipeline path passes per-microbatch slices explicitly
         hdim, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+        B, S, _ = x.shape  # microbatch-local under pipeline parallelism
 
         def extras(y, t, name):
             ll = lora_l.get(name) if has_lora else None
@@ -459,6 +467,36 @@ def forward(
     # dummy per-layer scan inputs when a feature is off (never touched inside)
     lora_scan = lora["layers"] if has_lora else jnp.zeros((L,))
 
+    from multimodal_unlearning_tpu.parallel.pp import pp_degree
+
+    if pp_degree(mesh) > 1:
+        # GPipe microbatch pipeline over the 'pipe' mesh axis: stages hold
+        # L/pipe layers each; rope/mask travel with their microbatch
+        if use_cache or capture_layer is not None or attn_impl == "ring":
+            raise NotImplementedError(
+                "pipeline parallelism supports the train/no-cache forward "
+                "(no KV cache, no capture_layer, not combined with ring)"
+            )
+        from multimodal_unlearning_tpu.parallel.pp import pipeline_layers
+
+        def pp_block(h, inp, ex):
+            layer_id, lp, lora_l = inp
+            h, _ = block(h, lp, lora_l, jnp.zeros(()), layer_id,
+                         ex["cos"], ex["sin"], ex["mask"])
+            return h
+
+        x = pipeline_layers(
+            pp_block, x, (layer_ids, params["layers"], lora_scan),
+            {"cos": cos_p, "sin": sin_p, "mask": kv_mask},
+            mesh, num_microbatches=pp_microbatches,
+        )
+        captured, caches_out = None, None
+        return _epilogue(
+            params, cfg, x, lora, lora_scale, lora_ids,
+            logits_dtype, last_logit_only, return_hidden,
+            captured, caches_out,
+        )
+
     def scan_body(carry, inp):
         # the full stacked cache rides the CARRY: per-layer updates are
         # in-place on the loop-donated buffer (the old per-layer xs/ys form
@@ -478,6 +516,17 @@ def forward(
         scan_body, (x, captured0, cache0), (layer_ids, params["layers"], lora_scan)
     )
 
+    return _epilogue(
+        params, cfg, x, lora, lora_scale, lora_ids,
+        logits_dtype, last_logit_only, return_hidden,
+        captured if capture_layer is not None else None,
+        caches_out if use_cache else None,
+    )
+
+
+def _epilogue(params, cfg, x, lora, lora_scale, lora_ids,
+              logits_dtype, last_logit_only, return_hidden, captured, caches_out):
+    """Final norm + LM head (shared by the plain scan and the pipeline path)."""
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     lm_lora = lora.get("lm_head") if lora is not None else None
     # prefill-for-decode only needs the final position: skipping the full
@@ -487,7 +536,7 @@ def forward(
 
     return {
         "logits": logits,
-        "kv_cache": caches_out if use_cache else None,
-        "captured": captured if capture_layer is not None else None,
+        "kv_cache": caches_out,
+        "captured": captured,
         "hidden": x if return_hidden else None,
     }

@@ -142,6 +142,7 @@ def forward(
     chunk_decode: bool = False,
     lora_ids=None,
     mesh=None,
+    pp_microbatches=None,
 ):
     """VLM forward. ``input_ids`` already contain expanded image tokens."""
     lm = params["language_model"]
@@ -187,5 +188,6 @@ def forward(
         chunk_decode=chunk_decode,
         lora_ids=lora_ids,
         mesh=mesh,
+        pp_microbatches=pp_microbatches,
     )
     return out

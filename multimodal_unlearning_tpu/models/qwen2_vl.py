@@ -299,6 +299,7 @@ def forward(
     last_logit_only: bool = False,
     chunk_decode: bool = False,
     lora_ids=None,
+    pp_microbatches=None,
 ):
     """VLM forward.  ``input_ids`` contain the expanded image-token span;
     ``pixel_values`` are pre-patchified [B, N, patch_dim] (flatten order of
@@ -360,6 +361,7 @@ def forward(
         chunk_decode=chunk_decode,
         lora_ids=lora_ids,
         mesh=mesh,
+        pp_microbatches=pp_microbatches,
     )
     if out_delta is not None:
         out["rope_delta"] = out_delta

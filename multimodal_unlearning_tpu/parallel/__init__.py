@@ -1,4 +1,9 @@
 from multimodal_unlearning_tpu.parallel.mesh import MeshSpec, make_mesh
+from multimodal_unlearning_tpu.parallel.pp import (
+    pipeline_layers,
+    pp_degree,
+    pp_shard_decoder,
+)
 from multimodal_unlearning_tpu.parallel.sharding import (
     batch_sharding,
     fsdp_sharding,
@@ -11,6 +16,9 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "fsdp_sharding",
+    "pipeline_layers",
+    "pp_degree",
+    "pp_shard_decoder",
     "replicated",
     "shard_pytree",
 ]

@@ -16,8 +16,13 @@ analog is a single ``jax.sharding.Mesh`` with three axes:
                (absent in the reference; first-class here).
 - ``tensor`` — tensor parallelism for attention heads / MLP hidden
                (absent in the reference; first-class here).
+- ``pipe``   — pipeline parallelism: the decoder's stacked layer dim is
+               sharded into stages, microbatches flow stage-to-stage via
+               neighbor ``ppermute`` (parallel/pp.py; absent in the
+               reference; first-class here).
 
-Axis sizes come from config (``mesh: {data: -1, fsdp: 1, seq: 1, tensor: 1}``);
+Axis sizes come from config
+(``mesh: {data: -1, fsdp: 1, seq: 1, tensor: 1, pipe: 1}``);
 ``-1`` absorbs all remaining devices.
 """
 
@@ -29,7 +34,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "seq", "tensor")
+# 'pipe' is the minor-most axis so pipeline neighbors sit on adjacent ICI
+# links (stage hand-offs are point-to-point ppermutes)
+AXES = ("data", "fsdp", "seq", "tensor", "pipe")
 
 
 @dataclass(frozen=True)
@@ -38,6 +45,7 @@ class MeshSpec:
     fsdp: int = 1
     seq: int = 1
     tensor: int = 1
+    pipe: int = 1
 
     @classmethod
     def from_config(cls, cfg) -> "MeshSpec":
@@ -49,10 +57,11 @@ class MeshSpec:
             fsdp=int(get("fsdp", 1)),
             seq=int(get("seq", 1)),
             tensor=int(get("tensor", 1)),
+            pipe=int(get("pipe", 1)),
         )
 
     def resolve(self, n_devices: int) -> tuple[int, ...]:
-        sizes = [self.data, self.fsdp, self.seq, self.tensor]
+        sizes = [self.data, self.fsdp, self.seq, self.tensor, self.pipe]
         n_wild = sizes.count(-1)
         if n_wild > 1:
             raise ValueError("At most one mesh axis may be -1")
