@@ -205,9 +205,11 @@ def forward(
     chunk_decode: bool = False,
     lora_ids=None,
     mesh=None,
+    pp_microbatches=None,
 ):
     """Decoder forward; same modes/contract as models/llama.py:forward
-    (including the speculative ``chunk_decode`` verify mode)."""
+    (including the speculative ``chunk_decode`` verify mode and the
+    pipe>1 GPipe pipeline — parallel/pp.py)."""
     if logits_dtype is None:
         logits_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     if inputs_embeds is None:
@@ -235,7 +237,7 @@ def forward(
         dtype=jnp.promote_types(compute_dtype, jnp.float32),  # f32 unless f64 parity
     )
 
-    def rope_partial(t):
+    def rope_partial(t, positions):
         if rot == cfg.head_dim:
             return apply_rope(t, cos, sin, positions)
         t_rot, t_pass = t[..., :rot], t[..., rot:]
@@ -256,8 +258,11 @@ def forward(
     act = _ACTS[cfg.act]
     L = cfg.num_layers
 
-    def block(x, lp, lora_l, cache, layer_id):
+    def block(x, lp, lora_l, cache, layer_id, positions=positions, kv_mask=kv_mask):
+        # positions/mask default to the full-batch closures (plain scan);
+        # the pipeline path passes per-microbatch slices explicitly
         hdim, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+        B, S, _ = x.shape  # microbatch-local under pipeline parallelism
 
         def proj(name, t, bias_name=None):
             ll = lora_l.get(name) if has_lora else None
@@ -270,7 +275,7 @@ def forward(
             q = proj("q_proj", h_attn, "q_bias").reshape(B, S, nh, hdim).transpose(0, 2, 1, 3)
             k = proj("k_proj", h_attn, "k_bias").reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
             v = proj("v_proj", h_attn, "v_bias").reshape(B, S, nkv, hdim).transpose(0, 2, 1, 3)
-            q, k = rope_partial(q), rope_partial(k)
+            q, k = rope_partial(q, positions), rope_partial(k, positions)
             if use_cache:
                 # in-place update of the stacked cache carry (models/llama.py)
                 from multimodal_unlearning_tpu.models.llama import _cache_write
@@ -333,6 +338,32 @@ def forward(
     layer_ids = jnp.arange(L)
     lora_scan = lora["layers"] if has_lora else jnp.zeros((L,))
 
+    from multimodal_unlearning_tpu.parallel.pp import pp_degree
+
+    if pp_degree(mesh) > 1:
+        # GPipe microbatch pipeline over the 'pipe' axis (models/llama.py)
+        if use_cache or capture_layer is not None:
+            raise NotImplementedError(
+                "pipeline parallelism supports the train/no-cache forward"
+            )
+        from multimodal_unlearning_tpu.parallel.pp import pipeline_layers
+
+        def pp_block(h, inp, ex):
+            layer_id, lp, lora_l = inp
+            h, _ = block(h, lp, lora_l, jnp.zeros(()), layer_id,
+                         ex["positions"], ex["mask"])
+            return h
+
+        x = pipeline_layers(
+            pp_block, x, (layer_ids, params["layers"], lora_scan),
+            {"positions": positions, "mask": kv_mask},
+            mesh, num_microbatches=pp_microbatches,
+        )
+        captured, caches_out = None, None
+        return _epilogue(params, cfg, x, lora, lora_scale, lora_ids,
+                         logits_dtype, last_logit_only, return_hidden,
+                         captured, caches_out)
+
     def scan_body(carry, inp):
         x, captured, cache = carry
         layer_id, lp, lora_l = inp
@@ -349,6 +380,15 @@ def forward(
         scan_body, (x, captured0, cache0), (layer_ids, params["layers"], lora_scan)
     )
 
+    return _epilogue(params, cfg, x, lora, lora_scale, lora_ids,
+                     logits_dtype, last_logit_only, return_hidden,
+                     captured if capture_layer is not None else None,
+                     caches_out if use_cache else None)
+
+
+def _epilogue(params, cfg, x, lora, lora_scale, lora_ids,
+              logits_dtype, last_logit_only, return_hidden, captured, caches_out):
+    """Final LN + LM head (shared by the plain scan and the pipeline path)."""
     x = layer_norm(x, params["final_ln"], cfg.layer_norm_eps)
     lm_lora = lora.get("lm_head") if lora is not None else None
     xh = x[:, -1:] if last_logit_only else x  # see models/llama.py
@@ -359,7 +399,7 @@ def forward(
 
     return {
         "logits": logits,
-        "kv_cache": caches_out if use_cache else None,
-        "captured": captured if capture_layer is not None else None,
+        "kv_cache": caches_out,
+        "captured": captured,
         "hidden": x if return_hidden else None,
     }

@@ -229,3 +229,29 @@ def test_pp_vlm_llava_forward():
     mesh = make_mesh(MeshSpec(data=2, fsdp=2, pipe=2))
     pp = jax.jit(lambda p: fwd(p, mesh, 2))(params)
     assert float(jnp.max(jnp.abs(ref - pp))) < 2e-4
+
+
+def test_pp_gpt_decoder_families():
+    """phi (parallel residual, partial rotary) under pipe>1 matches the
+    plain scan — the gpt_decoder.py pipeline path."""
+    from multimodal_unlearning_tpu.cli.common import build_model_config
+    from multimodal_unlearning_tpu.config import get_model_identifiers
+    from multimodal_unlearning_tpu.models import gpt_decoder
+
+    model_cfg = get_model_identifiers("tiny-phi-test")
+    gcfg = build_model_config(model_cfg)
+    params = gpt_decoder.init_params(gcfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    ids, mask, _ = make_batch(rng, B=8, S=16)
+
+    def fwd(p, mesh=None, mb=None):
+        return gpt_decoder.forward(
+            p, gcfg, ids, attention_mask=mask,
+            compute_dtype=jnp.float32, attn_impl="xla",
+            mesh=mesh, pp_microbatches=mb,
+        )["logits"]
+
+    ref = fwd(params)
+    mesh = make_mesh(MeshSpec(data=2, fsdp=2, pipe=2))
+    pp = jax.jit(lambda p: fwd(p, mesh, 2))(pp_shard_decoder(params, mesh))
+    assert float(jnp.max(jnp.abs(ref - pp))) < 2e-4
