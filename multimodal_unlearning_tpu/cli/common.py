@@ -101,7 +101,10 @@ def _decoder_from_hf(sd, arch, mcfg):
         return hf_bridge.phi_from_hf(sd, mcfg.num_layers)
     if name == "stablelm":
         return hf_bridge.stablelm_from_hf(sd, mcfg.num_layers)
-    return hf_bridge.llama_from_hf(sd, mcfg.num_layers)
+    return hf_bridge.llama_from_hf(
+        sd, mcfg.num_layers, qkv_bias=getattr(mcfg, "qkv_bias", False),
+        num_experts=getattr(mcfg, "num_experts", 0),
+    )
 
 
 def _decoder_to_hf(params, arch, mcfg):

@@ -48,9 +48,24 @@ def llama_to_hf(params: dict, prefix: str = "") -> dict:
     sd[f"{prefix}model.norm.weight"] = np.asarray(params["norm"])
     sd[f"{prefix}lm_head.weight"] = _t(params["lm_head"])
     L = params["layers"]["q_proj"].shape[0]
+    moe = "router" in params["layers"]  # Mixtral MoE layer layout
+    layer_map = (
+        {k: v for k, v in _LLAMA_LAYER_MAP.items() if not k.endswith(("gate_proj", "up_proj", "down_proj"))}
+        if moe else _LLAMA_LAYER_MAP
+    )
     for i in range(L):
-        for ours, hf in _LLAMA_LAYER_MAP.items():
+        for ours, hf in layer_map.items():
             sd[f"{prefix}model.layers.{i}.{hf}"] = _t(params["layers"][ours][i])
+        if moe:
+            # HF Mixtral: gate.weight [E,H]; experts.{e}.{w1,w3,w2} = gate/up/down
+            sd[f"{prefix}model.layers.{i}.block_sparse_moe.gate.weight"] = _t(
+                params["layers"]["router"][i])
+            E = params["layers"]["gate_proj"].shape[1]
+            for e in range(E):
+                base = f"{prefix}model.layers.{i}.block_sparse_moe.experts.{e}"
+                sd[f"{base}.w1.weight"] = _t(params["layers"]["gate_proj"][i, e])
+                sd[f"{base}.w3.weight"] = _t(params["layers"]["up_proj"][i, e])
+                sd[f"{base}.w2.weight"] = _t(params["layers"]["down_proj"][i, e])
         for ours, hf in _LLAMA_NORM_MAP.items():
             sd[f"{prefix}model.layers.{i}.{hf}"] = np.asarray(params["layers"][ours][i])
         for b in ("q", "k", "v"):  # Qwen2-style qkv biases, when present
@@ -62,16 +77,34 @@ def llama_to_hf(params: dict, prefix: str = "") -> dict:
 
 
 def llama_from_hf(
-    sd: dict, num_layers: int, prefix: str = "", dtype=np.float32, qkv_bias: bool = False
+    sd: dict, num_layers: int, prefix: str = "", dtype=np.float32,
+    qkv_bias: bool = False, num_experts: int = 0,
 ) -> dict:
     def g(k):
         return np.asarray(sd[f"{prefix}{k}"], dtype)
 
     layers = {}
-    for ours, hf in _LLAMA_LAYER_MAP.items():
+    layer_map = (
+        {k: v for k, v in _LLAMA_LAYER_MAP.items() if not k.endswith(("gate_proj", "up_proj", "down_proj"))}
+        if num_experts else _LLAMA_LAYER_MAP
+    )
+    for ours, hf in layer_map.items():
         layers[ours] = np.stack(
             [g(f"model.layers.{i}.{hf}").T for i in range(num_layers)]
         )
+    if num_experts:
+        # Mixtral MoE: router [H,E]; expert stacks [L,E,in,out]
+        layers["router"] = np.stack(
+            [g(f"model.layers.{i}.block_sparse_moe.gate.weight").T for i in range(num_layers)]
+        )
+        for ours, w in (("gate_proj", "w1"), ("up_proj", "w3"), ("down_proj", "w2")):
+            layers[ours] = np.stack([
+                np.stack([
+                    g(f"model.layers.{i}.block_sparse_moe.experts.{e}.{w}.weight").T
+                    for e in range(num_experts)
+                ])
+                for i in range(num_layers)
+            ])
     for ours, hf in _LLAMA_NORM_MAP.items():
         layers[ours] = np.stack([g(f"model.layers.{i}.{hf}") for i in range(num_layers)])
     if qkv_bias:

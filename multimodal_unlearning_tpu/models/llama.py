@@ -47,6 +47,10 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     qkv_bias: bool = False  # Qwen2 family: q/k/v projections carry biases
     mrope_section: tuple = ()  # Qwen2-VL 3D M-RoPE channel split (t, h, w)
+    num_experts: int = 0  # >0: Mixtral-style MoE MLP (ops/moe.py)
+    num_experts_per_tok: int = 2
+    moe_route: str = "dense"  # "dense" (exact, HF parity) | "capacity" (Switch)
+    moe_capacity_factor: float = 1.25
 
     @property
     def head_dim(self) -> int:
@@ -66,6 +70,10 @@ class LlamaConfig:
             rms_norm_eps=float(arch.get("rms_norm_eps", 1e-5)),
             qkv_bias=bool(arch.get("qkv_bias", False)),
             mrope_section=tuple(arch.get("mrope_section", ())),
+            num_experts=int(arch.get("num_experts", 0)),
+            num_experts_per_tok=int(arch.get("num_experts_per_tok", 2)),
+            moe_route=str(arch.get("moe_route", "dense")),
+            moe_capacity_factor=float(arch.get("moe_capacity_factor", 1.25)),
         )
 
 
@@ -87,10 +95,21 @@ def init_params(cfg: LlamaConfig, key, dtype=jnp.float32) -> dict:
         "v_proj": w_init(next(keys), (L, h, kvh)),
         "o_proj": w_init(next(keys), (L, h, h)),
         "post_attention_layernorm": jnp.ones((L, h), dtype),
-        "gate_proj": w_init(next(keys), (L, h, i)),
-        "up_proj": w_init(next(keys), (L, h, i)),
-        "down_proj": w_init(next(keys), (L, i, h)),
     }
+    if cfg.num_experts:  # Mixtral MoE: expert-stacked SwiGLU + router
+        E = cfg.num_experts
+        layers.update(
+            router=w_init(next(keys), (L, h, E)),
+            gate_proj=w_init(next(keys), (L, E, h, i)),
+            up_proj=w_init(next(keys), (L, E, h, i)),
+            down_proj=w_init(next(keys), (L, E, i, h)),
+        )
+    else:
+        layers.update(
+            gate_proj=w_init(next(keys), (L, h, i)),
+            up_proj=w_init(next(keys), (L, h, i)),
+            down_proj=w_init(next(keys), (L, i, h)),
+        )
     if cfg.qkv_bias:
         layers["q_bias"] = jnp.zeros((L, h), dtype)
         layers["k_bias"] = jnp.zeros((L, kvh), dtype)
@@ -435,6 +454,22 @@ def forward(
         x = x + proj("o_proj", attn)
 
         h_mlp = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        if cfg.num_experts:
+            # Mixtral MoE MLP (ops/moe.py); int8 bases dequant per-layer under
+            # the scan (W8A16 — no grouped-W8A8 path for expert stacks)
+            from multimodal_unlearning_tpu.ops.moe import moe_mlp
+
+            moe_out = moe_mlp(
+                h_mlp,
+                _maybe_dequant(lp["router"], h_mlp.dtype),
+                _maybe_dequant(lp["gate_proj"], h_mlp.dtype),
+                _maybe_dequant(lp["up_proj"], h_mlp.dtype),
+                _maybe_dequant(lp["down_proj"], h_mlp.dtype),
+                cfg.num_experts_per_tok,
+                route=cfg.moe_route,
+                capacity_factor=cfg.moe_capacity_factor,
+            )
+            return x + checkpoint_name(moe_out, "ffn_pre_down"), cache
         if int8_grouped:
             gate, up = grouped(h_mlp, ("gate_proj", "up_proj"))
         else:

@@ -30,9 +30,17 @@ def init_lora(layer_params: dict, r: int, key, targets=DEFAULT_TARGETS, dtype=jn
     adapters = {}
     keys = iter(jax.random.split(key, len(targets)))
     for name in targets:
-        w = layer_params[name]
+        w = layer_params.get(name)
+        if w is None:
+            continue
         if isinstance(w, dict):  # int8 QTensor base (QLoRA)
             w = w["q"]
+        if w.ndim != 3:
+            # MoE expert stacks [L,E,in,out] are not LoRA targets: top-k
+            # routing shows each expert ~k/E of the tokens, so the
+            # unlearning signal concentrates in the (adapted) attention
+            # projections; the router stays frozen (no reference analog)
+            continue
         L, d_in, d_out = w.shape
         adapters[name] = {
             "a": (jax.random.normal(next(keys), (L, d_in, r)) * d_in**-0.5).astype(dtype),

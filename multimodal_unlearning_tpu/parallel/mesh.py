@@ -35,8 +35,10 @@ import numpy as np
 from jax.sharding import Mesh
 
 # 'pipe' is the minor-most axis so pipeline neighbors sit on adjacent ICI
-# links (stage hand-offs are point-to-point ppermutes)
-AXES = ("data", "fsdp", "seq", "tensor", "pipe")
+# links (stage hand-offs are point-to-point ppermutes); 'expert' (MoE expert
+# parallelism, ops/moe.py) sits next to 'tensor' so its dispatch/combine
+# collectives also ride short paths
+AXES = ("data", "fsdp", "seq", "expert", "tensor", "pipe")
 
 
 @dataclass(frozen=True)
@@ -46,6 +48,7 @@ class MeshSpec:
     seq: int = 1
     tensor: int = 1
     pipe: int = 1
+    expert: int = 1
 
     @classmethod
     def from_config(cls, cfg) -> "MeshSpec":
@@ -58,10 +61,12 @@ class MeshSpec:
             seq=int(get("seq", 1)),
             tensor=int(get("tensor", 1)),
             pipe=int(get("pipe", 1)),
+            expert=int(get("expert", 1)),
         )
 
     def resolve(self, n_devices: int) -> tuple[int, ...]:
-        sizes = [self.data, self.fsdp, self.seq, self.tensor, self.pipe]
+        # AXES order: (data, fsdp, seq, expert, tensor, pipe)
+        sizes = [self.data, self.fsdp, self.seq, self.expert, self.tensor, self.pipe]
         n_wild = sizes.count(-1)
         if n_wild > 1:
             raise ValueError("At most one mesh axis may be -1")

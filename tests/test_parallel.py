@@ -15,15 +15,19 @@ from multimodal_unlearning_tpu.parallel import (
 
 
 def test_mesh_wildcard_resolution():
-    assert MeshSpec(-1, 1, 1, 1).resolve(8) == (8, 1, 1, 1, 1)
-    assert MeshSpec(-1, 2, 1, 1).resolve(8) == (4, 2, 1, 1, 1)
-    assert MeshSpec(2, 2, 1, 2).resolve(8) == (2, 2, 1, 2, 1)
-    assert MeshSpec(-1, 1, 1, 1, pipe=4).resolve(8) == (2, 1, 1, 1, 4)
+    # resolve() returns sizes in AXES order (data, fsdp, seq, expert, tensor, pipe)
+    assert MeshSpec(-1, 1, 1, 1).resolve(8) == (8, 1, 1, 1, 1, 1)
+    assert MeshSpec(-1, 2, 1, 1).resolve(8) == (4, 2, 1, 1, 1, 1)
+    assert MeshSpec(2, 2, 1, 2).resolve(8) == (2, 2, 1, 1, 2, 1)
+    assert MeshSpec(-1, 1, 1, 1, pipe=4).resolve(8) == (2, 1, 1, 1, 1, 4)
+    assert MeshSpec(-1, expert=2).resolve(8) == (4, 1, 1, 2, 1, 1)
 
 
 def test_make_mesh_axes():
     mesh = make_mesh(MeshSpec(data=2, fsdp=4, tensor=1))
-    assert mesh.shape == {"data": 2, "fsdp": 4, "seq": 1, "tensor": 1, "pipe": 1}
+    assert mesh.shape == {
+        "data": 2, "fsdp": 4, "seq": 1, "expert": 1, "tensor": 1, "pipe": 1,
+    }
 
 
 def test_fsdp_sharding_partitions_large_leaves():
