@@ -322,6 +322,40 @@ def apply_tensor_parallel(mesh, dec_cfg, kind, *trees):
     return out if len(out) != 1 else out[0]
 
 
+def apply_expert_parallel(mesh, dec_cfg, kind, *trees):
+    """Expert parallelism over the 'expert' mesh axis for every decoder copy
+    in ``trees`` (parallel/ep.py): the MoE expert stacks [L,E,in,out] — bf16
+    or int8 QTensor — are placed with E over the axis; GSPMD partitions the
+    dispatch/FFN/combine einsums.  No-op when expert==1.  Composes with
+    data/fsdp and with TP on the attention projections (different leaves)."""
+    ep = mesh.shape.get("expert", 1)
+    if ep <= 1:
+        return trees if len(trees) != 1 else trees[0]
+    n_experts = int(getattr(dec_cfg, "num_experts", 0))
+    if not n_experts:
+        raise ValueError(f"expert={ep} on a dense (non-MoE) decoder")
+    if n_experts % ep != 0:
+        raise ValueError(f"expert={ep} does not divide num_experts={n_experts}")
+    from multimodal_unlearning_tpu.parallel.ep import ep_shard_decoder
+
+    lm_key = "language_model" if is_vlm(kind) else None
+
+    def place(tree):
+        if tree is None or not isinstance(tree, dict):
+            return tree
+        if lm_key is not None:
+            lm = tree.get(lm_key)
+            if isinstance(lm, dict) and "layers" in lm:
+                return dict(tree, **{lm_key: ep_shard_decoder(lm, mesh)})
+            return tree
+        if "layers" in tree:
+            return ep_shard_decoder(tree, mesh)
+        return tree
+
+    out = tuple(place(t) for t in trees)
+    return out if len(out) != 1 else out[0]
+
+
 def apply_pipeline_parallel(mesh, dec_cfg, kind, *trees):
     """GPipe pipeline placement over the 'pipe' mesh axis for every decoder
     copy in ``trees`` (student/frozen/teacher params, bf16 or int8 QTensor —

@@ -83,6 +83,9 @@ def _run(cfg):
         # collectives under the jitted forwards/generate
         dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
         params = common.apply_tensor_parallel(mesh, dec_cfg, kind, params)
+    if mesh.shape["expert"] > 1:
+        dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
+        params = common.apply_expert_parallel(mesh, dec_cfg, kind, params)
     vlm = common.is_vlm(kind)
     if cfg.get("reinitialize_weights"):
         # sanity-ablation fault injection (nlp/evaluate_util.py:398-407)

@@ -125,6 +125,13 @@ def run(cfg):
                 trainable=common.apply_tensor_parallel(mesh, dec_cfg, kind, state.trainable)
             )
         frozen_arg = common.apply_tensor_parallel(mesh, dec_cfg, kind, frozen_arg)
+    if mesh.shape["expert"] > 1:
+        dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_expert_parallel(mesh, dec_cfg, kind, state.trainable)
+            )
+        frozen_arg = common.apply_expert_parallel(mesh, dec_cfg, kind, frozen_arg)
     if mesh.shape["pipe"] > 1:
         dec_cfg = mcfg.decoder if common.is_vlm(kind) else mcfg
         if not use_lora:

@@ -242,6 +242,15 @@ def _run(cfg):
         merged_frozen, teacher_params = common.apply_tensor_parallel(
             mesh, dec_cfg, kind, merged_frozen, teacher_params
         )
+    if mesh.shape["expert"] > 1:
+        # MoE expert parallelism over the 'expert' axis (beyond-reference)
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_expert_parallel(mesh, dec_cfg, kind, state.trainable)
+            )
+        merged_frozen, teacher_params = common.apply_expert_parallel(
+            mesh, dec_cfg, kind, merged_frozen, teacher_params
+        )
     if mesh.shape["pipe"] > 1:
         # GPipe pipeline over the 'pipe' axis (beyond-reference): stage-
         # resident layer placement for every decoder copy

@@ -65,6 +65,8 @@ def _run(cfg):
     mesh = common.build_mesh(cfg)
     if mesh.shape["tensor"] > 1:
         params = common.apply_tensor_parallel(mesh, mcfg, kind, params)
+    if mesh.shape["expert"] > 1:
+        params = common.apply_expert_parallel(mesh, mcfg, kind, params)
     from multimodal_unlearning_tpu.models import decoder_module
 
     dec = decoder_module(mcfg)

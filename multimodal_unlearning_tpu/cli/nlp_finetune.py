@@ -104,6 +104,12 @@ def run(cfg):
                 trainable=common.apply_tensor_parallel(mesh, mcfg, kind, state.trainable)
             )
         frozen = common.apply_tensor_parallel(mesh, mcfg, kind, frozen)
+    if mesh.shape["expert"] > 1:
+        if not use_lora:
+            state = state.replace(
+                trainable=common.apply_expert_parallel(mesh, mcfg, kind, state.trainable)
+            )
+        frozen = common.apply_expert_parallel(mesh, mcfg, kind, frozen)
     if mesh.shape["pipe"] > 1:
         if not use_lora:
             state = state.replace(

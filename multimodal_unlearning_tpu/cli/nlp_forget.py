@@ -187,6 +187,14 @@ def run(cfg):
             frozen, teacher_params = common.apply_tensor_parallel(
                 mesh, mcfg, kind, frozen, teacher_params
             )
+        if mesh.shape["expert"] > 1:
+            if not use_lora:
+                state = state.replace(
+                    trainable=common.apply_expert_parallel(mesh, mcfg, kind, state.trainable)
+                )
+            frozen, teacher_params = common.apply_expert_parallel(
+                mesh, mcfg, kind, frozen, teacher_params
+            )
         if mesh.shape["pipe"] > 1:
             if not use_lora:
                 state = state.replace(

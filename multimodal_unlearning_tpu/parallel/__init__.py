@@ -1,3 +1,4 @@
+from multimodal_unlearning_tpu.parallel.ep import ep_degree, ep_shard_decoder
 from multimodal_unlearning_tpu.parallel.mesh import MeshSpec, make_mesh
 from multimodal_unlearning_tpu.parallel.pp import (
     pipeline_layers,
@@ -15,6 +16,8 @@ __all__ = [
     "MeshSpec",
     "make_mesh",
     "batch_sharding",
+    "ep_degree",
+    "ep_shard_decoder",
     "fsdp_sharding",
     "pipeline_layers",
     "pp_degree",

@@ -138,6 +138,41 @@ def test_router_semantics_and_aux_loss():
     assert expert_capacity(4, 8, 2, 1.0) == 8  # lane floor
 
 
+def test_moe_cli_expert_parallel(tmp_path):
+    """nlp finetune + forget CLIs on mesh {data:2, fsdp:2, expert:2}: the
+    expert stacks (student AND co-resident teacher) placed over the 'expert'
+    axis via cli.common.apply_expert_parallel; losses finite, ckpt saved."""
+    from multimodal_unlearning_tpu.cli import nlp_finetune, nlp_forget
+    from multimodal_unlearning_tpu.config import load_config
+    from multimodal_unlearning_tpu.config.registry import config_dir
+
+    DATA = "synthetic:n_persons=40,qa_per_person=4"  # forget10 ≥ global batch 8
+
+    def _cfg(name, **ov):
+        cfg = load_config(config_dir() / "nlp", name)
+        for k, v in ov.items():
+            dict.__setitem__(cfg, k, v)
+        dict.__setitem__(cfg["LoRA"], "r", 0)
+        dict.__setitem__(cfg, "mesh", {"data": 2, "fsdp": 2, "expert": 2})
+        return cfg
+
+    ft = tmp_path / "ft"
+    nlp_finetune.run(_cfg(
+        "finetune", model_family="tiny-mixtral-test", data_path=DATA,
+        split="full+tofu", batch_size=2, gradient_accumulation_steps=1,
+        num_epochs=0.1, max_length=48, lr=1e-3, save_dir=str(ft), dtype="float32",
+    ))
+    assert (ft / "model.safetensors").exists()
+
+    nlp_forget.run(_cfg(
+        "forget", model_family="tiny-mixtral-test", model_path=str(ft),
+        data_path=DATA, split="forget10", forget_loss="KL", batch_size=2,
+        gradient_accumulation_steps=1, num_epochs=1, max_length=48,
+        lr=1e-3, save_dir=str(tmp_path / "kl"), dtype="float32",
+    ))
+    assert (tmp_path / "kl" / "model.safetensors").exists()
+
+
 def test_moe_decode_and_train_step(hf_mixtral):
     """Greedy decode (prefill+cache) matches HF generate; a grad_diff train
     step runs with finite loss through the tiny-mixtral-test registry family."""
