@@ -173,6 +173,47 @@ def test_moe_cli_expert_parallel(tmp_path):
     assert (tmp_path / "kl" / "model.safetensors").exists()
 
 
+def test_moe_serving_engine_matches_greedy(hf_mixtral):
+    """MoE decoder through the continuous-batching serving engine, plain and
+    speculative (chunk_decode verify rounds run the MoE MLP on k+1-token
+    chunks): every request streams exactly its solo greedy tokens."""
+    from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
+    from multimodal_unlearning_tpu.serve import ServingEngine
+
+    _, hf_model = hf_mixtral
+    params = bridged_params(hf_model)
+    rng = np.random.default_rng(6)
+    specs = [(6, 5), (12, 7), (4, 4)]
+    prompts = [rng.integers(3, 256, n).tolist() for n, _ in specs]
+
+    def expected(prompt, max_new, bucket=16):
+        sp = -(-len(prompt) // bucket) * bucket
+        ids = np.zeros((1, sp), np.int32)
+        mask = np.zeros((1, sp), np.int32)
+        ids[0, sp - len(prompt):] = prompt
+        mask[0, sp - len(prompt):] = 1
+        return np.asarray(greedy_generate(
+            params, OURS_CFG, jnp.asarray(ids), jnp.asarray(mask),
+            max_new_tokens=max_new, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+        ))[0]
+
+    for spec_k in (0, 3):
+        engine = ServingEngine(
+            params, OURS_CFG, "llama", num_slots=2, max_len=128, chunk=4,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+            speculate_k=spec_k,
+        )
+        reqs = [engine.submit(p, m) for p, (_, m) in zip(prompts, specs)]
+        engine.drain(reqs)
+        for req, prompt, (_, max_new) in zip(reqs, prompts, specs):
+            np.testing.assert_array_equal(
+                np.asarray(req.tokens), expected(prompt, max_new),
+                err_msg=f"spec_k={spec_k}",
+            )
+
+
 def test_moe_decode_and_train_step(hf_mixtral):
     """Greedy decode (prefill+cache) matches HF generate; a grad_diff train
     step runs with finite loss through the tiny-mixtral-test registry family."""
