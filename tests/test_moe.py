@@ -122,6 +122,34 @@ def test_capacity_route_matches_dense_with_headroom():
     assert float(jnp.max(jnp.abs(tight - dense))) > 1e-4  # something dropped
 
 
+def test_moe_int8_expert_stacks():
+    """quantize_tree handles the 4-D [L,E,in,out] expert stacks (per-output-
+    channel scales [L,E,1,out]); the MoE forward dequantizes them under the
+    layer scan and stays close to fp32."""
+    from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+    cfg = llama.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, rope_theta=10000.0,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        num_experts=4, num_experts_per_tok=2,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_tree(params)
+    for n in ("gate_proj", "up_proj", "down_proj"):
+        leaf = qp["layers"][n]
+        assert isinstance(leaf, dict) and leaf["q"].dtype == jnp.int8
+        assert leaf["s"].shape == leaf["q"].shape[:-2] + (1, leaf["q"].shape[-1])
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 512, (2, 12)), jnp.int32)
+    ref = llama.forward(params, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    q8 = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    err = float(jnp.max(jnp.abs(q8 - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert np.isfinite(np.asarray(q8)).all()
+    assert err < 0.05, err  # int8 per-channel quantization noise only
+
+
 def test_router_semantics_and_aux_loss():
     """Top-k renormalization (Mixtral) + Switch aux loss bounds."""
     rng = np.random.default_rng(3)
