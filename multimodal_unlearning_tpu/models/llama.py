@@ -455,19 +455,21 @@ def forward(
 
         h_mlp = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         if cfg.num_experts:
-            # Mixtral MoE MLP (ops/moe.py); int8 bases dequant per-layer under
-            # the scan (W8A16 — no grouped-W8A8 path for expert stacks)
+            # Mixtral MoE MLP (ops/moe.py): int8 bases run W8A8 on the int8
+            # MXU when INT8_COMPUTE is on (dense route, grouped activation
+            # quantization), else dequantize per layer under the scan (W8A16)
             from multimodal_unlearning_tpu.ops.moe import moe_mlp
 
             moe_out = moe_mlp(
                 h_mlp,
-                _maybe_dequant(lp["router"], h_mlp.dtype),
-                _maybe_dequant(lp["gate_proj"], h_mlp.dtype),
-                _maybe_dequant(lp["up_proj"], h_mlp.dtype),
-                _maybe_dequant(lp["down_proj"], h_mlp.dtype),
+                lp["router"],
+                lp["gate_proj"],
+                lp["up_proj"],
+                lp["down_proj"],
                 cfg.num_experts_per_tok,
                 route=cfg.moe_route,
                 capacity_factor=cfg.moe_capacity_factor,
+                int8_compute=INT8_COMPUTE,
             )
             return x + checkpoint_name(moe_out, "ffn_pre_down"), cache
         if int8_grouped:

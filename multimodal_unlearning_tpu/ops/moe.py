@@ -47,6 +47,13 @@ def router_weights(h, router_w, k):
     return combine, probs
 
 
+def _dq(w, dtype):
+    """Dequantize an int8 QTensor leaf ({'q','s'}) to ``dtype``; pass floats."""
+    if isinstance(w, dict):
+        return (w["q"].astype(jnp.float32) * w["s"]).astype(dtype)
+    return w.astype(dtype)
+
+
 def moe_mlp(
     h,
     router_w,
@@ -57,14 +64,25 @@ def moe_mlp(
     *,
     route: str = "dense",
     capacity_factor: float = 1.25,
+    int8_compute: bool = False,
 ):
     """MoE SwiGLU MLP.  h [B,S,H]; router_w [H,E]; gate/up [E,H,I];
-    down [E,I,H].  Returns [B,S,H] in h.dtype."""
-    combine, _ = router_weights(h, router_w, k)
+    down [E,I,H] — float or int8 QTensor leaves.  Returns [B,S,H] in h.dtype.
+
+    ``int8_compute`` + QTensor expert stacks runs the dense route's expert
+    matmuls on the int8 MXU (W8A8, utils/quantize.py int8_moe_*) with one
+    shared activation quantization for gate/up; otherwise QTensor leaves
+    dequantize per layer (W8A16)."""
+    combine, _ = router_weights(h, _dq(router_w, h.dtype), k)
     if route == "dense":
-        return _dense_moe(h, combine, gate_w, up_w, down_w)
+        if int8_compute and isinstance(gate_w, dict):
+            return _dense_moe_w8a8(h, combine, gate_w, up_w, down_w)
+        return _dense_moe(h, combine, *(_dq(w, h.dtype) for w in (gate_w, up_w, down_w)))
     if route == "capacity":
-        return _capacity_moe(h, combine, gate_w, up_w, down_w, k, capacity_factor)
+        return _capacity_moe(
+            h, combine, *(_dq(w, h.dtype) for w in (gate_w, up_w, down_w)),
+            k, capacity_factor,
+        )
     raise ValueError(f"unknown moe route {route!r}")
 
 
@@ -82,6 +100,23 @@ def _dense_moe(h, combine, gate_w, up_w, down_w):
     u = jnp.einsum("bsh,ehi->ebsi", h, up_w.astype(dt))
     ff = _swiglu(g, u, dt) * combine.transpose(2, 0, 1)[..., None].astype(dt)
     return jnp.einsum("ebsi,eih->bsh", ff, down_w.astype(dt))
+
+
+def _dense_moe_w8a8(h, combine, gate_qt, up_qt, down_qt):
+    """Dense (dropless) route on the int8 MXU: per-row dynamically quantized
+    activations against the int8 expert stacks; dequantized-bf16 dx backward
+    (the stacks are frozen under LoRA forget runs)."""
+    from multimodal_unlearning_tpu.utils.quantize import (
+        int8_moe_down,
+        int8_moe_up_group,
+    )
+
+    dt = h.dtype
+    g, u = int8_moe_up_group(
+        h, gate_qt["q"], gate_qt["s"], up_qt["q"], up_qt["s"]
+    )
+    ff = _swiglu(g, u, dt) * combine.transpose(2, 0, 1)[..., None].astype(dt)
+    return jnp.sum(int8_moe_down(ff, down_qt["q"], down_qt["s"]), axis=0)
 
 
 def expert_capacity(S: int, E: int, k: int, capacity_factor: float) -> int:

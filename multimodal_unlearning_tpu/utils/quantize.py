@@ -185,3 +185,84 @@ def _int8_group_bwd(res, dys):
 
 
 int8_matmul_group.defvjp(_int8_group_fwd, _int8_group_bwd)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 MoE expert einsums (ops/moe.py dense route): the expert-stacked
+# weights [E, in, out] (one layer's slice of the [L,E,in,out] stack) run on
+# the int8 MXU against dynamically quantized activations.  Forward-only
+# quantization with a dequantized-bf16 dx backward (the expert stacks are
+# frozen under LoRA forget runs — only dx flows through them), mirroring
+# int8_matmul's contract.
+# ---------------------------------------------------------------------------
+
+
+def _rowquant(x):
+    """Per-row (last axis) symmetric int8: returns (xq int8, sx f32[..., 1])."""
+    xa = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(xa > 0, xa / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def int8_moe_up_group(x, q_gate, s_gate, q_up, s_up):
+    ys, _ = _int8_moe_up_fwd(x, q_gate, s_gate, q_up, s_up)
+    return ys
+
+
+def _int8_moe_up_fwd(x, q_gate, s_gate, q_up, s_up):
+    """x [B,S,H] → (gate, up) each [E,B,S,I]; one activation quantization
+    shared by both projections (the grouped-W8A8 trick)."""
+    xq, sx = _rowquant(x)
+
+    def one(q, s):
+        # [B,S,H] · [E,H,I] contracting H → [B,S,E,I] int32
+        y32 = jax.lax.dot_general(
+            xq, q, (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y32.astype(jnp.float32) * sx[..., None] * s[:, 0][None, None]).astype(x.dtype)
+        return y.transpose(2, 0, 1, 3)  # [E,B,S,I]
+
+    return (one(q_gate, s_gate), one(q_up, s_up)), (q_gate, s_gate, q_up, s_up)
+
+
+def _int8_moe_up_bwd(res, dys):
+    q_gate, s_gate, q_up, s_up = res
+    dt = dys[0].dtype
+    dx = None
+    for dy, q, s in zip(dys, (q_gate, q_up), (s_gate, s_up)):
+        w = (q.astype(jnp.float32) * s).astype(dt)  # [E,H,I]
+        t = jnp.einsum("ebsi,ehi->bsh", dy, w).astype(jnp.float32)
+        dx = t if dx is None else dx + t
+    return dx.astype(dt), None, None, None, None
+
+
+int8_moe_up_group.defvjp(_int8_moe_up_fwd, _int8_moe_up_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def int8_moe_down(ff, q, s):
+    y, _ = _int8_moe_down_fwd(ff, q, s)
+    return y
+
+
+def _int8_moe_down_fwd(ff, q, s):
+    """ff [E,B,S,I] · down [E,I,H] (batched over E) → [E,B,S,H]."""
+    ffq, sf = _rowquant(ff)
+    y32 = jax.lax.dot_general(
+        ffq, q, (((3,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )
+    y = (y32.astype(jnp.float32) * sf * s[:, None]).astype(ff.dtype)
+    return y, (q, s)
+
+
+def _int8_moe_down_bwd(res, dy):
+    q, s = res
+    w = (q.astype(jnp.float32) * s).astype(dy.dtype)  # [E,I,H]
+    dff = jnp.einsum("ebsh,eih->ebsi", dy, w)
+    return dff.astype(dy.dtype), None, None
+
+
+int8_moe_down.defvjp(_int8_moe_down_fwd, _int8_moe_down_bwd)

@@ -150,6 +150,66 @@ def test_moe_int8_expert_stacks():
     assert err < 0.05, err  # int8 per-channel quantization noise only
 
 
+def test_moe_w8a8_dense_route():
+    """INT8_COMPUTE + QTensor expert stacks: the dense route runs the int8
+    MXU einsums (utils/quantize.int8_moe_*) — close to the W8A16 dequant
+    path (activation-quantization noise only) and dx flows through the
+    frozen stacks to the embeddings."""
+    from multimodal_unlearning_tpu.utils.quantize import (
+        int8_moe_down,
+        int8_moe_up_group,
+        quantize_leaf,
+        quantize_tree,
+    )
+
+    rng = np.random.default_rng(7)
+    # unit: grouped up/gate + batched down vs dequantized einsums
+    x = jnp.asarray(rng.normal(size=(2, 8, 256)), jnp.float32)
+    gate = jnp.asarray(rng.normal(size=(4, 256, 256)) * 256**-0.5, jnp.float32)
+    up = jnp.asarray(rng.normal(size=(4, 256, 256)) * 256**-0.5, jnp.float32)
+    down = jnp.asarray(rng.normal(size=(4, 256, 256)) * 256**-0.5, jnp.float32)
+    qg, qu, qd = quantize_leaf(gate), quantize_leaf(up), quantize_leaf(down)
+    g8, u8 = int8_moe_up_group(x, qg["q"], qg["s"], qu["q"], qu["s"])
+    for y8, w in ((g8, gate), (u8, up)):
+        ref = jnp.einsum("bsh,ehi->ebsi", x, w)
+        err = float(jnp.max(jnp.abs(y8 - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 0.05, err
+    ff = jnp.asarray(rng.normal(size=(4, 2, 8, 256)), jnp.float32)
+    y8 = int8_moe_down(ff, qd["q"], qd["s"])
+    ref = jnp.einsum("ebci,eih->ebch", ff, down)
+    assert float(jnp.max(jnp.abs(y8 - ref)) / jnp.max(jnp.abs(ref))) < 0.05
+
+    # end-to-end: forward under INT8_COMPUTE vs the W8A16 dequant path
+    cfg = llama.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2, rope_theta=10000.0,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        num_experts=4, num_experts_per_tok=2,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_tree(params)
+    ids = jnp.asarray(rng.integers(1, 512, (2, 12)), jnp.int32)
+
+    def nll(p):
+        logits = llama.forward(p, cfg, ids, compute_dtype=jnp.float32)["logits"]
+        return jnp.mean(jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+            logits, jnp.roll(ids, -1, 1)[..., None], -1)[..., 0])
+
+    w16 = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    prev = llama.enable_int8_compute(True)
+    try:
+        w8 = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+        # float embeddings (the embedding table may itself be a QTensor)
+        grads = jax.grad(lambda emb: nll(dict(qp, embed_tokens=emb)))(
+            params["embed_tokens"])
+    finally:
+        llama.enable_int8_compute(prev)
+    err = float(jnp.max(jnp.abs(w8 - w16)) / (jnp.max(jnp.abs(w16)) + 1e-9))
+    assert err < 0.1, err
+    assert np.isfinite(np.asarray(grads)).all()
+    assert float(jnp.max(jnp.abs(grads))) > 0  # dx reaches the embeddings
+
+
 def test_router_semantics_and_aux_loss():
     """Top-k renormalization (Mixtral) + Switch aux loss bounds."""
     rng = np.random.default_rng(3)
