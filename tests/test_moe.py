@@ -122,6 +122,59 @@ def test_capacity_route_matches_dense_with_headroom():
     assert float(jnp.max(jnp.abs(tight - dense))) > 1e-4  # something dropped
 
 
+def test_vlm_moe_composition():
+    """A VLM family composes with a MoE decoder by declaring num_experts in
+    its nested decoder arch block — LLaVA-MoE forward + grad_diff train step."""
+    import copy
+
+    from multimodal_unlearning_tpu.cli.common import build_model_config
+    from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
+    from multimodal_unlearning_tpu.config import get_model_identifiers
+    from multimodal_unlearning_tpu.models import llava
+    from multimodal_unlearning_tpu.train import optim, trainer
+
+    mid = get_model_identifiers("tiny-llava-test")
+    arch = copy.deepcopy({k: (dict(v) if hasattr(v, "keys") else v)
+                          for k, v in dict(mid["arch"]).items()})
+    arch["decoder"]["num_experts"] = 4
+    arch["decoder"]["num_experts_per_tok"] = 2
+    mcfg = build_model_config(dict(mid, arch=arch))
+    assert mcfg.decoder.num_experts == 4
+    params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert params["language_model"]["layers"]["gate_proj"].ndim == 4
+
+    rng = np.random.default_rng(0)
+    n_img = mcfg.num_image_tokens
+    S = n_img + 12
+    img = mcfg.vision.image_size
+
+    def split():
+        ids = rng.integers(10, 200, (2, S))
+        ids[:, :n_img] = mcfg.image_token_id
+        labels = ids.copy()
+        labels[:, : n_img + 4] = -100
+        return {
+            "input_ids": ids.astype(np.int32),
+            "attention_mask": np.ones((2, S), np.int32),
+            "labels": labels.astype(np.int32),
+            "pixel_values": rng.normal(size=(2, img, img, 3)).astype(np.float32),
+        }
+
+    apply_fn = make_apply_fn("llava", mcfg, compute_dtype=jnp.float32, attn_impl="xla")
+    tx = optim.make_optimizer("adamw", 1e-3)
+    step = trainer.make_train_step(
+        apply_fn, tx, loss_type="grad_diff_forget_ce_retain_ce",
+        grad_accum=1, donate=False,
+    )
+    state = trainer.create_train_state(params, tx)
+    state, metrics = step(state, None, None, {"forget": split(), "retain": split()})
+    assert np.isfinite(float(metrics["loss"]))
+    delta = float(jnp.max(jnp.abs(
+        state.trainable["language_model"]["layers"]["router"]
+        - params["language_model"]["layers"]["router"])))
+    assert delta > 0  # expert routing trains through the VLM wrapper
+
+
 def test_moe_int8_expert_stacks():
     """quantize_tree handles the 4-D [L,E,in,out] expert stacks (per-output-
     channel scales [L,E,1,out]); the MoE forward dequantizes them under the
