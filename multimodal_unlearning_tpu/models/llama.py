@@ -205,24 +205,31 @@ def _cache_write(cache, k, v, layer_id, offset):
     path is single-token (S == 1) and scatters one column per row."""
     if isinstance(offset, jnp.ndarray) and offset.ndim == 1:
         return _cache_write_per_row(cache, k, v, layer_id, offset)
+    # dynamic_update_slice requires every index to share one dtype; under
+    # jax_enable_x64 (the reference-parity harness) the scan-carried
+    # layer_id is int64 while generate's while_loop position is int32 —
+    # pin all five to int32.
+    layer_id = jnp.asarray(layer_id).astype(jnp.int32)
+    offset = jnp.asarray(offset).astype(jnp.int32)
+    z = jnp.int32(0)
     if cache["k"].dtype == jnp.int8:
         k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         k_q = jnp.round(k.astype(jnp.float32) / jnp.maximum(k_s, 1e-12)).astype(jnp.int8)
         v_q = jnp.round(v.astype(jnp.float32) / jnp.maximum(v_s, 1e-12)).astype(jnp.int8)
         return {
-            "k": jax.lax.dynamic_update_slice(cache["k"], k_q[None], (layer_id, 0, 0, offset, 0)),
-            "v": jax.lax.dynamic_update_slice(cache["v"], v_q[None], (layer_id, 0, 0, offset, 0)),
+            "k": jax.lax.dynamic_update_slice(cache["k"], k_q[None], (layer_id, z, z, offset, z)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], v_q[None], (layer_id, z, z, offset, z)),
             "k_s": jax.lax.dynamic_update_slice(
-                cache["k_s"], k_s.transpose(0, 1, 3, 2)[None], (layer_id, 0, 0, 0, offset)),
+                cache["k_s"], k_s.transpose(0, 1, 3, 2)[None], (layer_id, z, z, z, offset)),
             "v_s": jax.lax.dynamic_update_slice(
-                cache["v_s"], v_s.transpose(0, 1, 3, 2)[None], (layer_id, 0, 0, 0, offset)),
+                cache["v_s"], v_s.transpose(0, 1, 3, 2)[None], (layer_id, z, z, z, offset)),
         }
     return {
         "k": jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype)[None], (layer_id, 0, 0, offset, 0)),
+            cache["k"], k.astype(cache["k"].dtype)[None], (layer_id, z, z, offset, z)),
         "v": jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype)[None], (layer_id, 0, 0, offset, 0)),
+            cache["v"], v.astype(cache["v"].dtype)[None], (layer_id, z, z, offset, z)),
     }
 
 
