@@ -10,7 +10,10 @@ At 7B/bs8 the bf16 variant does NOT FIT one 16 GB v5e (13.5 GB weights +
 4.3 GB KV cache) — int8 weights are what make single-chip 7B batch decode
 possible at all; run family qwen-vl2-2b for a clean bf16-vs-int8 ratio.
 
-Usage: python examples/decode_bench.py [family] [bf16|int8|w8a8 ...]
+Usage: python examples/decode_bench.py [family] [bf16|int8|w8a8|w8a8c|w4a16|w4a16c ...]
+(suffixes: +aot AOT-layout compile, +spec<K> prompt-lookup speculation;
+w4a16* = grouped-int4 weights — half the int8 stream again — run in a
+separate invocation from int8 variants: quantization is in-place)
 """
 
 import os
@@ -26,7 +29,7 @@ import numpy as np
 
 def main():
     args = sys.argv[1:]
-    family = args.pop(0) if args and not args[0].startswith(("bf", "int", "w8")) else "llava"
+    family = args.pop(0) if args and not args[0].startswith(("bf", "int", "w4", "w8")) else "llava"
     variants = args or ["bf16", "int8", "w8a8", "w8a8c"]
 
     from multimodal_unlearning_tpu.cli.common import build_model_config
@@ -34,7 +37,10 @@ def main():
     from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
     from multimodal_unlearning_tpu.models import vlm_module
     from multimodal_unlearning_tpu.models.llama import enable_int8_compute
-    from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
+    from multimodal_unlearning_tpu.utils.quantize import (
+        quantize_leaf,
+        quantize_leaf_int4,
+    )
 
     model_cfg = get_model_identifiers(family)
     mcfg = build_model_config(model_cfg)
@@ -65,20 +71,20 @@ def main():
     input_ids = jnp.asarray(ids, jnp.int32)
     attention_mask = jnp.ones((B, S), jnp.int32)
 
-    qfn = jax.jit(quantize_leaf)
+    qfns = {8: jax.jit(quantize_leaf), 4: jax.jit(quantize_leaf_int4)}
 
-    def quantize_inplace(d):
+    def quantize_inplace(d, bits=8):
         for key in list(d.keys()):
             v = d[key]
             if isinstance(v, dict):
-                quantize_inplace(v)
+                quantize_inplace(v, bits)
             elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
-                q = qfn(v)
+                q = qfns[bits](v)
                 jax.block_until_ready(q)
                 v.delete()
                 d[key] = q
 
-    quantized = False
+    quantized = 0  # bits of the in-place quantization, once applied
     for name in variants:
         # trailing "+aot": AUTO-layout AOT compile — weights device_put into
         # the executable's preferred formats once (no per-call relayout)
@@ -89,11 +95,18 @@ def main():
         if "+spec" in base_name:
             base_name, _, ks = base_name.partition("+spec")
             spec_k = int(ks or 8)
-        if base_name in ("int8", "w8a8", "w8a8c") and not quantized:
-            quantize_inplace(params["language_model"])
-            quantized = True
+        want_bits = {"int8": 8, "w8a8": 8, "w8a8c": 8, "w4a16": 4, "w4a16c": 4}.get(base_name, 0)
+        if want_bits:
+            if quantized and quantized != want_bits:
+                # the in-place quantization is destructive — int8 and int4
+                # variants need separate invocations
+                print(f"{name:12s} SKIPPED: run int{want_bits} variants in their own invocation")
+                continue
+            if not quantized:
+                quantize_inplace(params["language_model"], want_bits)
+                quantized = want_bits
         enable_int8_compute(base_name in ("w8a8", "w8a8c"))
-        cache_dtype = jnp.int8 if base_name == "w8a8c" else dtype
+        cache_dtype = jnp.int8 if base_name in ("w8a8c", "w4a16c") else dtype
 
         def gen():
             return greedy_generate(

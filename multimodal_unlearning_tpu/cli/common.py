@@ -80,6 +80,23 @@ def is_vlm(kind: str) -> bool:
     return kind in VLM_KINDS
 
 
+def quantize_base_params(params, kind, spec):
+    """Quantize the decoder weights per the ``quantize_base`` config value:
+    true/"int8" → per-output-channel int8 (W8A16, or W8A8 under
+    ``int8_compute``); "int4" → grouped W4A16 (utils/quantize.py) — half the
+    int8 weight stream again, the memory lever for long-context / big-batch
+    decode.  VLMs quantize only the language tower (vision+projector stay
+    float, matching the int8 path)."""
+    from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+
+    bits = 4 if str(spec).strip().lower() == "int4" else 8
+    qt = lambda p: quantize_tree(p, bits=bits)
+    return (
+        dict(params, language_model=qt(params["language_model"]))
+        if is_vlm(kind) else qt(params)
+    )
+
+
 def build_model_config(model_cfg):
     from multimodal_unlearning_tpu.models import decoder_config, qwen2_vl
 

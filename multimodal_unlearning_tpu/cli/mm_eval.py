@@ -63,16 +63,12 @@ def _run(cfg):
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
     if cfg.get("quantize_base"):
-        # int8 decode: greedy generation is HBM-bandwidth-bound, so halving
-        # the weight bytes ≈ doubles token rate; int8_compute additionally
-        # runs the frozen matmuls on the int8 MXU (quality-gated — see
-        # examples/w8a8_quality_gate.py)
-        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
-
-        params = (
-            dict(params, language_model=quantize_tree(params["language_model"]))
-            if common.is_vlm(kind) else quantize_tree(params)
-        )
+        # int8/int4 decode: greedy generation is HBM-bandwidth-bound, so
+        # halving the weight bytes ≈ doubles token rate; int8_compute
+        # additionally runs the frozen matmuls on the int8 MXU (quality-gated
+        # — see examples/w8a8_quality_gate.py); quantize_base: int4 halves
+        # the stream again (W4A16 grouped)
+        params = common.quantize_base_params(params, kind, cfg.quantize_base)
         if cfg.get("int8_compute"):
             from multimodal_unlearning_tpu.models.llama import enable_int8_compute
 

@@ -92,11 +92,7 @@ def run(cfg):
         trainable, frozen_arg = adapters, params
         print_trainable_parameters(trainable, params)
         if cfg.get("quantize_base"):
-            from multimodal_unlearning_tpu.utils.quantize import quantize_tree
-
-            params = dict(
-                params, language_model=quantize_tree(params["language_model"])
-            ) if common.is_vlm(kind) else quantize_tree(params)
+            params = common.quantize_base_params(params, kind, cfg.quantize_base)
             frozen_arg = params
         apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=dtype, mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"))
         combine = lambda tr, fr: (fr, tr)

@@ -136,12 +136,8 @@ def _run(cfg):
     # stored int8 with per-channel scales — halves HBM (7B student + 7B
     # teacher fit one v5e chip) and runs matmuls at the int8 MXU rate.
     if cfg.get("quantize_teacher") and teacher_params is not None:
-        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
-
-        teacher_params = dict(
-            teacher_params,
-            language_model=quantize_tree(teacher_params["language_model"]),
-        ) if common.is_vlm(kind) else quantize_tree(teacher_params)
+        teacher_params = common.quantize_base_params(
+            teacher_params, kind, cfg.quantize_teacher)
 
     # LoRA gating rule (mm/forget.py:126)
     use_lora = cfg.LoRA.r != 0 and (cfg.get("l_norm_from") != "zero" or cfg.get("l1_lambda", 0) == 0)
@@ -184,11 +180,7 @@ def _run(cfg):
         trainable = adapters
         print_trainable_parameters(trainable, params)
         if cfg.get("quantize_base"):
-            from multimodal_unlearning_tpu.utils.quantize import quantize_tree
-
-            params = dict(
-                params, language_model=quantize_tree(params["language_model"])
-            ) if common.is_vlm(kind) else quantize_tree(params)
+            params = common.quantize_base_params(params, kind, cfg.quantize_base)
             if cfg.get("int8_compute"):
                 from multimodal_unlearning_tpu.models.llama import enable_int8_compute
 

@@ -54,10 +54,8 @@ def _run(cfg):
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
     if cfg.get("quantize_base"):
-        # int8 decode (~2x HBM-bound token rate; see cli/mm_eval.py)
-        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
-
-        params = quantize_tree(params)
+        # int8/int4 decode (~2x/4x lighter weight stream; see cli/mm_eval.py)
+        params = common.quantize_base_params(params, kind, cfg.quantize_base)
         if cfg.get("int8_compute"):
             from multimodal_unlearning_tpu.models.llama import enable_int8_compute
 

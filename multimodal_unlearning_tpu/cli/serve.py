@@ -38,12 +38,7 @@ def build_engine(cfg):
         model_cfg, cfg.get("model_path"), seed=cfg.get("seed", 42), dtype=dtype
     )
     if cfg.get("quantize_base", False):
-        from multimodal_unlearning_tpu.utils.quantize import quantize_tree
-
-        params = (
-            dict(params, language_model=quantize_tree(params["language_model"]))
-            if common.is_vlm(kind) else quantize_tree(params)
-        )
+        params = common.quantize_base_params(params, kind, cfg.quantize_base)
 
     from multimodal_unlearning_tpu.serve import ServingEngine
 

@@ -214,8 +214,10 @@ def forward(
         logits_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     if inputs_embeds is None:
         et = params["embed_tokens"]
-        if isinstance(et, dict):  # quantized embedding table
-            inputs_embeds = jnp.take(et["q"], input_ids, axis=0).astype(jnp.float32) * et["s"][0]
+        if isinstance(et, dict):  # quantized embedding table (int8 or int4)
+            from multimodal_unlearning_tpu.utils.quantize import embed_lookup
+
+            inputs_embeds = embed_lookup(et, input_ids)
         else:
             inputs_embeds = jnp.take(et, input_ids, axis=0)
     x = inputs_embeds.astype(compute_dtype)

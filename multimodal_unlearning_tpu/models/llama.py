@@ -146,10 +146,13 @@ def enable_int8_compute(on: bool = True) -> bool:
 
 
 def _maybe_dequant(w, dtype):
-    """int8 QTensor leaves ({'q','s'}, utils/quantize.py) dequantize in place —
-    one layer's weight at a time under the scan, never the whole tree."""
+    """QTensor leaves ({'q','s'}, utils/quantize.py — int8 per-channel or
+    int4 grouped) dequantize in place — one layer's weight at a time under
+    the scan, never the whole tree."""
     if isinstance(w, dict):
-        return (w["q"].astype(jnp.float32) * w["s"]).astype(dtype)
+        from multimodal_unlearning_tpu.utils.quantize import dequantize_leaf
+
+        return dequantize_leaf(w, dtype)
     return w.astype(dtype)
 
 
@@ -172,7 +175,9 @@ def apply_lora_delta(y, t, ll, scale, ids=None):
 
 
 def dense(x, w, lora_leaf=None, lora_scale: float = 0.0, lora_ids=None):
-    if isinstance(w, dict) and INT8_COMPUTE:
+    # the int8-MXU W8A8 route is int8-only; int4 leaves always take the
+    # dequantizing W4A16 path below
+    if isinstance(w, dict) and INT8_COMPUTE and w["q"].dtype == jnp.int8:
         from multimodal_unlearning_tpu.utils.quantize import int8_matmul
 
         y = int8_matmul(x, w["q"], w["s"])
@@ -320,8 +325,10 @@ def forward(
         logits_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     if inputs_embeds is None:
         et = params["embed_tokens"]
-        if isinstance(et, dict):  # quantized embedding table
-            inputs_embeds = jnp.take(et["q"], input_ids, axis=0).astype(jnp.float32) * et["s"][0]
+        if isinstance(et, dict):  # quantized embedding table (int8 or int4)
+            from multimodal_unlearning_tpu.utils.quantize import embed_lookup
+
+            inputs_embeds = embed_lookup(et, input_ids)
         else:
             inputs_embeds = jnp.take(et, input_ids, axis=0)
     x = inputs_embeds.astype(compute_dtype)
@@ -399,7 +406,8 @@ def forward(
             return [extras(y, t, n) for y, n in zip(ys, names)]
 
         int8_grouped = INT8_COMPUTE and all(
-            isinstance(lp[n], dict) for n in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+            isinstance(lp[n], dict) and lp[n]["q"].dtype == jnp.int8
+            for n in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
         )
 
         h_attn = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)

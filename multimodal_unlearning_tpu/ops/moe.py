@@ -48,9 +48,12 @@ def router_weights(h, router_w, k):
 
 
 def _dq(w, dtype):
-    """Dequantize an int8 QTensor leaf ({'q','s'}) to ``dtype``; pass floats."""
+    """Dequantize a QTensor leaf ({'q','s'} — int8 or grouped int4) to
+    ``dtype``; pass floats through."""
     if isinstance(w, dict):
-        return (w["q"].astype(jnp.float32) * w["s"]).astype(dtype)
+        from multimodal_unlearning_tpu.utils.quantize import dequantize_leaf
+
+        return dequantize_leaf(w, dtype)
     return w.astype(dtype)
 
 
@@ -75,7 +78,7 @@ def moe_mlp(
     dequantize per layer (W8A16)."""
     combine, _ = router_weights(h, _dq(router_w, h.dtype), k)
     if route == "dense":
-        if int8_compute and isinstance(gate_w, dict):
+        if int8_compute and isinstance(gate_w, dict) and gate_w["q"].dtype == jnp.int8:
             return _dense_moe_w8a8(h, combine, gate_w, up_w, down_w)
         return _dense_moe(h, combine, *(_dq(w, h.dtype) for w in (gate_w, up_w, down_w)))
     if route == "capacity":

@@ -31,12 +31,63 @@ def quantize_leaf(w):
     return {"q": q, "s": s}
 
 
+def _int4_groups(in_dim: int, group_size: int) -> int:
+    """Largest divisor of ``in_dim`` that is ≤ group_size (scale groups must
+    tile the contracting dim exactly; hidden sizes are powers-of-two-ish so
+    this is almost always group_size itself)."""
+    g = min(group_size, in_dim)
+    while in_dim % g:
+        g -= 1
+    return g
+
+
+def quantize_leaf_int4(w, group_size: int = 128):
+    """Group-wise symmetric int4 along the CONTRACTING (second-to-last) dim:
+    ``group_size`` input channels share one f32 scale per output channel —
+    the AWQ/GPTQ-style W4A16 layout.  Leaf = {"q": int4[..., in, out],
+    "s": f32[..., in/G, out]} (told apart from int8 leaves by q's dtype).
+
+    Int4 halves the weight stream vs int8 — decode is weight-bandwidth-bound
+    (BASELINE.md), so this is the memory/long-context lever: a 7B decoder is
+    ~3.4 GB of weights, leaving HBM for bigger batches / longer contexts."""
+    w32 = w.astype(jnp.float32)
+    *lead, in_dim, out = w32.shape
+    g = _int4_groups(in_dim, group_size)
+    wg = w32.reshape(*lead, in_dim // g, g, out)
+    absmax = jnp.max(jnp.abs(wg), axis=-2)                       # [..., in/g, out]
+    s = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wg / s[..., None, :]), -7, 7)
+    return {"q": q.reshape(*lead, in_dim, out).astype(jnp.int4), "s": s}
+
+
 def dequantize_leaf(qt, dtype=jnp.bfloat16):
-    return (qt["q"].astype(jnp.float32) * qt["s"]).astype(dtype)
+    q, s = qt["q"], qt["s"]
+    if q.dtype == jnp.int4:  # grouped scales along the contracting dim
+        *lead, in_dim, out = q.shape
+        n_groups = s.shape[-2]
+        qg = q.astype(jnp.float32).reshape(*lead, n_groups, in_dim // n_groups, out)
+        return (qg * s[..., :, None, :]).reshape(*lead, in_dim, out).astype(dtype)
+    return (q.astype(jnp.float32) * s).astype(dtype)
 
 
-def quantize_tree(params, *, min_elems: int = _MIN_QUANT_ELEMS):
-    """Quantize every large (≥2-D) float leaf; small leaves stay as-is."""
+def embed_lookup(et, input_ids):
+    """Dequantizing embedding lookup for a QTensor table [V, H]: gather the
+    quantized rows, then the matching scales (int8: one [1,H] channel-scale
+    row; int4: the token's vocab-group row of the [V/G, H] grid)."""
+    q, s = et["q"], et["s"]
+    rows = jnp.take(q, input_ids, axis=0).astype(jnp.float32)
+    if q.dtype == jnp.int4:
+        g = q.shape[0] // s.shape[0]
+        return rows * jnp.take(s, input_ids // g, axis=0)
+    return rows * s[0]
+
+
+def quantize_tree(params, *, bits: int = 8, group_size: int = 128,
+                  min_elems: int = _MIN_QUANT_ELEMS):
+    """Quantize every large (≥2-D) float leaf; small leaves stay as-is.
+    ``bits`` ∈ {8, 4}: 8 = per-output-channel int8 (the W8A16/W8A8 base),
+    4 = grouped int4 (W4A16 — dequant-only, halves the weight stream again)."""
+    assert bits in (8, 4), bits
 
     def q(x):
         if (
@@ -45,7 +96,7 @@ def quantize_tree(params, *, min_elems: int = _MIN_QUANT_ELEMS):
             and x.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
             and x.size >= min_elems
         ):
-            return quantize_leaf(x)
+            return quantize_leaf(x) if bits == 8 else quantize_leaf_int4(x, group_size)
         return x
 
     return jax.tree.map(q, params)
@@ -63,8 +114,9 @@ def dequantize_tree(params, dtype=jnp.bfloat16):
 
 
 def tree_nbytes(tree) -> int:
+    # int4 reports itemsize 1 on host but XLA packs s4 two-per-byte in HBM
     return sum(
-        x.size * x.dtype.itemsize
+        x.size // 2 if x.dtype == jnp.int4 else x.size * x.dtype.itemsize
         for x in jax.tree.leaves(tree)
         if hasattr(x, "size")
     )

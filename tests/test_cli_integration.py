@@ -360,3 +360,28 @@ def test_tp_in_finetune_eval_and_nlp(ft_dir, tmp_path):
     dict.__setitem__(cfg["LoRA"], "r", 0)
     nlp_forget.run(cfg)
     assert (out_nlp / "model.safetensors").exists()
+
+
+def test_mm_eval_int4_decode(tmp_path):
+    """quantize_base=int4 eval (grouped W4A16, utils/quantize.py — half the
+    int8 weight stream): teacher-forced losses track the dense run's."""
+    from multimodal_unlearning_tpu.cli import mm_eval
+
+    def run(out, **extra):
+        cfg = _cfg(
+            "mm", "eval",
+            model_family="small-llava-test", model_path=None,
+            processor_path=None, save_dir=str(tmp_path / out),
+            ds_size=4, batch_size=4, max_length=192, dtype="float32",
+            eval_task_ids=[2], **extra,
+        )
+        dict.__setitem__(cfg, "data_path", ["synthetic"] * 6)
+        dict.__setitem__(cfg["generation"], "max_new_tokens", 4)
+        return mm_eval.run(cfg)["eval_log_forget.json"]
+
+    dense = run("dense")
+    quant = run("int4", quantize_base="int4")
+    d = np.array([dense["avg_gt_loss"][k] for k in sorted(dense["avg_gt_loss"])])
+    q = np.array([quant["avg_gt_loss"][k] for k in sorted(quant["avg_gt_loss"])])
+    assert np.all(np.isfinite(q))
+    np.testing.assert_allclose(q, d, rtol=0.3)  # int4 noise, same ballpark

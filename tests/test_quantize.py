@@ -239,3 +239,124 @@ def test_lora_merge_with_quantized_base_saves_dense():
     # embed/lm_head (not LoRA-targeted) also dense
     assert hasattr(merged["embed_tokens"], "dtype")
     assert hasattr(merged["lm_head"], "dtype")
+
+
+# ---------------------------------------------------------------------------
+# int4 (W4A16): grouped scales along the contracting dim — half the int8
+# weight stream again.  Decode is weight-bandwidth-bound (BASELINE.md), so
+# int4 is the long-context / big-batch memory lever.
+# ---------------------------------------------------------------------------
+
+from multimodal_unlearning_tpu.utils.quantize import (  # noqa: E402
+    dequantize_tree,
+    embed_lookup,
+    quantize_leaf_int4,
+)
+
+
+def test_int4_roundtrip_error_and_layout():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(512, 256)), jnp.float32)
+    qt = quantize_leaf_int4(w, group_size=128)
+    assert qt["q"].dtype == jnp.int4 and qt["q"].shape == (512, 256)
+    assert qt["s"].shape == (4, 256)  # 512/128 groups x out channels
+    back = np.asarray(dequantize_leaf(qt, jnp.float32)).reshape(4, 128, 256)
+    err = np.abs(back - np.asarray(w).reshape(4, 128, 256))
+    bound = np.asarray(qt["s"])[:, None, :] * 0.51  # |err| <= scale/2 per group
+    assert (err <= bound).all()
+
+
+def test_int4_group_size_falls_back_to_divisor():
+    # 300 is not a multiple of 128 -> largest divisor <= 128 is 100
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(300, 256)), jnp.float32)
+    qt = quantize_leaf_int4(w, group_size=128)
+    assert qt["s"].shape == (3, 256)
+    assert np.isfinite(np.asarray(dequantize_leaf(qt, jnp.float32))).all()
+
+
+def test_int4_embed_lookup_matches_dequant_then_take():
+    rng = np.random.default_rng(2)
+    table = jnp.asarray(rng.normal(size=(512, 256)), jnp.float32)
+    qt = quantize_leaf_int4(table, group_size=128)
+    ids = jnp.asarray(rng.integers(0, 512, (2, 16)), jnp.int32)
+    via_lookup = embed_lookup(qt, ids)
+    via_dense = jnp.take(dequantize_leaf(qt, jnp.float32), ids, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(via_lookup), np.asarray(via_dense), rtol=0, atol=1e-6)
+
+
+def test_int4_forward_exactly_matches_dequantized_tree():
+    """The W4A16 forward dequantizes per layer under the scan — it must be
+    bit-identical to forwarding a pre-dequantized dense copy of the tree."""
+    cfg, params = big_decoder()
+    qp = quantize_tree(params, bits=4)
+    assert qp["layers"]["q_proj"]["q"].dtype == jnp.int4
+    assert not isinstance(qp["norm"], dict)  # small leaves stay float
+    dense_copy = dequantize_tree(qp, jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 16)))
+    a = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    b = llama.forward(dense_copy, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
+
+
+def test_int4_forward_close_to_full_precision():
+    cfg, params = big_decoder()
+    qp = quantize_tree(params, bits=4)
+    ids = jnp.asarray(np.random.default_rng(4).integers(0, cfg.vocab_size, (2, 16)))
+    full = llama.forward(params, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    q4 = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    rel = np.abs(np.asarray(full - q4)).max() / np.abs(np.asarray(full)).max()
+    assert rel < 0.5, rel  # grouped int4 noise; ranking should mostly survive
+    agree = (np.asarray(full.argmax(-1)) == np.asarray(q4.argmax(-1))).mean()
+    assert agree > 0.6, agree
+
+
+def test_int4_ignores_int8_compute_flag():
+    """int4 leaves must always take the dequantizing W4A16 path — the W8A8
+    int8-MXU route (and its activation quantization) is int8-only."""
+    cfg, params = big_decoder()
+    qp = quantize_tree(params, bits=4)
+    ids = jnp.asarray(np.random.default_rng(5).integers(0, cfg.vocab_size, (2, 8)))
+    base = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    prev = llama.enable_int8_compute(True)
+    try:
+        under_flag = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    finally:
+        llama.enable_int8_compute(prev)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(under_flag), rtol=0, atol=0)
+
+
+def test_int4_moe_expert_stacks():
+    """Grouped int4 quantization of the 4-D [L,E,in,out] expert stacks:
+    scales [L,E,in/G,out]; the MoE dense route dequantizes per layer."""
+    cfg = llama.LlamaConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=256,
+        num_layers=2, num_heads=4, num_kv_heads=2,
+        num_experts=4, num_experts_per_tok=2,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_tree(params, bits=4)
+    leaf = qp["layers"]["gate_proj"]
+    assert leaf["q"].dtype == jnp.int4
+    assert leaf["s"].shape == (2, 4, 2, 256)  # [L,E,256/128,out]
+    dense_copy = dequantize_tree(qp, jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(6).integers(1, 512, (2, 12)), jnp.int32)
+    a = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    b = llama.forward(dense_copy, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
+
+
+def test_int4_lora_merge_saves_dense():
+    cfg, params = big_decoder()
+    qp = quantize_tree(params, bits=4)
+    from multimodal_unlearning_tpu.models import lora
+    from multimodal_unlearning_tpu.utils.quantize import is_qtensor
+
+    adapters = lora.init_lora(qp["layers"], 4, jax.random.PRNGKey(2))
+    merged = lora.merge(qp, adapters, lora.lora_scale(4, 32))
+    assert not any(is_qtensor(x) for x in jax.tree.leaves(merged, is_leaf=is_qtensor))
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["q_proj"], np.float32),
+        np.asarray(dequantize_leaf(qp["layers"]["q_proj"], jnp.float32)),
+        rtol=0, atol=1e-6,
+    )
