@@ -86,8 +86,12 @@ def quantize_base_params(params, kind, spec):
     ``int8_compute``); "int4" → grouped W4A16 (utils/quantize.py) — half the
     int8 weight stream again, the memory lever for long-context / big-batch
     decode.  VLMs quantize only the language tower (vision+projector stay
-    float, matching the int8 path)."""
-    from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+    float, matching the int8 path).  A tree that is ALREADY quantized (loaded
+    from a cli/quantize_model.py checkpoint) passes through untouched."""
+    from multimodal_unlearning_tpu.utils.quantize import is_qtensor, quantize_tree
+
+    if any(is_qtensor(x) for x in jax.tree.leaves(params, is_leaf=is_qtensor)):
+        return params  # pre-quantized checkpoint — nothing to do
 
     bits = 4 if str(spec).strip().lower() == "int4" else 8
     qt = lambda p: quantize_tree(p, bits=bits)
@@ -141,6 +145,12 @@ def init_or_load_params(model_cfg, model_path: str | None, seed: int = 0, dtype=
     mm/forget.py:79-115)."""
     kind = model_kind(model_cfg)
     mcfg = build_model_config(model_cfg)
+    if model_path and checkpoints.quantized_checkpoint_exists(model_path):
+        # offline-quantized checkpoint (cli/quantize_model.py): int8/int4
+        # QTensor leaves load directly — no dense weights ever materialize
+        params, meta = checkpoints.load_quantized_checkpoint(model_path, dtype)
+        print(f"Loaded quantized checkpoint ({meta.get('bits', 'int8')}) from {model_path}")
+        return kind, mcfg, params
     if model_path and checkpoints.model_checkpoint_exists(model_path):
         # 3-attempt load retry (nlp/evaluate_util.py:363-395)
         last_err = None

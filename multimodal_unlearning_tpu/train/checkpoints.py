@@ -97,6 +97,105 @@ def load_adapter(path: str | Path):
 
 
 # ---------------------------------------------------------------------------
+# Quantized checkpoints (offline quantizer output — cli/quantize_model.py)
+#
+# Beyond-reference deployment path: quantize ONCE offline, then every eval /
+# serve / forget run loads the int8/int4 tree directly — no dense weights ever
+# touch host RAM or HBM at load time (a 7B int4 checkpoint is ~3.4 GB on disk
+# vs 13.5 GB bf16).  Native '/'-joined tree layout (like adapters), NOT the
+# HF state-dict layout: QTensor leaves ({"q","s"}, utils/quantize.py) persist
+# as `<key>/q` + `<key>/s`; int4 q-arrays are nibble-packed into uint8 pairs
+# (safetensors has no 4-bit dtype) with shapes recorded in quantize_meta.json.
+# ---------------------------------------------------------------------------
+
+_QUANT_FILE = "model.quant.safetensors"
+_QUANT_META = "quantize_meta.json"
+
+
+def quantized_checkpoint_exists(path: str | Path) -> bool:
+    return (Path(path) / _QUANT_FILE).exists()
+
+
+def _pack_int4(q) -> np.ndarray:
+    """jnp.int4 array -> uint8 nibble pairs (flat C order: low = element 2i,
+    high = element 2i+1).  Every quantized dim is ≥ 2, so size is even."""
+    import jax.numpy as jnp
+
+    flat = np.asarray(q.astype(jnp.int8)).reshape(-1).astype(np.uint8) & 0xF
+    return (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+
+
+def _unpack_int4(packed: np.ndarray, shape):
+    import jax.numpy as jnp
+
+    lo = packed & 0xF
+    hi = packed >> 4
+    vals = np.empty(packed.size * 2, np.int8)
+    vals[0::2] = lo
+    vals[1::2] = hi
+    vals = np.where(vals > 7, vals - 16, vals).astype(np.int8)  # sign-extend
+    return jax.numpy.asarray(vals.reshape(shape)).astype(jnp.int4)
+
+
+def save_quantized_checkpoint(save_dir: str | Path, params: dict, meta: dict | None = None):
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    p = Path(save_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat, int4_shapes = {}, {}
+    for path, v in leaves:
+        key = "/".join(str(k.key) for k in path)
+        if v.dtype == jnp.int4:
+            int4_shapes[key] = list(v.shape)
+            flat[key] = _pack_int4(v)
+        else:
+            flat[key] = np.ascontiguousarray(np.asarray(v))
+    save_file(flat, str(p / _QUANT_FILE))
+    with open(p / _QUANT_META, "w") as f:
+        json.dump(dict(meta or {}, int4_shapes=int4_shapes), f, indent=2)
+
+
+def load_quantized_checkpoint(path: str | Path, dtype=None):
+    """Rebuild the native param tree: int q leaves stay int (int4 unpacked
+    from nibbles), QTensor scales stay f32, plain float leaves cast to
+    ``dtype``.  Returns (params, meta)."""
+    import jax.numpy as jnp
+    from safetensors.numpy import load_file
+
+    p = Path(path)
+    with open(p / _QUANT_META) as f:
+        meta = json.load(f)
+    int4_shapes = meta.get("int4_shapes", {})
+    flat = load_file(str(p / _QUANT_FILE))
+    tree: dict = {}
+    for key, val in flat.items():
+        if key in int4_shapes:
+            arr = _unpack_int4(val, int4_shapes[key])
+        else:
+            arr = jax.numpy.asarray(val)
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = arr
+
+    if dtype is not None:
+        from multimodal_unlearning_tpu.utils.quantize import is_qtensor
+
+        def cast(node):
+            if is_qtensor(node):
+                return node  # q stays int, s stays f32
+            if isinstance(node, dict):
+                return {k: cast(v) for k, v in node.items()}
+            return node.astype(dtype) if jnp.issubdtype(node.dtype, jnp.floating) else node
+
+        tree = cast(tree)
+    return tree, meta
+
+
+# ---------------------------------------------------------------------------
 # Training-state resume (Orbax)
 # ---------------------------------------------------------------------------
 
