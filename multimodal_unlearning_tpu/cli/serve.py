@@ -66,6 +66,7 @@ def build_engine(cfg):
         top_k=int(cfg.get("top_k", 0) or 0),
         top_p=float(cfg.get("top_p", 1.0) or 1.0),
         adapters=adapters,
+        prefill_chunk=int(cfg.get("prefill_chunk", 0) or 0),
     )
     return engine, processor, kind, mcfg
 

@@ -89,6 +89,13 @@ class ServingEngine:
       spec_ref_len: width of the per-slot draft-corpus buffer; requests may
         carry ``draft_ref`` tokens (e.g. a cached prior answer) that seed
         the lookup beyond the slot's own history.
+      prefill_chunk: >0 enables chunked prefill — prompts longer than this
+        prefill one chunk per engine step (first chunk through the
+        standalone fill program, middle chunks extending the slab via
+        chunk_decode passes, the final right-padded chunk through the
+        suffix-insert program), so in-flight slots keep decoding between
+        chunks instead of stalling behind one long prompt.  Output is
+        token-identical to monolithic prefill.
     """
 
     def __init__(
@@ -114,6 +121,7 @@ class ServingEngine:
         top_k: int = 0,
         top_p: float = 1.0,
         adapters: dict | None = None,
+        prefill_chunk: int = 0,
     ):
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -160,6 +168,14 @@ class ServingEngine:
                 scales.append(float(scale))
             zero = jax.tree.map(jnp.zeros_like, trees[0])
             self._lora = stack_adapters([zero] + trees, [0.0] + scales)
+
+        # chunked prefill: long prompts prefill prefill_chunk tokens per
+        # engine step instead of monolithically, so in-flight slots keep
+        # decoding between chunks (bounded head-of-line latency).  0 = off.
+        self.prefill_chunk = (
+            _bucket(int(prefill_chunk), self.bucket_multiple) if prefill_chunk else 0)
+        self._prefill_job: dict | None = None
+        self._n_prefill_chunks = 0
 
         self.pipeline = pipeline
         self._queue: list[Request] = []
@@ -306,6 +322,72 @@ class ServingEngine:
         self._insert_cache[(sp, with_pixels)] = prefill_insert
         return prefill_insert
 
+    def _prefix_fill_fn(self, P: int, with_pixels: bool):
+        """Compiled standalone prompt forward into a fresh [L,1,H,P,D] slab
+        (shared by the prefix cache and by chunked prefill's first chunk)."""
+        key = (P, with_pixels)
+        hit = self._prefix_fill_cache.get(key)
+        if hit is not None:
+            return hit
+        dec = decoder_module(self.dec_cfg)
+
+        @jax.jit
+        def prefix_fill(params, ids, mask, pix, lora_id):
+            fwd = self._fwd(params)
+            slab = dec.init_kv_cache(self.dec_cfg, 1, P, dtype=self.cache_dtype)
+            kw = dict(attention_mask=mask, kv_cache=slab,
+                      cache_offset=0, kv_valid_mask=mask)
+            if self.is_vlm:
+                kw["pixel_values"] = pix
+            if self._lora is not None:
+                kw["lora_ids"] = lora_id[None]
+            out = fwd(ids, last_logit_only=True, **kw)
+            delta = (out["rope_delta"][0].astype(jnp.int32)
+                     if out.get("rope_delta") is not None else jnp.int32(0))
+            return out["kv_cache"], delta
+
+        self._prefix_fill_cache[key] = prefix_fill
+        return prefix_fill
+
+    def _extend_fn(self, C: int, P: int):
+        """Compiled slab extension for chunked prefill: C full (unpadded)
+        prompt tokens run as one chunk_decode pass against a P-column slab
+        (queries see the slab through kv_valid + their own chunk columns
+        causally) and are written at columns P..P+C-1."""
+        key = ("extend", C, P)
+        hit = self._insert_cache.get(key)
+        if hit is not None:
+            return hit
+        dec = decoder_module(self.dec_cfg)
+        is_qwen = self.kind == "qwen2_vl"
+
+        @jax.jit
+        def extend(params, pslab, pvalid, plen, ids, rope_delta, lora_id):
+            fwd = self._fwd(params)
+            slab = dec.init_kv_cache(self.dec_cfg, 1, P + C, dtype=self.cache_dtype)
+            for k in slab:
+                slab[k] = jax.lax.dynamic_update_slice(
+                    slab[k], pslab[k], (0, 0, 0, 0, 0))
+            kv_row = jnp.zeros((1, P + C), jnp.int32).at[:, :P].set(pvalid)
+            cols = jnp.arange(C, dtype=jnp.int32)
+            dec_kw = dict(
+                attention_mask=jnp.ones((1, C), jnp.int32),
+                positions=plen + cols[None, :],
+                kv_cache=slab, cache_offset=jnp.full((1,), P, jnp.int32),
+                kv_valid_mask=kv_row, chunk_decode=True, last_logit_only=True,
+            )
+            if self.is_vlm:
+                dec_kw["pixel_values"] = None
+            if is_qwen:
+                dec_kw["rope_delta"] = rope_delta[None]
+            if self._lora is not None:
+                dec_kw["lora_ids"] = lora_id[None]
+            out = fwd(ids, **dec_kw)
+            return out["kv_cache"], kv_row.at[:, P:].set(1)
+
+        self._insert_cache[key] = extend
+        return extend
+
     # -------------------------------------------------------- prefix cache
     def register_prefix(self, prompt_ids, pixel_values=None, adapter=None) -> int:
         """Prefill a shared prompt prefix (e.g. a system prompt, or an
@@ -330,29 +412,7 @@ class ServingEngine:
         if adapter is not None and adapter not in self._adapter_ids:
             raise KeyError(f"unknown adapter {adapter!r}")
         aid = self._adapter_ids[adapter]
-        key = (P, pixel_values is not None)
-        fn = self._prefix_fill_cache.get(key)
-        if fn is None:
-            dec = decoder_module(self.dec_cfg)
-
-            @jax.jit
-            def prefix_fill(params, ids, mask, pix, lora_id):
-                fwd = self._fwd(params)
-                slab = dec.init_kv_cache(self.dec_cfg, 1, P, dtype=self.cache_dtype)
-                kw = dict(attention_mask=mask, kv_cache=slab,
-                          cache_offset=0, kv_valid_mask=mask)
-                if self.is_vlm:
-                    kw["pixel_values"] = pix
-                if self._lora is not None:
-                    kw["lora_ids"] = lora_id[None]
-                out = fwd(ids, last_logit_only=True, **kw)
-                delta = (out["rope_delta"][0].astype(jnp.int32)
-                         if out.get("rope_delta") is not None else jnp.int32(0))
-                return out["kv_cache"], delta
-
-            self._prefix_fill_cache[key] = prefix_fill
-            fn = prefix_fill
-
+        fn = self._prefix_fill_fn(P, pixel_values is not None)
         slab, rope_delta = fn(self.params, jnp.asarray(ids), jnp.asarray(mask),
                               pix, jnp.int32(aid))
         pid = len(self._prefixes)
@@ -673,8 +733,82 @@ class ServingEngine:
         self._queue.append(req)
         return req
 
+    def _needs_chunked_prefill(self, req) -> bool:
+        C = self.prefill_chunk
+        if not C or req.prefix is not None or len(req.prompt_ids) <= C:
+            return False
+        if req.pixel_values is not None:
+            # image features splice at image-token positions during the
+            # pixel-carrying first chunk — an image span crossing the chunk
+            # boundary must prefill monolithically
+            tid = getattr(self.model_cfg, "image_token_id", None)
+            if tid is None or any(int(t) == tid for t in req.prompt_ids[C:]):
+                return False
+        return True
+
+    def _start_prefill_job(self, req, slot):
+        """First chunk of a chunked prefill: exactly C (unpadded) prompt
+        tokens through the standalone fill program (pixels ride here)."""
+        C = self.prefill_chunk
+        ids = np.asarray(req.prompt_ids[:C], np.int32)[None]
+        pix = None
+        if req.pixel_values is not None:
+            pix = jnp.asarray(req.pixel_values[None], self.compute_dtype)
+        fn = self._prefix_fill_fn(C, req.pixel_values is not None)
+        slab, delta = fn(self.params, jnp.asarray(ids),
+                         jnp.ones((1, C), jnp.int32), pix, jnp.int32(req.lora_id))
+        self._n_prefill_chunks += 1
+        self._prefill_job = dict(
+            req=req, slot=slot, slab=slab, P=C, pos=C,
+            kv_row=jnp.ones((1, C), jnp.int32), rope_delta=delta)
+
+    def _advance_prefill(self):
+        """One more chunk of the in-flight chunked prefill; the final
+        (right-padded) chunk lands through the suffix-insert program, which
+        emits the first token and activates the slot."""
+        job = self._prefill_job
+        req, C = job["req"], self.prefill_chunk
+        rem = len(req.prompt_ids) - job["pos"]
+        self._n_prefill_chunks += 1
+        if rem > C:
+            fn = self._extend_fn(C, job["P"])
+            ids = np.asarray(req.prompt_ids[job["pos"]: job["pos"] + C], np.int32)[None]
+            job["slab"], job["kv_row"] = fn(
+                self.params, job["slab"], job["kv_row"], jnp.int32(job["pos"]),
+                jnp.asarray(ids), job["rope_delta"], jnp.int32(req.lora_id))
+            job["P"] += C
+            job["pos"] += C
+            return
+        sp = _bucket(rem, self.bucket_multiple)
+        ids = np.full((1, sp), self.pad_id, np.int32)
+        ids[0, :rem] = req.prompt_ids[job["pos"]:]
+        hist = np.asarray(req.prompt_ids[: job["pos"]], np.int32)[None]
+        dref = np.full((1, self.R), -2, np.int32)
+        if req.draft_ref:
+            dref[0, : len(req.draft_ref)] = req.draft_ref
+        fn = self._suffix_insert_fn(sp, job["P"])
+        self._state, first = fn(
+            self.params, self._state, job["slab"], job["kv_row"],
+            jnp.asarray(hist), jnp.int32(job["pos"]),
+            jnp.asarray(ids), jnp.int32(rem),
+            jnp.int32(job["slot"]), jnp.int32(req.max_new_tokens),
+            jnp.asarray(dref), jnp.int32(req.sample_seed),
+            jnp.int32(req.lora_id), job["rope_delta"],
+        )
+        self._prefill_job = None
+        self._after_insert(req, job["slot"], first)
+
     def _fill_slots(self):
+        if self._prefill_job is not None:
+            self._advance_prefill()
         while self._free and self._queue:
+            # strict FIFO: a head-of-queue long prompt waits for the active
+            # chunked-prefill job rather than being overtaken
+            if self._needs_chunked_prefill(self._queue[0]):
+                if self._prefill_job is not None:
+                    break
+                self._start_prefill_job(self._queue.pop(0), self._free.pop(0))
+                continue
             req = self._queue.pop(0)
             slot = self._free.pop(0)
             if req.prefix is not None:
@@ -822,6 +956,7 @@ class ServingEngine:
     def run(self):
         """Drain the queue and all in-flight slots."""
         while (self._queue or self._pending is not None
+               or self._prefill_job is not None
                or any(r is not None for r in self._slot_req)):
             self.step()
 
@@ -834,6 +969,7 @@ class ServingEngine:
         return {
             "dispatches": self._n_dispatch,
             "prefills": self._n_prefill,
+            "prefill_chunks": self._n_prefill_chunks,
             "live_rounds": self._n_live_rounds,
             "emitted": self._n_emitted,
             "tokens_per_round": self._n_emitted / rounds,
