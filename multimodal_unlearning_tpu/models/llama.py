@@ -210,6 +210,10 @@ def _cache_write(cache, k, v, layer_id, offset):
     path is single-token (S == 1) and scatters one column per row."""
     if isinstance(offset, jnp.ndarray) and offset.ndim == 1:
         return _cache_write_per_row(cache, k, v, layer_id, offset)
+    if "table" in cache:
+        raise ValueError(
+            "paged caches are written per-row (offset must be a [B] vector); "
+            "prefill into a contiguous slab and scatter its pages instead")
     # dynamic_update_slice requires every index to share one dtype; under
     # jax_enable_x64 (the reference-parity harness) the scan-carried
     # layer_id is int64 while generate's while_loop position is int32 —
@@ -238,13 +242,32 @@ def _cache_write(cache, k, v, layer_id, offset):
     }
 
 
+def init_paged_kv_cache(cfg, n_pages: int, page: int, dtype=jnp.bfloat16):
+    """Paged KV pool: ``n_pages`` shared pages of ``page`` columns each
+    (ops/paged_attention.py).  The engine pairs it with a host-managed
+    [B, MP] block table ("table" key merged into the cache dict per
+    dispatch); logical column c of row b lives at pool page
+    ``table[b, c//page]``, offset ``c % page``.  int8 pools carry the same
+    per-position scales as the dense int8 cache (init_kv_cache)."""
+    shape = (cfg.num_layers, cfg.num_kv_heads, n_pages, page, cfg.head_dim)
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if dtype == jnp.int8:
+        sshape = shape[:3] + (1, page)
+        cache["k_s"] = jnp.zeros(sshape, jnp.float32)
+        cache["v_s"] = jnp.zeros(sshape, jnp.float32)
+    return cache
+
+
 def _cache_write_per_row(cache, k, v, layer_id, offset):
     """Cache write at a DIFFERENT column range per row: k/v are [B,H,C,D],
     ``offset`` is [B] — row b's C tokens land at columns offset[b]..
     offset[b]+C-1.  One scatter per tensor — the batched analog of the
     dynamic_update_slice path.  C == 1 is the continuous-batching decode
     (serve/engine.py); C > 1 is the speculative verify chunk
-    (evaluation/generate.py)."""
+    (evaluation/generate.py).  Paged caches (a "table" key — see
+    init_paged_kv_cache) route the same scatter through the block table."""
+    if "table" in cache:
+        return _cache_write_paged(cache, k, v, layer_id, offset)
     B, _, C, _ = k.shape
     rows = jnp.arange(B)[:, None]                       # [B,1]
     cols = offset[:, None] + jnp.arange(C)[None, :]     # [B,C]
@@ -269,6 +292,37 @@ def _cache_write_per_row(cache, k, v, layer_id, offset):
         "v": cache["v"].at[layer_id, rows, :, cols, :].set(
             v.astype(cache["v"].dtype).transpose(0, 2, 1, 3)),
     }
+
+
+def _cache_write_paged(cache, k, v, layer_id, offset):
+    """Per-row write through the block table: logical columns
+    offset[b]..offset[b]+C-1 scatter to pool pages ``table[b, col // page]``
+    at offsets ``col % page``.  Rows mapped to the same page (only the
+    engine's never-read trash page 0, for retired slots) race benignly."""
+    B, _, C, _ = k.shape
+    page = cache["k"].shape[3]
+    layer_id = jnp.asarray(layer_id).astype(jnp.int32)
+    cols = offset[:, None].astype(jnp.int32) + jnp.arange(C, dtype=jnp.int32)[None, :]
+    pg = jnp.take_along_axis(cache["table"], cols // page, axis=1)  # [B,C]
+    off = cols % page
+    out = dict(cache)
+    if cache["k"].dtype == jnp.int8:
+        k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+        k_q = jnp.round(k.astype(jnp.float32) / jnp.maximum(k_s, 1e-12)).astype(jnp.int8)
+        v_q = jnp.round(v.astype(jnp.float32) / jnp.maximum(v_s, 1e-12)).astype(jnp.int8)
+        out["k"] = cache["k"].at[layer_id, :, pg, off, :].set(k_q.transpose(0, 2, 1, 3))
+        out["v"] = cache["v"].at[layer_id, :, pg, off, :].set(v_q.transpose(0, 2, 1, 3))
+        out["k_s"] = cache["k_s"].at[layer_id, :, pg, 0, off].set(
+            k_s[..., 0].transpose(0, 2, 1))
+        out["v_s"] = cache["v_s"].at[layer_id, :, pg, 0, off].set(
+            v_s[..., 0].transpose(0, 2, 1))
+        return out
+    out["k"] = cache["k"].at[layer_id, :, pg, off, :].set(
+        k.astype(cache["k"].dtype).transpose(0, 2, 1, 3))
+    out["v"] = cache["v"].at[layer_id, :, pg, off, :].set(
+        v.astype(cache["v"].dtype).transpose(0, 2, 1, 3))
+    return out
 
 
 def positions_from_mask(attention_mask):

@@ -156,6 +156,15 @@ def decode_attention(
         weak #5).
     Returns [B, Hq, 1, D] in q's dtype.
     """
+    if "table" in cache:  # paged pool + block table (ops/paged_attention.py)
+        from multimodal_unlearning_tpu.ops.paged_attention import (
+            paged_decode_attention,
+        )
+
+        return paged_decode_attention(
+            q, cache, layer, kv_valid, sm_scale=sm_scale, impl=impl,
+            interpret=interpret, mesh=mesh, head_axis=head_axis,
+        )
     k_cache, v_cache = cache["k"], cache["v"]
     quantized = k_cache.dtype == jnp.int8
     B, Hq, S1, D = q.shape
@@ -250,17 +259,23 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None):
     same cache bytes as the fallback path; the Pallas single-token kernel
     stays on the non-speculative path.
     """
-    k_cache, v_cache = cache["k"], cache["v"]
     B, Hq, C, D = q.shape
-    _, _, Hkv, Smax, _ = k_cache.shape
     if sm_scale is None:
         sm_scale = D ** -0.5
-    idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
-    if k_cache.dtype == jnp.int8:
-        k = _dequant(idx(k_cache), idx(cache["k_s"]))
-        v = _dequant(idx(v_cache), idx(cache["v_s"]))
+    if "table" in cache:  # paged pool: contiguous logical view via the table
+        from multimodal_unlearning_tpu.ops.paged_attention import gather_layer_kv
+
+        k, v = gather_layer_kv(cache, layer, q.dtype)
+        Hkv, Smax = k.shape[1], k.shape[2]
     else:
-        k, v = idx(k_cache), idx(v_cache)
+        k_cache, v_cache = cache["k"], cache["v"]
+        _, _, Hkv, Smax, _ = k_cache.shape
+        idx = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+        if k_cache.dtype == jnp.int8:
+            k = _dequant(idx(k_cache), idx(cache["k_s"]))
+            v = _dequant(idx(v_cache), idx(cache["v_s"]))
+        else:
+            k, v = idx(k_cache), idx(v_cache)
     k = jnp.repeat(k.astype(q.dtype), Hq // Hkv, axis=1)  # [B,Hq,Smax,D]
     v = jnp.repeat(v.astype(q.dtype), Hq // Hkv, axis=1)
     s = jnp.einsum(
