@@ -67,6 +67,8 @@ def build_engine(cfg):
         top_p=float(cfg.get("top_p", 1.0) or 1.0),
         adapters=adapters,
         prefill_chunk=int(cfg.get("prefill_chunk", 0) or 0),
+        page_size=int(cfg.get("page_size", 0) or 0),
+        kv_pool_pages=int(cfg.get("kv_pool_pages", 0) or 0) or None,
     )
     return engine, processor, kind, mcfg
 

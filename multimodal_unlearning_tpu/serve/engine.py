@@ -96,6 +96,18 @@ class ServingEngine:
         suffix-insert program), so in-flight slots keep decoding between
         chunks instead of stalling behind one long prompt.  Output is
         token-identical to monolithic prefill.
+      page_size: >0 switches the KV cache to a PAGED pool (vLLM-style,
+        ops/paged_attention.py): one shared pool of fixed-size pages plus a
+        host-managed per-slot block table, instead of a dense
+        [slots × max_len] slab.  HBM then holds roughly the sum of actual
+        request lengths, registered prefixes are shared pages referenced by
+        every slot's table (zero-copy — the dense path copies the prefix
+        slab per slot), and admission waits on the page free list instead
+        of failing.  Output is token-identical to the dense cache.
+      kv_pool_pages: pool size in pages (page 0 is a reserved trash page
+        for retired slots).  Default ``slots × (max_len/page) + 1`` — the
+        dense layout's capacity; set lower to cap KV memory and let
+        admission control queue requests.
     """
 
     def __init__(
@@ -122,6 +134,8 @@ class ServingEngine:
         top_p: float = 1.0,
         adapters: dict | None = None,
         prefill_chunk: int = 0,
+        page_size: int = 0,
+        kv_pool_pages: int | None = None,
     ):
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -134,6 +148,26 @@ class ServingEngine:
         self.smax = _bucket(max_len, 128)
         self.chunk = chunk
         self.bucket_multiple = bucket_multiple
+        # paged KV cache: pool + host-managed block table; bucket/smax round
+        # to page multiples so every slab boundary is page-aligned
+        self.page = int(page_size)
+        if self.page:
+            if not (128 % self.page == 0 or self.page % 128 == 0):
+                raise ValueError(
+                    f"page_size {self.page} must divide or be a multiple of "
+                    "128 (Mosaic lane alignment)")
+            import math
+
+            self.bucket_multiple = math.lcm(bucket_multiple, self.page)
+            self.smax = _bucket(max_len, math.lcm(128, self.page))
+            self.MP = self.smax // self.page
+            self.NP = int(kv_pool_pages or self.B * self.MP + 1)
+            # page 0 is the trash page: retired slots' tables point at it so
+            # their in-scan garbage writes can never corrupt a live page
+            self._free_pages = list(range(1, self.NP))
+            self._table = np.zeros((self.B, self.MP), np.int32)
+            self._table_dev = None
+            self._slot_pages: list[list[int]] = [[] for _ in range(self.B)]
         self.pad_id = pad_token_id
         self.eos = -1 if eos_token_id is None else eos_token_id
         self.cache_dtype = cache_dtype
@@ -197,6 +231,95 @@ class ServingEngine:
         # (emits, lives, slot->request snapshot at dispatch)
         self._pending = None
 
+    # --------------------------------------------------------------- paging
+    def _pages_for(self, cols: int) -> int:
+        return -(-cols // self.page)
+
+    def _own_pages_needed(self, req) -> int:
+        """Pages the request's OWN logical region spans (prefix pages are
+        shared and pre-allocated at register_prefix)."""
+        slack = self.K + 1 if self.K else 0
+        if req.prefix is not None:
+            sp = _bucket(max(len(req.prompt_ids), 1), self.bucket_multiple)
+            return self._pages_for(sp + req.max_new_tokens + slack)
+        if self._needs_chunked_prefill(req):
+            C = self.prefill_chunk
+            n_full = (len(req.prompt_ids) - 1) // C
+            cols = n_full * C + _bucket(len(req.prompt_ids) - n_full * C,
+                                        self.bucket_multiple)
+        else:
+            cols = _bucket(len(req.prompt_ids), self.bucket_multiple)
+        return self._pages_for(cols + req.max_new_tokens + slack)
+
+    def _alloc_pages(self, n: int) -> list[int]:
+        ids, self._free_pages = self._free_pages[:n], self._free_pages[n:]
+        assert len(ids) == n, "admission must gate on the free list"
+        return ids
+
+    def _assign_pages(self, slot: int, own: list[int], prefix_pages=()):
+        self._slot_pages[slot] = own
+        row = np.zeros((self.MP,), np.int32)
+        ids = list(prefix_pages) + own
+        row[: len(ids)] = ids
+        self._table[slot] = row
+        self._table_dev = None
+
+    def _release_slot_pages(self, slot: int):
+        """Retire a slot: free its own pages (shared prefix pages are never
+        freed) and point its table row at the trash page so later-dispatched
+        chunks' garbage writes for the dead row land nowhere live.  Chunks
+        already in flight use the old table snapshot, but the device queue
+        runs them BEFORE any insert that could re-fill the freed pages, and
+        decode-region garbage stays invisible behind the new owner's
+        kv_valid until the owner itself writes."""
+        if not self.page:
+            return
+        self._free_pages.extend(self._slot_pages[slot])
+        self._slot_pages[slot] = []
+        self._table[slot] = 0
+        self._table_dev = None
+
+    def _table_device(self):
+        if self._table_dev is None:
+            self._table_dev = jnp.asarray(self._table)
+        return self._table_dev
+
+    def _attach_table(self, cache, table):
+        """Merge the dispatch-time block-table snapshot into the cache dict
+        (what routes writes/attention to the paged path — models/llama.py
+        _cache_write_per_row, ops/decode_attention.py)."""
+        if not self.page:
+            return cache
+        cache = dict(cache)
+        cache["table"] = table
+        return cache
+
+    def _detach_table(self, cache):
+        """Strip the table before the cache re-enters the donated state (the
+        table is host-owned; the state's pytree structure excludes it)."""
+        if not self.page:
+            return cache
+        cache = dict(cache)
+        cache.pop("table", None)
+        return cache
+
+    def _scatter_pages(self, cache, slab, page_ids, from_col: int = 0):
+        """Write a contiguous [L,1,H,S,D] slab's columns ``from_col:`` into
+        pool pages ``page_ids`` (a traced [n] vector; S - from_col must be
+        n·page, guaranteed by page-aligned buckets)."""
+        P = self.page
+        out = dict(cache)
+        for key in ("k", "v"):
+            s = slab[key][:, 0, :, from_col:, :]  # [L,H,S',D]
+            L, H, Sp, D = s.shape
+            out[key] = cache[key].at[:, :, page_ids].set(
+                s.reshape(L, H, Sp // P, P, D))
+            if key + "_s" in cache:
+                sc = slab[key + "_s"][:, 0, :, 0, from_col:]  # [L,H,S']
+                out[key + "_s"] = cache[key + "_s"].at[:, :, page_ids].set(
+                    sc.reshape(L, H, Sp // P, P)[:, :, :, None, :])
+        return out
+
     # ------------------------------------------------------------------ jit
     def _fwd(self, params):
         extra = {}
@@ -219,7 +342,14 @@ class ServingEngine:
 
         @jax.jit
         def init():
-            cache = dec.init_kv_cache(self.dec_cfg, self.B, self.smax, dtype=self.cache_dtype)
+            if self.page:
+                from multimodal_unlearning_tpu.models.llama import init_paged_kv_cache
+
+                cache = init_paged_kv_cache(
+                    self.dec_cfg, self.NP, self.page, dtype=self.cache_dtype)
+            else:
+                cache = dec.init_kv_cache(
+                    self.dec_cfg, self.B, self.smax, dtype=self.cache_dtype)
             z = jnp.zeros((self.B,), jnp.int32)
             state = {
                 "cache": cache,
@@ -254,7 +384,7 @@ class ServingEngine:
 
         @partial(jax.jit, donate_argnums=(1,))
         def prefill_insert(params, state, ids, mask, pix, slot, max_new, dref,
-                           seed, lora_id):
+                           seed, lora_id, page_ids):
             fwd = self._fwd(params)
             slab = dec.init_kv_cache(self.dec_cfg, 1, sp, dtype=self.cache_dtype)
             kw = dict(
@@ -278,10 +408,13 @@ class ServingEngine:
             else:
                 first = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
 
-            cache = dict(state["cache"])
-            for key in cache:
-                at = (0, slot, 0, 0, 0)
-                cache[key] = jax.lax.dynamic_update_slice(cache[key], slab[key], at)
+            if self.page:
+                cache = self._scatter_pages(state["cache"], slab, page_ids)
+            else:
+                cache = dict(state["cache"])
+                for key in cache:
+                    at = (0, slot, 0, 0, 0)
+                    cache[key] = jax.lax.dynamic_update_slice(cache[key], slab[key], at)
             row = jnp.zeros((1, self.smax), jnp.int32).at[:, :sp].set(mask)
             finished_now = (first[0] == self.eos) if self.eos >= 0 else jnp.array(False)
             old_spec = (
@@ -415,19 +548,46 @@ class ServingEngine:
         fn = self._prefix_fill_fn(P, pixel_values is not None)
         slab, rope_delta = fn(self.params, jnp.asarray(ids), jnp.asarray(mask),
                               pix, jnp.int32(aid))
+        pages = []
+        if self.page:
+            # scatter the prefix ONCE into shared pool pages (never freed);
+            # every request's table references them zero-copy, vs the dense
+            # path's per-slot slab copy at insert
+            pages = self._alloc_pages(P // self.page)
+            if self._state is None:
+                self._state = self._init_state()
+            key = ("pscatter", P)
+            scat = self._insert_cache.get(key)
+            if scat is None:
+                @partial(jax.jit, donate_argnums=(0,))
+                def scat(state, slab, page_ids):
+                    state = dict(state)
+                    state["cache"] = self._scatter_pages(
+                        state["cache"], slab, page_ids)
+                    return state
+
+                self._insert_cache[key] = scat
+            self._state = scat(self._state, slab,
+                               jnp.asarray(pages, jnp.int32))
         pid = len(self._prefixes)
         hist = np.where(mask[0] > 0, ids[0], -2).astype(np.int32)
         self._prefixes[pid] = dict(
             slab=slab, mask=mask, plen=len(prompt_ids), P=P, hist=hist,
-            adapter=adapter, rope_delta=int(rope_delta))
+            adapter=adapter, rope_delta=int(rope_delta), pages=pages)
         return pid
 
-    def _suffix_insert_fn(self, sp: int, P: int):
+    def _suffix_insert_fn(self, sp: int, P: int, shared_prefix: bool = False):
         """Compiled suffix-prefill+insert: the prefix slab lands in cache
         columns 0..P-1, the RIGHT-padded suffix runs as one chunk_decode
         pass (queries read the prefix through kv_valid + their own chunk
-        columns causally) written at columns P..P+sp-1."""
-        key = ("suffix", sp, P)
+        columns causally) written at columns P..P+sp-1.
+
+        Paged mode: ``shared_prefix`` skips scattering the prefix columns —
+        the slot's table row already points at the prefix's SHARED pool
+        pages (register_prefix wrote them once), so only the suffix pages
+        land; chunked prefill passes shared_prefix=False and scatters the
+        whole slab into slot-owned pages."""
+        key = ("suffix", sp, P, shared_prefix)
         hit = self._insert_cache.get(key)
         if hit is not None:
             return hit
@@ -436,7 +596,7 @@ class ServingEngine:
         @partial(jax.jit, donate_argnums=(1,))
         def suffix_insert(params, state, pslab, pvalid, phist, plen,
                           ids, n_sfx, slot, max_new, dref, seed, lora_id,
-                          rope_delta):
+                          rope_delta, page_ids):
             fwd = self._fwd(params)
             slab = dec.init_kv_cache(self.dec_cfg, 1, P + sp, dtype=self.cache_dtype)
             for k in slab:
@@ -471,10 +631,15 @@ class ServingEngine:
             else:
                 first = jnp.argmax(last, axis=-1).astype(jnp.int32)
 
-            cache = dict(state["cache"])
-            for k in cache:
-                cache[k] = jax.lax.dynamic_update_slice(
-                    cache[k], slab[k], (0, slot, 0, 0, 0))
+            if self.page:
+                cache = self._scatter_pages(
+                    state["cache"], slab, page_ids,
+                    from_col=P if shared_prefix else 0)
+            else:
+                cache = dict(state["cache"])
+                for k in cache:
+                    cache[k] = jax.lax.dynamic_update_slice(
+                        cache[k], slab[k], (0, slot, 0, 0, 0))
             row = jnp.zeros((1, self.smax), jnp.int32).at[:, : P + sp].set(
                 kv_row.at[:, P:].set((sfx_cols[None, :] < n_sfx).astype(jnp.int32)))
             finished_now = (first[0] == self.eos) if self.eos >= 0 else jnp.array(False)
@@ -524,8 +689,8 @@ class ServingEngine:
         B, eos, pad = self.B, self.eos, self.pad_id
         is_qwen = self.kind == "qwen2_vl"
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
-        def decode_chunk(params, state, n):
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(3,))
+        def decode_chunk(params, state, table, n):
             fwd = self._fwd(params)
 
             def step(s, _):
@@ -535,7 +700,7 @@ class ServingEngine:
                 dec_kw = dict(
                     attention_mask=jnp.ones((B, 1), jnp.int32),
                     positions=s["pos_next"][:, None],
-                    kv_cache=s["cache"],
+                    kv_cache=self._attach_table(s["cache"], table),
                     cache_offset=s["write_col"],
                     kv_valid_mask=kv_valid,
                 )
@@ -566,7 +731,7 @@ class ServingEngine:
                 if self._lora is not None:
                     s2_lora = s["lora_id"]
                 s = {
-                    "cache": out["kv_cache"],
+                    "cache": self._detach_table(out["kv_cache"]),
                     "kv_valid": kv_valid,
                     "write_col": s["write_col"] + live.astype(jnp.int32),
                     "pos_next": s["pos_next"] + live.astype(jnp.int32),
@@ -602,8 +767,8 @@ class ServingEngine:
         W = R + 1 + smax
         col2 = jnp.arange(W, dtype=jnp.int32)
 
-        @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
-        def decode_chunk(params, state, n):
+        @partial(jax.jit, donate_argnums=(1,), static_argnums=(3,))
+        def decode_chunk(params, state, table, n):
             fwd = self._fwd(params)
 
             def propose(ids_buf, draft_ref, token, cur):
@@ -641,7 +806,8 @@ class ServingEngine:
                 dec_kw = dict(
                     attention_mask=jnp.ones((B, K + 1), jnp.int32),
                     positions=pos[:, None] + ar[None, :],
-                    kv_cache=s["cache"], cache_offset=cur_w,
+                    kv_cache=self._attach_table(s["cache"], table),
+                    cache_offset=cur_w,
                     kv_valid_mask=s["kv_valid"], chunk_decode=True,
                 )
                 if self.is_vlm:
@@ -681,7 +847,8 @@ class ServingEngine:
                 adv = jnp.where(live, a + 1, 0)
                 s2_lora = s["lora_id"] if self._lora is not None else None
                 s = {
-                    "cache": o["kv_cache"], "kv_valid": kv_valid,
+                    "cache": self._detach_table(o["kv_cache"]),
+                    "kv_valid": kv_valid,
                     "write_col": cur + adv, "pos_next": pos + adv,
                     "token": jnp.where(live, preds[rows, a], token),
                     "remaining": remaining,
@@ -712,6 +879,20 @@ class ServingEngine:
             raise ValueError(
                 f"prompt bucket {sp} + max_new {max_new_tokens} (+ speculative "
                 f"slack {slack}) exceeds max_len {self.smax}")
+        if self.page:
+            need = self._pages_for(
+                (sp if prefix is None
+                 else _bucket(max(len(prompt_ids), 1), self.bucket_multiple))
+                + max_new_tokens + slack)
+            # pages a drained engine could ever free back: prefix pages are
+            # pinned for the engine's lifetime
+            ceiling = self.NP - 1 - sum(
+                len(p["pages"]) for p in self._prefixes.values())
+            if need > ceiling:
+                raise ValueError(
+                    f"request needs {need} pages but the pool can free at "
+                    f"most {ceiling} (kv_pool_pages {self.NP}, minus pinned "
+                    "prefix pages)")
         self._uid += 1
         req = Request(self._uid, list(prompt_ids), max_new_tokens, pixel_values)
         req.prefix = prefix
@@ -758,8 +939,12 @@ class ServingEngine:
         slab, delta = fn(self.params, jnp.asarray(ids),
                          jnp.ones((1, C), jnp.int32), pix, jnp.int32(req.lora_id))
         self._n_prefill_chunks += 1
+        # paged: reserve the whole own region up front (admission gated on
+        # it) but assign the table only at the final insert, so the dead
+        # slot's garbage writes keep landing in the trash page until then
+        pages = self._alloc_pages(self._own_pages_needed(req)) if self.page else None
         self._prefill_job = dict(
-            req=req, slot=slot, slab=slab, P=C, pos=C,
+            req=req, slot=slot, slab=slab, P=C, pos=C, pages=pages,
             kv_row=jnp.ones((1, C), jnp.int32), rope_delta=delta)
 
     def _advance_prefill(self):
@@ -786,6 +971,11 @@ class ServingEngine:
         dref = np.full((1, self.R), -2, np.int32)
         if req.draft_ref:
             dref[0, : len(req.draft_ref)] = req.draft_ref
+        page_ids = None
+        if self.page:
+            self._assign_pages(job["slot"], job["pages"])
+            page_ids = jnp.asarray(
+                job["pages"][: (job["P"] + sp) // self.page], jnp.int32)
         fn = self._suffix_insert_fn(sp, job["P"])
         self._state, first = fn(
             self.params, self._state, job["slab"], job["kv_row"],
@@ -793,7 +983,7 @@ class ServingEngine:
             jnp.asarray(ids), jnp.int32(rem),
             jnp.int32(job["slot"]), jnp.int32(req.max_new_tokens),
             jnp.asarray(dref), jnp.int32(req.sample_seed),
-            jnp.int32(req.lora_id), job["rope_delta"],
+            jnp.int32(req.lora_id), job["rope_delta"], page_ids,
         )
         self._prefill_job = None
         self._after_insert(req, job["slot"], first)
@@ -802,6 +992,11 @@ class ServingEngine:
         if self._prefill_job is not None:
             self._advance_prefill()
         while self._free and self._queue:
+            # paged admission control: the head request waits (strict FIFO)
+            # until retirements return enough pages to the pool
+            if self.page and (len(self._free_pages)
+                              < self._own_pages_needed(self._queue[0])):
+                break
             # strict FIFO: a head-of-queue long prompt waits for the active
             # chunked-prefill job rather than being overtaken
             if self._needs_chunked_prefill(self._queue[0]):
@@ -825,12 +1020,17 @@ class ServingEngine:
             dref = np.full((1, self.R), -2, np.int32)
             if req.draft_ref:
                 dref[0, : len(req.draft_ref)] = req.draft_ref
+            page_ids = None
+            if self.page:
+                own = self._alloc_pages(self._own_pages_needed(req))
+                self._assign_pages(slot, own)
+                page_ids = jnp.asarray(own[: sp // self.page], jnp.int32)
             fn = self._insert_fn(sp, req.pixel_values is not None)
             self._state, first = fn(
                 self.params, self._state, jnp.asarray(ids), jnp.asarray(mask),
                 pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
                 jnp.asarray(dref), jnp.int32(req.sample_seed),
-                jnp.int32(req.lora_id),
+                jnp.int32(req.lora_id), page_ids,
             )
             self._after_insert(req, slot, first)
 
@@ -844,14 +1044,21 @@ class ServingEngine:
         dref = np.full((1, self.R), -2, np.int32)
         if req.draft_ref:
             dref[0, : len(req.draft_ref)] = req.draft_ref
-        fn = self._suffix_insert_fn(sp, pre["P"])
+        page_ids = None
+        if self.page:
+            # zero-copy prefix sharing: the table's leading entries point at
+            # the prefix's pool pages; only the suffix pages are slot-owned
+            own = self._alloc_pages(self._own_pages_needed(req))
+            self._assign_pages(slot, own, prefix_pages=pre["pages"])
+            page_ids = jnp.asarray(own[: sp // self.page], jnp.int32)
+        fn = self._suffix_insert_fn(sp, pre["P"], shared_prefix=bool(self.page))
         self._state, first = fn(
             self.params, self._state, pre["slab"], jnp.asarray(pre["mask"]),
             jnp.asarray(pre["hist"][None]), jnp.int32(pre["plen"]),
             jnp.asarray(ids), jnp.int32(len(req.prompt_ids)),
             jnp.int32(slot), jnp.int32(req.max_new_tokens),
             jnp.asarray(dref), jnp.int32(req.sample_seed),
-            jnp.int32(req.lora_id), jnp.int32(pre["rope_delta"]),
+            jnp.int32(req.lora_id), jnp.int32(pre["rope_delta"]), page_ids,
         )
         self._after_insert(req, slot, first)
 
@@ -862,12 +1069,14 @@ class ServingEngine:
         if self.eos >= 0 and first == self.eos:
             req.done = True
             req.done_t = req.first_t
+            self._release_slot_pages(slot)
             self._free.append(slot)
         else:
             req.tokens.append(first)
             if req.max_new_tokens == 1:
                 req.done = True
                 req.done_t = req.first_t
+                self._release_slot_pages(slot)
                 self._free.append(slot)
             else:
                 self._slot_req[slot] = req
@@ -900,6 +1109,7 @@ class ServingEngine:
                 req.done = True
                 req.done_t = time.monotonic()
                 self._slot_req[b] = None
+                self._release_slot_pages(b)
                 self._free.append(b)
 
     def _consume_spec(self, emits, aux, snapshot):
@@ -921,6 +1131,7 @@ class ServingEngine:
                     req.done = True
                     req.done_t = time.monotonic()
                     self._slot_req[b] = None
+                    self._release_slot_pages(b)
                     self._free.append(b)
                     break
 
@@ -942,7 +1153,9 @@ class ServingEngine:
             decode = self._decode()
             self._n_dispatch += 1
             snapshot = list(self._slot_req)
-            self._state, emits, aux = decode(self.params, self._state, self.chunk)
+            table = self._table_device() if self.page else None
+            self._state, emits, aux = decode(
+                self.params, self._state, table, self.chunk)
             if self.pipeline:
                 self._pending = (emits, aux, snapshot)
             else:
@@ -966,7 +1179,7 @@ class ServingEngine:
         efficiency — 1.0 for plain greedy, up to K+1 under speculation
         (the measured acceptance)."""
         rounds = max(self._n_live_rounds, 1)
-        return {
+        out = {
             "dispatches": self._n_dispatch,
             "prefills": self._n_prefill,
             "prefill_chunks": self._n_prefill_chunks,
@@ -974,6 +1187,10 @@ class ServingEngine:
             "emitted": self._n_emitted,
             "tokens_per_round": self._n_emitted / rounds,
         }
+        if self.page:
+            out["pool_pages"] = self.NP - 1
+            out["pool_pages_used"] = self.NP - 1 - len(self._free_pages)
+        return out
 
     def drain(self, requests: list[Request]) -> list[list[int]]:
         """Run until the given requests complete; return their token lists."""
