@@ -58,18 +58,23 @@ def make_requests(mcfg, n, seed=0):
     return reqs
 
 
-def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0):
+def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0,
+               page_size=0, pool_frac=1.0):
     from multimodal_unlearning_tpu.serve import ServingEngine
 
     slack = speculate_k + 1 if speculate_k else 0
     # submit checks BUCKETED prompt length + budget (+ spec slack)
     sp_max = -(-max(len(r[0]) for r in requests) // 128) * 128
     max_len = -(-(sp_max + 300 + slack) // 128) * 128
+    pool = None
+    if page_size:
+        dense_pages = slots * (-(-max_len // 128) * 128 // page_size)
+        pool = max(int(dense_pages * pool_frac), 2) + 1
     eng = ServingEngine(
         params, mcfg, "llava", num_slots=slots, max_len=max_len, chunk=chunk,
         bucket_multiple=128, pad_token_id=0, eos_token_id=None,
         cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
-        speculate_k=speculate_k,
+        speculate_k=speculate_k, page_size=page_size, kv_pool_pages=pool,
     )
     # warmup: compile the prefill bucket + the decode chunk
     w = [eng.submit(requests[0][0], 2, pixel_values=requests[0][2]),
@@ -85,6 +90,14 @@ def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0):
     if speculate_k:
         print(f"  spec{speculate_k} acceptance: "
               f"{eng.stats()['tokens_per_round']:.2f} tok/round", flush=True)
+    if page_size:
+        st = eng.stats()
+        dense_pages = slots * (eng.smax // page_size)
+        print(f"  paged pool: {st['pool_pages']} pages "
+              f"({st['pool_pages']/dense_pages:.0%} of dense), "
+              f"peak used {st['pool_pages_peak']} "
+              f"({st['pool_pages_peak']/dense_pages:.0%} of dense KV memory)",
+              flush=True)
     return toks, dt, lat
 
 
@@ -208,6 +221,17 @@ def main():
                   f"({dt_b / dt_s:4.2f}x)", flush=True)
         elif arg == "prefix":
             run_prefix_leg(mcfg, params, slots, pct)
+        elif arg.startswith("paged"):
+            # "paged" or "paged60" = pool capped at 60% of the dense layout;
+            # throughput should hold while KV memory drops to the workload's
+            # actual footprint (skewed budgets leave dense slabs mostly empty)
+            frac = int(arg[5:]) / 100 if len(arg) > 5 else 0.6
+            toks_p, dt_p, lat_p = run_engine(
+                mcfg, params, requests, slots, page_size=128, pool_frac=frac)
+            print(f"cont+paged B={slots}: {toks_p} useful tokens in {dt_p:6.1f}s "
+                  f"= {toks_p / dt_p:6.1f} tok/s   "
+                  f"latency p50 {pct(lat_p, 50):5.1f}s p95 {pct(lat_p, 95):5.1f}s   "
+                  f"({dt_b / dt_p:4.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

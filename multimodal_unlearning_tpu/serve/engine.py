@@ -168,6 +168,7 @@ class ServingEngine:
             self._table = np.zeros((self.B, self.MP), np.int32)
             self._table_dev = None
             self._slot_pages: list[list[int]] = [[] for _ in range(self.B)]
+            self._peak_pages = 0
         self.pad_id = pad_token_id
         self.eos = -1 if eos_token_id is None else eos_token_id
         self.cache_dtype = cache_dtype
@@ -254,6 +255,8 @@ class ServingEngine:
     def _alloc_pages(self, n: int) -> list[int]:
         ids, self._free_pages = self._free_pages[:n], self._free_pages[n:]
         assert len(ids) == n, "admission must gate on the free list"
+        self._peak_pages = max(
+            self._peak_pages, self.NP - 1 - len(self._free_pages))
         return ids
 
     def _assign_pages(self, slot: int, own: list[int], prefix_pages=()):
@@ -1190,6 +1193,7 @@ class ServingEngine:
         if self.page:
             out["pool_pages"] = self.NP - 1
             out["pool_pages_used"] = self.NP - 1 - len(self._free_pages)
+            out["pool_pages_peak"] = self._peak_pages
         return out
 
     def drain(self, requests: list[Request]) -> list[list[int]]:

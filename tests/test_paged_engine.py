@@ -217,3 +217,58 @@ def test_oversize_request_rejected_up_front():
     engine = _engine(cfg, params, page_size=16, kv_pool_pages=3)
     with pytest.raises(ValueError, match="pages"):
         engine.submit(list(range(3, 40)), 60)
+
+
+def test_paged_gpt_family():
+    """The paged write/read helpers are shared by the gpt decoder families
+    (models/gpt_decoder.py routes through llama's cache helpers)."""
+    from multimodal_unlearning_tpu.models import gpt_decoder
+
+    rng = np.random.default_rng(9)
+    gcfg = gpt_decoder.GptConfig.from_registry(dict(
+        decoder="neox", vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, rotary_pct=0.25,
+    ))
+    gparams = gpt_decoder.init_params(gcfg, jax.random.PRNGKey(0))
+    prompts = [rng.integers(3, gcfg.vocab_size, n).tolist() for n in (9, 21)]
+
+    def run(page):
+        e = ServingEngine(
+            gparams, gcfg, "neox", num_slots=2, max_len=128, chunk=3,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+            page_size=page)
+        rs = [e.submit(p, 7) for p in prompts]
+        e.drain(rs)
+        return [list(r.tokens) for r in rs]
+
+    assert run(16) == run(0)
+
+
+def test_paged_tensor_parallel_matches_unsharded():
+    """Paged engine under a tensor=2 mesh: the pool shards on the head dim
+    (or GSPMD partitions the gather path) and streams stay identical."""
+    from multimodal_unlearning_tpu.cli.common import apply_tensor_parallel
+    from multimodal_unlearning_tpu.parallel import MeshSpec, make_mesh
+
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(10)
+    specs = [(6, 5), (10, 4), (4, 6)]
+    prompts = [rng.integers(3, cfg.vocab_size, p).tolist() for p, _ in specs]
+
+    def run(mesh, p, page):
+        eng = ServingEngine(
+            p, cfg, "llama", num_slots=2, max_len=128, chunk=4,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32, mesh=mesh,
+            page_size=page)
+        reqs = [eng.submit(pr, m) for pr, (_, m) in zip(prompts, specs)]
+        return eng.drain(reqs)
+
+    base = run(None, params, 0)
+    mesh = make_mesh(MeshSpec(data=2, fsdp=2, tensor=2))
+    tp_params = apply_tensor_parallel(
+        mesh, cfg, "llama", jax.tree.map(jnp.asarray, params))
+    with mesh:
+        tp = run(mesh, tp_params, 16)
+    assert tp == base
