@@ -69,6 +69,7 @@ def build_engine(cfg):
         prefill_chunk=int(cfg.get("prefill_chunk", 0) or 0),
         page_size=int(cfg.get("page_size", 0) or 0),
         kv_pool_pages=int(cfg.get("kv_pool_pages", 0) or 0) or None,
+        logprobs=bool(cfg.get("logprobs", False)),
     )
     return engine, processor, kind, mcfg
 
@@ -121,12 +122,14 @@ def run(cfg):
 
     results = []
     with open(cfg.save_file, "w") as f:
-        for question, toks in zip(texts, outs):
+        for question, req, toks in zip(texts, reqs, outs):
             row = {
                 "question": question,
                 "completion": tok.decode(toks, skip_special_tokens=True),
                 "tokens": len(toks),
             }
+            if engine.want_lp:
+                row["logprobs"] = [round(x, 6) for x in req.logprobs]
             results.append(row)
             f.write(json.dumps(row) + "\n")
     n_tok = sum(len(t) for t in outs)

@@ -60,6 +60,7 @@ class Request:
     prefix: int | None = None  # registered shared-prefix id (prefix cache)
     lora_id: int = 0  # adapter index under multi-LoRA serving (0 = base)
     tokens: list = field(default_factory=list)
+    logprobs: list = field(default_factory=list)  # per emitted token (opt-in)
     done: bool = False
     submit_t: float = 0.0   # time.monotonic at submit
     first_t: float = 0.0    # first token available (TTFT = first_t - submit_t)
@@ -108,6 +109,11 @@ class ServingEngine:
         for retired slots).  Default ``slots × (max_len/page) + 1`` — the
         dense layout's capacity; set lower to cap KV memory and let
         admission control queue requests.
+      logprobs: attach the model's log-probability of every emitted token
+        to its request (``Request.logprobs``, aligned with ``tokens``).
+        Raw ``log_softmax(logits)`` — temperature/top-k/top-p do NOT
+        rescale it (the OpenAI-completions convention).  Opt-in: adds one
+        [B, V] log-softmax per decode step.
     """
 
     def __init__(
@@ -136,6 +142,7 @@ class ServingEngine:
         prefill_chunk: int = 0,
         page_size: int = 0,
         kv_pool_pages: int | None = None,
+        logprobs: bool = False,
     ):
         if attn_impl == "auto":
             attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -180,6 +187,7 @@ class ServingEngine:
         # stochastic decoding (evaluation/sampling.py): temperature > 0
         # samples; token i of a request seeded s depends only on (s, i), so
         # streams reproduce solo greedy_generate(do_sample=True) runs
+        self.want_lp = bool(logprobs)
         self.do_sample = float(temperature) > 0.0
         self.temperature = float(temperature)
         self.top_k = int(top_k)
@@ -410,6 +418,9 @@ class ServingEngine:
                     self.top_p)
             else:
                 first = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
+            lp0 = (jax.nn.log_softmax(
+                out["logits"][:, -1, :].astype(jnp.float32), axis=-1)[0, first[0]]
+                if self.want_lp else None)
 
             if self.page:
                 cache = self._scatter_pages(state["cache"], slab, page_ids)
@@ -453,7 +464,7 @@ class ServingEngine:
                 state["out_idx"] = old_sample["out_idx"].at[slot].set(1)
             if self._lora is not None:
                 state["lora_id"] = old_lora.at[slot].set(lora_id)
-            return state, first[0]
+            return (state, first[0], lp0) if self.want_lp else (state, first[0])
 
         self._insert_cache[(sp, with_pixels)] = prefill_insert
         return prefill_insert
@@ -633,6 +644,9 @@ class ServingEngine:
                     last, self.temperature, self.top_k, self.top_p)
             else:
                 first = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            lp0 = (jax.nn.log_softmax(
+                last.astype(jnp.float32), axis=-1)[0, first[0]]
+                if self.want_lp else None)
 
             if self.page:
                 cache = self._scatter_pages(
@@ -678,7 +692,7 @@ class ServingEngine:
                 state["out_idx"] = old_sample["out_idx"].at[slot].set(1)
             if self._lora is not None:
                 state["lora_id"] = old_lora.at[slot].set(lora_id)
-            return state, first[0]
+            return (state, first[0], lp0) if self.want_lp else (state, first[0])
 
         self._insert_cache[key] = suffix_insert
         return suffix_insert
@@ -725,6 +739,11 @@ class ServingEngine:
                 else:
                     nxt = jnp.argmax(out["logits"][:, -1, :], axis=-1).astype(jnp.int32)
                 emit = jnp.where(live, nxt, pad)
+                if self.want_lp:
+                    lp = jnp.take_along_axis(
+                        jax.nn.log_softmax(
+                            out["logits"][:, -1, :].astype(jnp.float32), axis=-1),
+                        nxt[:, None], axis=1)[:, 0]
                 hit_eos = (nxt == eos) if eos >= 0 else jnp.zeros((B,), bool)
                 remaining = jnp.where(live, s["remaining"] - 1, s["remaining"])
                 still = live & ~hit_eos & (remaining > 0)
@@ -748,8 +767,14 @@ class ServingEngine:
                     s["out_idx"] = s2_idx
                 if self._lora is not None:
                     s["lora_id"] = s2_lora
+                if self.want_lp:
+                    return s, (emit, live, lp)
                 return s, (emit, live)
 
+            if self.want_lp:
+                state, (emits, lives, lps) = jax.lax.scan(
+                    step, state, None, length=n)
+                return state, emits, (lives, lps)
             state, (emits, lives) = jax.lax.scan(step, state, None, length=n)
             return state, emits, lives
 
@@ -821,6 +846,10 @@ class ServingEngine:
                     dec_kw["lora_ids"] = s["lora_id"]
                 o = fwd(chunk_in, **dec_kw)
                 preds = jnp.argmax(o["logits"], axis=-1).astype(jnp.int32)  # [B,K+1]
+                if self.want_lp:
+                    lps = jnp.take_along_axis(
+                        jax.nn.log_softmax(o["logits"].astype(jnp.float32), axis=-1),
+                        preds[:, :, None], axis=2)[:, :, 0]  # [B,K+1]
 
                 matches = jnp.cumprod((draft == preds[:, :K]).astype(jnp.int32), axis=1)
                 a = jnp.sum(matches, axis=1)                  # accepted 0..K
@@ -861,8 +890,14 @@ class ServingEngine:
                 }
                 if s2_lora is not None:
                     s["lora_id"] = s2_lora
+                if self.want_lp:
+                    return s, (emits, n_emit, done, lps)
                 return s, (emits, n_emit, done)
 
+            if self.want_lp:
+                state, (emits, n_emits, dones, lps) = jax.lax.scan(
+                    step, state, None, length=n)
+                return state, emits, (n_emits, dones, lps)
             state, (emits, n_emits, dones) = jax.lax.scan(step, state, None, length=n)
             return state, emits, (n_emits, dones)
 
@@ -980,7 +1015,7 @@ class ServingEngine:
             page_ids = jnp.asarray(
                 job["pages"][: (job["P"] + sp) // self.page], jnp.int32)
         fn = self._suffix_insert_fn(sp, job["P"])
-        self._state, first = fn(
+        out = fn(
             self.params, self._state, job["slab"], job["kv_row"],
             jnp.asarray(hist), jnp.int32(job["pos"]),
             jnp.asarray(ids), jnp.int32(rem),
@@ -988,8 +1023,10 @@ class ServingEngine:
             jnp.asarray(dref), jnp.int32(req.sample_seed),
             jnp.int32(req.lora_id), job["rope_delta"], page_ids,
         )
+        self._state, first = out[0], out[1]
         self._prefill_job = None
-        self._after_insert(req, job["slot"], first)
+        self._after_insert(req, job["slot"], first,
+                           out[2] if self.want_lp else None)
 
     def _fill_slots(self):
         if self._prefill_job is not None:
@@ -1029,13 +1066,15 @@ class ServingEngine:
                 self._assign_pages(slot, own)
                 page_ids = jnp.asarray(own[: sp // self.page], jnp.int32)
             fn = self._insert_fn(sp, req.pixel_values is not None)
-            self._state, first = fn(
+            out = fn(
                 self.params, self._state, jnp.asarray(ids), jnp.asarray(mask),
                 pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
                 jnp.asarray(dref), jnp.int32(req.sample_seed),
                 jnp.int32(req.lora_id), page_ids,
             )
-            self._after_insert(req, slot, first)
+            self._state, first = out[0], out[1]
+            self._after_insert(req, slot, first,
+                               out[2] if self.want_lp else None)
 
     def _fill_with_prefix(self, req, slot):
         """Admit a request against a registered prefix: copy the cached
@@ -1055,7 +1094,7 @@ class ServingEngine:
             self._assign_pages(slot, own, prefix_pages=pre["pages"])
             page_ids = jnp.asarray(own[: sp // self.page], jnp.int32)
         fn = self._suffix_insert_fn(sp, pre["P"], shared_prefix=bool(self.page))
-        self._state, first = fn(
+        out = fn(
             self.params, self._state, pre["slab"], jnp.asarray(pre["mask"]),
             jnp.asarray(pre["hist"][None]), jnp.int32(pre["plen"]),
             jnp.asarray(ids), jnp.int32(len(req.prompt_ids)),
@@ -1063,9 +1102,11 @@ class ServingEngine:
             jnp.asarray(dref), jnp.int32(req.sample_seed),
             jnp.int32(req.lora_id), jnp.int32(pre["rope_delta"]), page_ids,
         )
-        self._after_insert(req, slot, first)
+        self._state, first = out[0], out[1]
+        self._after_insert(req, slot, first,
+                           out[2] if self.want_lp else None)
 
-    def _after_insert(self, req, slot, first):
+    def _after_insert(self, req, slot, first, lp0=None):
         self._n_prefill += 1
         first = int(first)
         req.first_t = time.monotonic()
@@ -1076,6 +1117,8 @@ class ServingEngine:
             self._free.append(slot)
         else:
             req.tokens.append(first)
+            if lp0 is not None:
+                req.logprobs.append(float(lp0))
             if req.max_new_tokens == 1:
                 req.done = True
                 req.done_t = req.first_t
@@ -1091,6 +1134,10 @@ class ServingEngine:
         may already have been donated into the NEXT chunk."""
         if self.K:
             return self._consume_spec(emits, aux, snapshot)
+        lps = None
+        if self.want_lp:
+            aux, lps = aux
+            lps = np.asarray(lps)
         lives = aux
         emits = np.asarray(emits)   # [T, B] — blocks until the chunk lands
         lives = np.asarray(lives)
@@ -1107,6 +1154,8 @@ class ServingEngine:
                     hit_eos = True
                     break
                 req.tokens.append(tok)
+                if lps is not None:
+                    req.logprobs.append(float(lps[t, b]))
                 self._n_emitted += 1
             if hit_eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
@@ -1119,7 +1168,12 @@ class ServingEngine:
         """Spec-mode delivery: step t emitted ``n_emits[t,b]`` verified
         tokens for slot b (eos never emitted; ``dones`` marks eos/budget
         retirement — decided on device, so the host just replays it)."""
-        n_emits, dones = aux
+        lps = None
+        if self.want_lp:
+            n_emits, dones, lps = aux
+            lps = np.asarray(lps)       # [T, B, K+1]
+        else:
+            n_emits, dones = aux
         emits = np.asarray(emits)       # [T, B, K+1] — blocks on the chunk
         n_emits = np.asarray(n_emits)   # [T, B]
         dones = np.asarray(dones)
@@ -1129,6 +1183,8 @@ class ServingEngine:
                 continue
             for t in range(self.chunk):
                 req.tokens.extend(int(x) for x in emits[t, b, : n_emits[t, b]])
+                if lps is not None:
+                    req.logprobs.extend(float(x) for x in lps[t, b, : n_emits[t, b]])
                 self._n_emitted += int(n_emits[t, b])
                 if dones[t, b]:
                     req.done = True

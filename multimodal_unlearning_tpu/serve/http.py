@@ -113,13 +113,17 @@ class EngineServer:
         if w.error is not None:
             raise w.error
         r = w.request
-        return {
+        out = {
             "text": self.decode(r.tokens),
             "tokens": len(r.tokens),
             "adapter": payload.get("adapter"),
             "ttft_s": round(r.first_t - r.submit_t, 4),
             "latency_s": round(r.done_t - r.submit_t, 4),
         }
+        if self.engine.want_lp:
+            # OpenAI-completions shape: one logprob per emitted token
+            out["logprobs"] = {"token_logprobs": [round(x, 6) for x in r.logprobs]}
+        return out
 
     def stats(self) -> dict:
         st = dict(self.engine.stats())
