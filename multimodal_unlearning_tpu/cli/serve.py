@@ -109,11 +109,16 @@ def run(cfg):
             # lookup corpus (e.g. a cached prior completion) — output stays
             # exactly greedy either way
             dref = tok.encode(r["draft"]) if r.get("draft") else None
+            # "stop": string or list of strings, tokenized without specials
+            stops = r.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            stops = [tok.encode(s, add_special_tokens=False) for s in stops]
             reqs.append(engine.submit(
                 ids, int(r.get("max_new_tokens", default_new)),
                 pixel_values=pix, draft_ref=dref,
                 sample_seed=r.get("sample_seed"), prefix=pid,
-                adapter=r.get("adapter")))
+                adapter=r.get("adapter"), stop=stops))
             texts.append(r["question"])
 
     t0 = time.perf_counter()

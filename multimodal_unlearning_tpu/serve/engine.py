@@ -61,6 +61,7 @@ class Request:
     lora_id: int = 0  # adapter index under multi-LoRA serving (0 = base)
     tokens: list = field(default_factory=list)
     logprobs: list = field(default_factory=list)  # per emitted token (opt-in)
+    stop: list = field(default_factory=list)  # token-id stop sequences
     done: bool = False
     submit_t: float = 0.0   # time.monotonic at submit
     first_t: float = 0.0    # first token available (TTFT = first_t - submit_t)
@@ -906,7 +907,7 @@ class ServingEngine:
     # ----------------------------------------------------------------- host
     def submit(self, prompt_ids, max_new_tokens: int, pixel_values=None,
                draft_ref=None, sample_seed=None, prefix=None,
-               adapter=None) -> Request:
+               adapter=None, stop=None) -> Request:
         sp = _bucket(len(prompt_ids), self.bucket_multiple)
         if prefix is not None:
             if not len(prompt_ids):
@@ -947,6 +948,9 @@ class ServingEngine:
                     f"request asks for {adapter!r}")
         req.lora_id = self._adapter_ids[adapter]
         req.draft_ref = list(draft_ref or [])[: self.R]
+        # stop sequences: token-id lists, host-checked on the emitted stream
+        # (the matched suffix is truncated away, OpenAI convention)
+        req.stop = [list(int(t) for t in s) for s in (stop or []) if len(s)]
         req.sample_seed = self._uid if sample_seed is None else int(sample_seed)
         req.submit_t = time.monotonic()
         self._queue.append(req)
@@ -1106,6 +1110,78 @@ class ServingEngine:
         self._after_insert(req, slot, first,
                            out[2] if self.want_lp else None)
 
+    def _apply_stop(self, req, old_len: int) -> bool:
+        """Scan generated tokens appended since ``old_len`` for any stop
+        sequence (which may reach back across the boundary); on a match,
+        truncate the stream BEFORE the stop (tokens + logprobs)."""
+        if not req.stop:
+            return False
+        toks = req.tokens
+        for end in range(old_len + 1, len(toks) + 1):
+            for s in req.stop:
+                L = len(s)
+                if end >= L and toks[end - L: end] == s:
+                    del toks[end - L:]
+                    del req.logprobs[end - L:]
+                    return True
+        return False
+
+    def _kill_slot_device(self, slot: int):
+        """Flip a slot dead ON DEVICE (live=False, remaining=0) — used when
+        the HOST retires a request early (stop sequence, cancel) and the
+        device would otherwise keep decoding the dead slot until its budget
+        ran out."""
+        kill = self._insert_cache.get("kill")
+        if kill is None:
+            @partial(jax.jit, donate_argnums=(0,))
+            def kill(state, slot):
+                state = dict(state)
+                state["live"] = state["live"].at[slot].set(False)
+                state["remaining"] = state["remaining"].at[slot].set(0)
+                return state
+
+            self._insert_cache["kill"] = kill
+        self._state = kill(self._state, jnp.int32(slot))
+
+    def _retire(self, req, slot: int, *, kill_device: bool = False):
+        req.done = True
+        req.done_t = time.monotonic()
+        if self._slot_req[slot] is req:
+            self._slot_req[slot] = None
+        self._release_slot_pages(slot)
+        self._free.append(slot)
+        if kill_device:
+            self._kill_slot_device(slot)
+
+    def cancel(self, req) -> bool:
+        """Abort a request: drop it from the queue, or retire its slot /
+        chunked-prefill job (partial tokens stay on the request).  Returns
+        False if it had already completed."""
+        if req.done:
+            return False
+        if req in self._queue:
+            self._queue.remove(req)
+            req.done = True
+            req.done_t = time.monotonic()
+            return True
+        if self._prefill_job is not None and self._prefill_job["req"] is req:
+            job, self._prefill_job = self._prefill_job, None
+            if self.page:
+                self._free_pages.extend(job["pages"])
+            req.done = True
+            req.done_t = time.monotonic()
+            self._free.append(job["slot"])
+            return True
+        for slot, r in enumerate(self._slot_req):
+            if r is req:
+                self._retire(req, slot, kill_device=True)
+                return True
+        # between insert and activation (pipelined pending chunk): the slot
+        # map snapshot will skip it because done is set
+        req.done = True
+        req.done_t = time.monotonic()
+        return True
+
     def _after_insert(self, req, slot, first, lp0=None):
         self._n_prefill += 1
         first = int(first)
@@ -1119,7 +1195,10 @@ class ServingEngine:
             req.tokens.append(first)
             if lp0 is not None:
                 req.logprobs.append(float(lp0))
-            if req.max_new_tokens == 1:
+            if self._apply_stop(req, 0):
+                # the insert marked the slot live on device; flip it back
+                self._retire(req, slot, kill_device=True)
+            elif req.max_new_tokens == 1:
                 req.done = True
                 req.done_t = req.first_t
                 self._release_slot_pages(slot)
@@ -1157,6 +1236,11 @@ class ServingEngine:
                 if lps is not None:
                     req.logprobs.append(float(lps[t, b]))
                 self._n_emitted += 1
+                if self._apply_stop(req, len(req.tokens) - 1):
+                    self._retire(req, b, kill_device=True)
+                    break
+            if req.done:
+                continue
             if hit_eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 req.done_t = time.monotonic()
@@ -1182,10 +1266,14 @@ class ServingEngine:
             if req is None or req.done:
                 continue
             for t in range(self.chunk):
+                old = len(req.tokens)
                 req.tokens.extend(int(x) for x in emits[t, b, : n_emits[t, b]])
                 if lps is not None:
                     req.logprobs.extend(float(x) for x in lps[t, b, : n_emits[t, b]])
                 self._n_emitted += int(n_emits[t, b])
+                if self._apply_stop(req, old):
+                    self._retire(req, b, kill_device=True)
+                    break
                 if dones[t, b]:
                     req.done = True
                     req.done_t = time.monotonic()

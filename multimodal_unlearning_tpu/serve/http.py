@@ -49,10 +49,13 @@ class EngineServer:
       default_max_tokens: budget when a request omits ``max_tokens``.
     """
 
-    def __init__(self, engine, encode, decode, *, default_max_tokens: int = 128):
+    def __init__(self, engine, encode, decode, *, default_max_tokens: int = 128,
+                 encode_raw=None):
         self.engine = engine
         self.encode = encode
         self.decode = decode
+        # bare tokenization (no chat template / specials) for stop strings
+        self.encode_stop = encode_raw or encode
         self.default_max_tokens = default_max_tokens
         self._inbox: list[_Work] = []
         self._lock = threading.Lock()
@@ -73,11 +76,15 @@ class EngineServer:
                     p = w.payload
                     ids = self.encode(str(p["prompt"]))
                     dref = self.encode(str(p["draft"])) if p.get("draft") else None
+                    stops = p.get("stop") or []
+                    if isinstance(stops, str):
+                        stops = [stops]
+                    stops = [self.encode_stop(s) for s in stops]
                     w.request = self.engine.submit(
                         ids, int(p.get("max_tokens", self.default_max_tokens)),
                         draft_ref=dref,
                         sample_seed=p.get("sample_seed"),
-                        adapter=p.get("adapter"),
+                        adapter=p.get("adapter"), stop=stops,
                     )
                 except Exception as e:  # bad payload: report, don't kill the loop
                     w.error = e
