@@ -88,7 +88,7 @@ def run(cfg):
             tok.encode(str(cfg.system_prompt), add_special_tokens=True))
 
     default_new = int(cfg.generation.max_new_tokens)
-    reqs, texts = [], []
+    reqs, texts, stop_strs = [], [], []
     with open(cfg.requests) as f:
         for line in f:
             if not line.strip():
@@ -109,28 +109,44 @@ def run(cfg):
             # lookup corpus (e.g. a cached prior completion) — output stays
             # exactly greedy either way
             dref = tok.encode(r["draft"]) if r.get("draft") else None
-            # "stop": string or list of strings, tokenized without specials
+            # "stop": string or list of strings — matched at TEXT level
+            # (token-id matching would miss BPE boundary merges)
             stops = r.get("stop") or []
-            if isinstance(stops, str):
-                stops = [stops]
-            stops = [tok.encode(s, add_special_tokens=False) for s in stops]
+            stop_strs.append([stops] if isinstance(stops, str) else list(stops))
             reqs.append(engine.submit(
                 ids, int(r.get("max_new_tokens", default_new)),
                 pixel_values=pix, draft_ref=dref,
                 sample_seed=r.get("sample_seed"), prefix=pid,
-                adapter=r.get("adapter"), stop=stops))
+                adapter=r.get("adapter")))
             texts.append(r["question"])
 
     t0 = time.perf_counter()
-    outs = engine.drain(reqs)
+    cut_text: list[str | None] = [None] * len(reqs)
+    while not all(r.done for r in reqs):
+        engine.step()
+        for i, req in enumerate(reqs):
+            if req.done or not stop_strs[i] or cut_text[i] is not None:
+                continue
+            text = tok.decode(req.tokens, skip_special_tokens=True)
+            cuts = [text.find(s) for s in stop_strs[i] if s in text]
+            if cuts:
+                cut_text[i] = text[: min(cuts)]
+                engine.cancel(req)
+    outs = [r.tokens for r in reqs]
     dt = time.perf_counter() - t0
 
     results = []
     with open(cfg.save_file, "w") as f:
-        for question, req, toks in zip(texts, reqs, outs):
+        for i, (question, req, toks) in enumerate(zip(texts, reqs, outs)):
+            completion = (cut_text[i] if cut_text[i] is not None
+                          else tok.decode(toks, skip_special_tokens=True))
+            # a stop can land inside the final chunk after natural finish
+            late = [completion.find(s) for s in stop_strs[i] if s in completion]
+            if late:
+                completion = completion[: min(late)]
             row = {
                 "question": question,
-                "completion": tok.decode(toks, skip_special_tokens=True),
+                "completion": completion,
                 "tokens": len(toks),
             }
             if engine.want_lp:

@@ -39,7 +39,6 @@ def make_server(cfg):
     return EngineServer(
         engine, encode, decode,
         default_max_tokens=int(cfg.generation.max_new_tokens),
-        encode_raw=lambda s: tok.encode(s, add_special_tokens=False),
     )
 
 

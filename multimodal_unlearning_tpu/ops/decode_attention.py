@@ -258,6 +258,13 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None):
     It replaces C single-token steps, so per accepted token it streams the
     same cache bytes as the fallback path; the Pallas single-token kernel
     stays on the non-speculative path.
+
+    Paged caches: the verify chunk materializes the full [B,Hkv,MP·page,D]
+    gather view per layer, so SPECULATIVE decode does not keep the paged
+    pool's transient-memory cap (the persistent pool is still capped; the
+    gather is a per-layer transient).  A block-table-aware chunk kernel
+    would remove this — plain paged decode already has one
+    (ops/paged_attention.py).
     """
     B, Hq, C, D = q.shape
     if sm_scale is None:

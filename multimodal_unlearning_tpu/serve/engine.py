@@ -106,6 +106,9 @@ class ServingEngine:
         every slot's table (zero-copy — the dense path copies the prefix
         slab per slot), and admission waits on the page free list instead
         of failing.  Output is token-identical to the dense cache.
+        Caveat: with ``speculate_k`` the verify chunk reads the pool
+        through a dense per-layer gather view (a transient, not persistent,
+        allocation — see chunk_decode_attention's docstring).
       kv_pool_pages: pool size in pages (page 0 is a reserved trash page
         for retired slots).  Default ``slots × (max_len/page) + 1`` — the
         dense layout's capacity; set lower to cap KV memory and let
@@ -247,19 +250,14 @@ class ServingEngine:
 
     def _own_pages_needed(self, req) -> int:
         """Pages the request's OWN logical region spans (prefix pages are
-        shared and pre-allocated at register_prefix)."""
+        shared and pre-allocated at register_prefix).  Chunked prefill
+        needs no special case: prefill_chunk is pre-bucketed, so its chunk
+        progression lands on exactly ``bucket(len)`` columns."""
         slack = self.K + 1 if self.K else 0
-        if req.prefix is not None:
-            sp = _bucket(max(len(req.prompt_ids), 1), self.bucket_multiple)
-            return self._pages_for(sp + req.max_new_tokens + slack)
-        if self._needs_chunked_prefill(req):
-            C = self.prefill_chunk
-            n_full = (len(req.prompt_ids) - 1) // C
-            cols = n_full * C + _bucket(len(req.prompt_ids) - n_full * C,
-                                        self.bucket_multiple)
-        else:
-            cols = _bucket(len(req.prompt_ids), self.bucket_multiple)
-        return self._pages_for(cols + req.max_new_tokens + slack)
+        n = len(req.prompt_ids) if req.prefix is None else max(
+            len(req.prompt_ids), 1)
+        sp = _bucket(n, self.bucket_multiple)
+        return self._pages_for(sp + req.max_new_tokens + slack)
 
     def _alloc_pages(self, n: int) -> list[int]:
         ids, self._free_pages = self._free_pages[:n], self._free_pages[n:]
@@ -567,8 +565,16 @@ class ServingEngine:
         if self.page:
             # scatter the prefix ONCE into shared pool pages (never freed);
             # every request's table references them zero-copy, vs the dense
-            # path's per-slot slab copy at insert
-            pages = self._alloc_pages(P // self.page)
+            # path's per-slot slab copy at insert.  Register prefixes BEFORE
+            # submitting requests: pinning pages later shrinks the ceiling
+            # already-queued requests were admitted against.
+            need = P // self.page
+            if need > len(self._free_pages):
+                raise ValueError(
+                    f"prefix needs {need} pool pages but only "
+                    f"{len(self._free_pages)} are free (kv_pool_pages; "
+                    "register prefixes before submitting requests)")
+            pages = self._alloc_pages(need)
             if self._state is None:
                 self._state = self._init_state()
             key = ("pscatter", P)
@@ -1176,11 +1182,10 @@ class ServingEngine:
             if r is req:
                 self._retire(req, slot, kill_device=True)
                 return True
-        # between insert and activation (pipelined pending chunk): the slot
-        # map snapshot will skip it because done is set
-        req.done = True
-        req.done_t = time.monotonic()
-        return True
+        # not ours (or already fully delivered): _after_insert assigns
+        # _slot_req synchronously, so a live request of THIS engine is
+        # always found above — don't claim to have cancelled a foreign one
+        return False
 
     def _after_insert(self, req, slot, first, lp0=None):
         self._n_prefill += 1

@@ -30,13 +30,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class _Work:
-    __slots__ = ("payload", "event", "request", "error")
+    __slots__ = ("payload", "event", "request", "error", "stops", "text")
 
     def __init__(self, payload):
         self.payload = payload
         self.event = threading.Event()
         self.request = None
         self.error = None
+        stops = payload.get("stop") or []
+        self.stops = [stops] if isinstance(stops, str) else list(stops)
+        self.text = None  # set when a stop string truncates the stream
 
 
 class EngineServer:
@@ -49,13 +52,10 @@ class EngineServer:
       default_max_tokens: budget when a request omits ``max_tokens``.
     """
 
-    def __init__(self, engine, encode, decode, *, default_max_tokens: int = 128,
-                 encode_raw=None):
+    def __init__(self, engine, encode, decode, *, default_max_tokens: int = 128):
         self.engine = engine
         self.encode = encode
         self.decode = decode
-        # bare tokenization (no chat template / specials) for stop strings
-        self.encode_stop = encode_raw or encode
         self.default_max_tokens = default_max_tokens
         self._inbox: list[_Work] = []
         self._lock = threading.Lock()
@@ -76,15 +76,11 @@ class EngineServer:
                     p = w.payload
                     ids = self.encode(str(p["prompt"]))
                     dref = self.encode(str(p["draft"])) if p.get("draft") else None
-                    stops = p.get("stop") or []
-                    if isinstance(stops, str):
-                        stops = [stops]
-                    stops = [self.encode_stop(s) for s in stops]
                     w.request = self.engine.submit(
                         ids, int(p.get("max_tokens", self.default_max_tokens)),
                         draft_ref=dref,
                         sample_seed=p.get("sample_seed"),
-                        adapter=p.get("adapter"), stop=stops,
+                        adapter=p.get("adapter"),
                     )
                 except Exception as e:  # bad payload: report, don't kill the loop
                     w.error = e
@@ -95,6 +91,18 @@ class EngineServer:
             if in_flight or any(
                     r is not None for r in self.engine._slot_req) or self.engine._queue:
                 self.engine.step()
+                # TEXT-level stop strings (OpenAI semantics): token-id
+                # matching misses BPE boundary merges, so decode each
+                # watched stream and cancel at the earliest stop occurrence
+                for w in pending:
+                    r = w.request
+                    if r is None or r.done or not w.stops or w.text is not None:
+                        continue
+                    text = self.decode(r.tokens)
+                    cuts = [text.find(s) for s in w.stops if s in text]
+                    if cuts:
+                        w.text = text[: min(cuts)]
+                        self.engine.cancel(r)
             else:
                 # idle: sleep until a handler enqueues work
                 self._wake.wait(timeout=0.05)
@@ -120,8 +128,14 @@ class EngineServer:
         if w.error is not None:
             raise w.error
         r = w.request
+        text = w.text if w.text is not None else self.decode(r.tokens)
+        # a stop may land inside the final consumed chunk after the request
+        # already finished — truncate here too
+        cuts = [text.find(s) for s in w.stops if s in text]
+        if cuts:
+            text = text[: min(cuts)]
         out = {
-            "text": self.decode(r.tokens),
+            "text": text,
             "tokens": len(r.tokens),
             "adapter": payload.get("adapter"),
             "ttft_s": round(r.first_t - r.submit_t, 4),

@@ -272,3 +272,11 @@ def test_paged_tensor_parallel_matches_unsharded():
     with mesh:
         tp = run(mesh, tp_params, 16)
     assert tp == base
+
+
+def test_prefix_overflow_raises_cleanly():
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(11)
+    engine = _engine(cfg, params, page_size=16, kv_pool_pages=3)  # 2 usable
+    with pytest.raises(ValueError, match="prefix needs"):
+        engine.register_prefix(rng.integers(3, cfg.vocab_size, 40).tolist())

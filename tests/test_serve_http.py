@@ -120,3 +120,22 @@ def test_make_server_from_config(tmp_path):
         assert out["tokens"] >= 1 and isinstance(out["text"], str)
     finally:
         srv.shutdown()
+
+
+def test_http_stop_string_truncates_text(server):
+    """Stop strings match at TEXT level (BPE boundary merges can defeat
+    token-id matching) and cancel the request on device."""
+    srv, url, cfg, params, enc = server
+    free = _post(f"{url}/v1/completions",
+                 {"prompt": "stoptest", "max_tokens": 10})
+    text = free["text"]
+    stop = text[3:5]
+    want = text[: text.find(stop)]  # EARLIEST occurrence wins
+    out = _post(f"{url}/v1/completions",
+                {"prompt": "stoptest", "max_tokens": 10, "stop": stop})
+    assert out["text"] == want
+    # list form + a never-occurring stop leaves the stream whole
+    out2 = _post(f"{url}/v1/completions",
+                 {"prompt": "stoptest", "max_tokens": 10,
+                  "stop": ["ÿÿÿ"]})
+    assert out2["text"] == text

@@ -134,3 +134,18 @@ def test_cancel_chunked_prefill_job():
     np.testing.assert_array_equal(
         np.asarray(r_short.tokens), _expected(params, cfg, short, 5))
     assert engine.stats()["pool_pages_used"] == 0
+
+
+def test_cancel_foreign_request_returns_false():
+    """A Request this engine never saw must not be reported as cancelled."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(6)
+    a = _engine(cfg, params)
+    b = _engine(cfg, params)
+    prompt = rng.integers(3, cfg.vocab_size, 6).tolist()
+    req = a.submit(prompt, 4)
+    a.step()
+    assert b.cancel(req) is False      # not b's request
+    a.drain([req])
+    np.testing.assert_array_equal(
+        np.asarray(req.tokens), _expected(params, cfg, prompt, 4))
