@@ -141,6 +141,8 @@ def run(cfg):
         dataloader=loader, mesh=mesh, grad_accum=cfg.gradient_accumulation_steps,
         max_steps=max_steps, logging_steps=max(1, max_steps // 20),
         state_ckpt_dir=str(save_dir / "train_state"),
+        ckpt_async=bool(cfg.get("ckpt_async", True)),
+        ckpt_keep=int(cfg.get("ckpt_keep", 0) or 0) or None,
         save_steps=steps_per_epoch,
         resume=bool(cfg.get("resume_from_checkpoint")),
         profile_dir=str(save_dir / "profile") if cfg.get("profile") else None,

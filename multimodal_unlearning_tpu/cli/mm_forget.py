@@ -274,6 +274,8 @@ def _run(cfg):
         # preemption-safe 5-epoch runs: full train state (opt moments) per
         # epoch + deterministic batch-skip resume (mm/finetune.py:126 analog)
         state_ckpt_dir=str(save_dir / "train_state"),
+        ckpt_async=bool(cfg.get("ckpt_async", True)),
+        ckpt_keep=int(cfg.get("ckpt_keep", 0) or 0) or None,
         resume=bool(cfg.get("resume_from_checkpoint")),
         profile_dir=str(save_dir / "profile") if cfg.get("profile") else None,
     )

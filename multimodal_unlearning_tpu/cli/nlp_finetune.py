@@ -123,6 +123,8 @@ def run(cfg):
         # preemption-safe resume (see cli/mm_forget.py)
         save_steps=max(1, steps_per_epoch),
         state_ckpt_dir=str(save_dir / "train_state"),
+        ckpt_async=bool(cfg.get("ckpt_async", True)),
+        ckpt_keep=int(cfg.get("ckpt_keep", 0) or 0) or None,
         resume=bool(cfg.get("resume_from_checkpoint")),
     )
 

@@ -209,11 +209,94 @@ def save_train_state(ckpt_dir: str | Path, step: int, state) -> None:
     ckptr.wait_until_finished()
 
 
+class TrainStateCheckpointer:
+    """Async train-state checkpointing with retention.
+
+    The device->host snapshot is the only synchronous part (obligatory:
+    the train step DONATES the state, so its buffers are invalid the
+    moment the next step dispatches); the Orbax write + old-step pruning
+    run on a background thread, overlapping training.  The reference
+    inherits HF Trainer's fully synchronous ``_save_checkpoint``
+    (save_total_limit pruning included) — this is the overlap-friendly
+    equivalent.
+
+    Args:
+      ckpt_dir: directory of ``step_N`` checkpoints.
+      async_save: False = block until the write finishes (old behavior).
+      keep_last: prune to the newest N step dirs after each save (0/None
+        keeps everything); the latest step is never pruned, so resume is
+        unaffected.
+    """
+
+    def __init__(self, ckpt_dir: str | Path, *, async_save: bool = True,
+                 keep_last: int | None = None):
+        self.dir = Path(ckpt_dir).resolve()
+        self.async_save = async_save
+        self.keep_last = int(keep_last or 0)
+        self._thread = None
+        self._error = None
+
+    def _write(self, step: int, host_state):
+        import orbax.checkpoint as ocp
+
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(self.dir / f"step_{step}", host_state, force=True)
+            ckptr.wait_until_finished()
+            if self.keep_last > 0:
+                steps = sorted(_finalized_steps(self.dir))
+                for old in steps[: -self.keep_last]:
+                    import shutil
+
+                    shutil.rmtree(self.dir / f"step_{old}", ignore_errors=True)
+        except Exception as e:  # surfaced on the next save()/wait()
+            self._error = e
+
+    def save(self, step: int, state) -> None:
+        host_state = jax.tree.map(np.asarray, state)  # sync d2h snapshot
+        self.wait()
+        if self.async_save:
+            import threading
+
+            self._thread = threading.Thread(
+                target=self._write, args=(step, host_state), daemon=True)
+            self._thread.start()
+        else:
+            self._write(step, host_state)
+            self._raise_pending()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) lands; re-raise its
+        error in the training thread."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self._raise_pending()
+
+    def _raise_pending(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(f"async checkpoint write failed: {err}") from err
+
+
+def _finalized_steps(p: Path) -> list[int]:
+    """step_N dirs, EXCLUDING Orbax tmp dirs from an interrupted save
+    (``step_N.orbax-checkpoint-tmp-*`` would otherwise crash int())."""
+    out = []
+    for d in p.glob("step_*"):
+        if not d.is_dir():
+            continue
+        tail = d.name.split("_", 1)[1]
+        if tail.isdigit():
+            out.append(int(tail))
+    return out
+
+
 def latest_train_state_step(ckpt_dir: str | Path) -> int | None:
     p = Path(ckpt_dir)
     if not p.exists():
         return None
-    steps = [int(d.name.split("_")[1]) for d in p.glob("step_*") if d.is_dir()]
+    steps = _finalized_steps(p)
     return max(steps) if steps else None
 
 

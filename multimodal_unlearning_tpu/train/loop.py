@@ -40,13 +40,18 @@ def train_loop(
     profile_dir: str | None = None,
     state_ckpt_dir: str | None = None,
     resume: bool = False,
+    ckpt_async: bool = True,
+    ckpt_keep: int | None = None,
 ):
     """Runs until max_steps; returns (state, history).
 
     ``state_ckpt_dir``: Orbax full-train-state checkpoints every
     ``save_steps`` (resume path incl. optimizer moments — the vendored HF
     loop's resume analog, nlp/grad_proj.py:271-321); ``resume=True``
-    restores the latest before training."""
+    restores the latest before training.  ``ckpt_async`` overlaps the
+    Orbax write with training (only the device->host snapshot blocks);
+    ``ckpt_keep`` prunes to the newest N step dirs (HF save_total_limit
+    analog)."""
     from multimodal_unlearning_tpu.train import checkpoints as ckpt_mod
 
     start_step = 0
@@ -100,6 +105,7 @@ def train_loop(
         )
     step_i = start_step
     history = []
+    ckptr = None
     t0 = time.perf_counter()
     tokens_seen = 0
     while step_i < max_steps:
@@ -134,6 +140,12 @@ def train_loop(
                 if on_save:
                     on_save(state, step_i)
                 if state_ckpt_dir:
-                    ckpt_mod.save_train_state(state_ckpt_dir, step_i, state)
+                    if ckptr is None:
+                        ckptr = ckpt_mod.TrainStateCheckpointer(
+                            state_ckpt_dir, async_save=ckpt_async,
+                            keep_last=ckpt_keep)
+                    ckptr.save(step_i, state)
     jax.block_until_ready(state.trainable)
+    if ckptr is not None:
+        ckptr.wait()  # drain the in-flight async write before returning
     return state, history

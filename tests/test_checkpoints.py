@@ -89,3 +89,55 @@ def test_tp_sharded_forward_matches_replicated():
         lambda p, i: llama.forward(p, cfg, i, compute_dtype=jnp.float32)["logits"]
     )(tp_params, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_async_checkpointer_roundtrip_and_prune(tmp_path):
+    """TrainStateCheckpointer: async writes land identically to sync ones,
+    keep_last prunes old steps (latest always survives), and resume reads
+    the pruned directory correctly."""
+    arch = get_model_identifiers("tiny-llama-test").arch
+    cfg = llama.LlamaConfig.from_registry(arch)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tx = optim.make_optimizer("adamw", 1e-3)
+    state = trainer.create_train_state(params, tx)
+
+    ck = checkpoints.TrainStateCheckpointer(tmp_path, async_save=True, keep_last=2)
+    for step in (3, 6, 9):
+        raw = {"step": step, "trainable": state.trainable,
+               "opt_state": state.opt_state}
+        ck.save(step, raw)
+    ck.wait()
+    # pruned to the newest 2
+    assert checkpoints.latest_train_state_step(tmp_path) == 9
+    kept = sorted(int(d.name.split("_")[1]) for d in tmp_path.glob("step_*"))
+    assert kept == [6, 9]
+    restored = checkpoints.restore_train_state(tmp_path, 9, raw)
+    assert int(np.asarray(restored["step"])) == 9
+    assert trees_equal(restored["trainable"], state.trainable)
+
+
+def test_latest_step_ignores_interrupted_tmp_dirs(tmp_path):
+    """A crash mid-save leaves an Orbax tmp dir; resume must skip it
+    instead of crashing on int()."""
+    (tmp_path / "step_4").mkdir()
+    (tmp_path / "step_7.orbax-checkpoint-tmp-1730000000").mkdir()
+    assert checkpoints.latest_train_state_step(tmp_path) == 4
+
+
+def test_async_checkpoint_error_surfaces(tmp_path, monkeypatch):
+    arch = get_model_identifiers("tiny-llama-test").arch
+    cfg = llama.LlamaConfig.from_registry(arch)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    tx = optim.make_optimizer("adamw", 1e-3)
+    state = trainer.create_train_state(params, tx)
+    ck = checkpoints.TrainStateCheckpointer(tmp_path, async_save=True)
+
+    def boom(self, step, host_state):
+        self._error = RuntimeError("disk full")
+
+    monkeypatch.setattr(checkpoints.TrainStateCheckpointer, "_write", boom)
+    ck.save(1, {"step": 1, "trainable": state.trainable})
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="disk full"):
+        ck.wait()

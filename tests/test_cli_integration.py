@@ -86,13 +86,15 @@ def test_mm_forget_kill_and_resume(tmp_path, monkeypatch):
     full = mm_forget.run(cfg_for("full"))
     assert len(full) >= 2
 
-    real_save = checkpoints.save_train_state
+    real_save = checkpoints.TrainStateCheckpointer.save
 
-    def save_once_then_die(ckpt_dir, step, state):
-        real_save(ckpt_dir, step, state)
+    def save_once_then_die(self, step, state):
+        real_save(self, step, state)
+        self.wait()  # the async write must land before the "preemption"
         raise KeyboardInterrupt("preempted right after the epoch checkpoint")
 
-    monkeypatch.setattr(checkpoints, "save_train_state", save_once_then_die)
+    monkeypatch.setattr(
+        checkpoints.TrainStateCheckpointer, "save", save_once_then_die)
     with _pytest.raises(KeyboardInterrupt):
         mm_forget.run(cfg_for("pre"))
     monkeypatch.undo()
