@@ -33,6 +33,9 @@ all-gather its operands.
 
 from __future__ import annotations
 
+import os
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -236,7 +239,115 @@ def decode_attention(
     return out[:, :, :G].reshape(B, Hq, 1, D)
 
 
-def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None):
+def _chunk_kernel(l_ref, off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, *, C):
+    b = pl.program_id(0)
+    q = q_ref[0, 0]  # [Mp, D] pre-scaled; row m is (group g = m // C, chunk c = m % C)
+    k = k_ref[0, 0, 0]  # [Smax, D]
+    v = v_ref[0, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Mp, Smax]
+    Mp, Smax = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (Mp, Smax), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Mp, Smax), 0) % C
+    off = off_ref[b]
+    in_chunk = (col >= off) & (col <= off + c)
+    mask = (valid_ref[0, 0][None, :] > 0) | in_chunk
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+
+
+def _chunk_kernel_q8(l_ref, off_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                     valid_ref, o_ref, *, C):
+    b = pl.program_id(0)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0, 0].astype(q.dtype)
+    v = v_ref[0, 0, 0].astype(q.dtype)
+    k_s = ks_ref[0, 0, 0, 0]  # [Smax] f32
+    v_s = vs_ref[0, 0, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * k_s[None, :]
+    Mp, Smax = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (Mp, Smax), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Mp, Smax), 0) % C
+    off = off_ref[b]
+    in_chunk = (col >= off) & (col <= off + c)
+    mask = (valid_ref[0, 0][None, :] > 0) | in_chunk
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    pv = (p * v_s[None, :]).astype(v.dtype)
+    o = jax.lax.dot_general(
+        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+
+
+def _pallas_chunk_decode(q, cache, layer, kv_valid, offset, sm_scale, interpret):
+    """Flash verify-chunk: C candidate tokens per row attend the stacked
+    cache directly (scalar-prefetched layer id + per-row offsets), reading
+    each K/V byte once — the XLA path's per-layer ``dynamic_index`` slab
+    copy was the exact overhead the single-token kernel removed
+    (module header: ~13.5 ms/step pure cache traffic at 7B, Smax≈900)."""
+    k_cache = cache["k"]
+    quantized = k_cache.dtype == jnp.int8
+    B, Hq, C, D = q.shape
+    L, _, Hkv, Smax, _ = k_cache.shape
+    G = Hq // Hkv
+    M = G * C
+    Mp = -(-M // 8) * 8
+    # group GQA into the matmul M dim: row m = g*C + c (kernel recovers
+    # c = m % C for the in-chunk causal term; pad rows mask to garbage and
+    # are sliced off)
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qs = qs.reshape(B, Hkv, G, C, D).reshape(B, Hkv, M, D)
+    if Mp != M:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, Mp - M), (0, 0)))
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    offset = jnp.asarray(offset, jnp.int32).reshape((-1,))
+    valid_b = kv_valid.astype(jnp.int32)[:, None, :]
+
+    kv_spec = pl.BlockSpec((1, 1, 1, Smax, D), lambda b, h, l, off: (l[0], b, h, 0, 0))
+    sc_spec = pl.BlockSpec((1, 1, 1, 1, Smax), lambda b, h, l, off: (l[0], b, h, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, 1, Mp, D), lambda b, h, l, off: (b, h, 0, 0)),
+        kv_spec, kv_spec,
+    ]
+    operands = [qs, k_cache, cache["v"]]
+    kernel = partial(_chunk_kernel, C=C)
+    if quantized:
+        in_specs += [sc_spec, sc_spec]
+        operands += [cache["k_s"], cache["v_s"]]
+        kernel = partial(_chunk_kernel_q8, C=C)
+    in_specs.append(pl.BlockSpec((1, 1, Smax), lambda b, h, l, off: (b, 0, 0)))
+    operands.append(valid_b)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Mp, D), lambda b, h, l, off: (b, h, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Mp, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(layer, offset, *operands)
+    return out[:, :, :M].reshape(B, Hkv, G, C, D).reshape(B, Hq, C, D)
+
+
+def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None,
+                           impl: str = "auto", interpret: bool = False):
     """C-token verify-chunk attention against layer ``layer`` of the cache.
 
     The speculative-decode verify step (evaluation/generate.py) feeds C
@@ -254,10 +365,15 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None):
       offset: [B] int32 — each row's first in-chunk cache column.
     Returns [B, Hq, C, D] in q's dtype.
 
-    XLA-only: runs as (dequant+)repeat+einsum and lets the compiler fuse.
-    It replaces C single-token steps, so per accepted token it streams the
-    same cache bytes as the fallback path; the Pallas single-token kernel
-    stays on the non-speculative path.
+    impl: "xla" (default path today) runs as (dequant+)repeat+einsum —
+    correct everywhere, but the per-layer ``dynamic_index`` materializes a
+    [B,Hkv,Smax,D] slab copy, the exact cache-traffic overhead the
+    single-token flash kernel removed.  "pallas" runs the flash
+    verify-chunk kernel (scalar-prefetched layer + per-row offsets, each
+    K/V byte read once).  "auto" picks the kernel on TPU only when the
+    MMU_CHUNK_PALLAS=1 env flag is set (kernel is interpret-validated;
+    flip the default after on-chip validation) and shapes are
+    lane-aligned; dense caches only.
 
     Paged caches: the verify chunk materializes the full [B,Hkv,MP·page,D]
     gather view per layer, so SPECULATIVE decode does not keep the paged
@@ -269,7 +385,19 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None):
     B, Hq, C, D = q.shape
     if sm_scale is None:
         sm_scale = D ** -0.5
-    if "table" in cache:  # paged pool: contiguous logical view via the table
+    paged = "table" in cache
+    if impl == "auto":
+        use = (jax.default_backend() == "tpu"
+               and os.environ.get("MMU_CHUNK_PALLAS") == "1")
+        impl = "pallas" if use else "xla"
+    if impl == "pallas" and not paged:
+        Smax = cache["k"].shape[3]
+        interp = interpret or jax.default_backend() != "tpu"
+        # Mosaic lane alignment (interpret mode has no such constraint)
+        if interp or (Smax % 128 == 0 and D % 128 == 0):
+            return _pallas_chunk_decode(
+                q, cache, layer, kv_valid, offset, sm_scale, interp)
+    if paged:  # paged pool: contiguous logical view via the table
         from multimodal_unlearning_tpu.ops.paged_attention import gather_layer_kv
 
         k, v = gather_layer_kv(cache, layer, q.dtype)

@@ -211,3 +211,46 @@ def test_decode_attention_int8_cache(rng):
     np.testing.assert_allclose(np.asarray(out_k8), np.asarray(out_r8), atol=3e-5, rtol=3e-5)
     # int8 quantization noise vs the full-precision result
     np.testing.assert_allclose(np.asarray(out_k8), np.asarray(out_f), atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("G", [1, 4])
+def test_chunk_decode_pallas_matches_xla(int8, G):
+    """Flash verify-chunk kernel (interpret mode) == the XLA chunk path:
+    per-row offsets, in-chunk causal term, GQA grouping, int8 scales."""
+    from multimodal_unlearning_tpu.models.llama import _cache_write_per_row
+    from multimodal_unlearning_tpu.ops.decode_attention import (
+        chunk_decode_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    L, B, Hkv, Smax, D, C = 2, 3, 2, 256, 128, 5
+    Hq = Hkv * G
+    dtype = jnp.float32
+    cache = {
+        "k": jnp.zeros((L, B, Hkv, Smax, D), jnp.int8 if int8 else dtype),
+        "v": jnp.zeros((L, B, Hkv, Smax, D), jnp.int8 if int8 else dtype),
+    }
+    if int8:
+        cache["k_s"] = jnp.zeros((L, B, Hkv, 1, Smax), jnp.float32)
+        cache["v_s"] = jnp.zeros((L, B, Hkv, 1, Smax), jnp.float32)
+    # per-row prefixes then the C-token chunk, written like the verify step
+    offset = jnp.asarray([7, 40, 101], jnp.int32)
+    for layer in range(L):
+        pre_k = jnp.asarray(rng.normal(size=(B, Hkv, 120, D)), dtype)
+        pre_v = jnp.asarray(rng.normal(size=(B, Hkv, 120, D)), dtype)
+        cache = _cache_write_per_row(cache, pre_k, pre_v, layer,
+                                     jnp.zeros((B,), jnp.int32))
+        ck = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), dtype)
+        cv = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), dtype)
+        cache = _cache_write_per_row(cache, ck, cv, layer, offset)
+    valid = np.zeros((B, Smax), np.int32)
+    for b in range(B):
+        valid[b, : int(offset[b])] = 1
+    valid = jnp.asarray(valid)
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), dtype)
+    want = chunk_decode_attention(q, cache, 1, valid, offset, impl="xla")
+    got = chunk_decode_attention(q, cache, 1, valid, offset, impl="pallas",
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -251,3 +251,39 @@ def test_greedy_generate_draft_ref_plumbs_and_stays_exact():
     bogus = rng.integers(3, cfg.vocab_size, (3, 20))
     spec = _gen(params, cfg, ids, mask, k=4, draft_ref=jnp.asarray(bogus, jnp.int32))
     np.testing.assert_array_equal(spec, plain)
+
+
+def test_spec_engine_through_pallas_chunk_kernel(monkeypatch):
+    """The serving engine's speculative verify rounds stream identical
+    tokens through the flash verify-chunk kernel (interpret mode)."""
+    from functools import partial
+
+    import multimodal_unlearning_tpu.ops.decode_attention as da
+    from multimodal_unlearning_tpu.serve import ServingEngine
+    from tests.test_serve import _expected, tiny_decoder
+
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(42)
+    motif = rng.integers(3, cfg.vocab_size, 5).tolist()
+    prompts = [(motif * 6)[:27], rng.integers(3, cfg.vocab_size, 11).tolist()]
+
+    def run():
+        e = ServingEngine(
+            params, cfg, "llama", num_slots=2, max_len=256, chunk=3,
+            bucket_multiple=16, pad_token_id=0, eos_token_id=None,
+            cache_dtype=jnp.float32, compute_dtype=jnp.float32,
+            speculate_k=3, spec_ref_len=16)
+        rs = [e.submit(p, 8, draft_ref=p[:10]) for p in prompts]
+        e.drain(rs)
+        return [list(r.tokens) for r in rs]
+
+    base = run()
+    orig = da.chunk_decode_attention
+    monkeypatch.setattr(
+        da, "chunk_decode_attention",
+        partial(orig, impl="pallas", interpret=True))
+    kernel_out = run()
+    assert kernel_out == base
+    for toks, p in zip(base, prompts):
+        np.testing.assert_array_equal(
+            np.asarray(toks), _expected(params, cfg, p, 8))
