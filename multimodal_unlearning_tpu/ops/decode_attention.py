@@ -397,6 +397,17 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None,
         if interp or (Smax % 128 == 0 and D % 128 == 0):
             return _pallas_chunk_decode(
                 q, cache, layer, kv_valid, offset, sm_scale, interp)
+    if paged and impl == "pallas":
+        from multimodal_unlearning_tpu.ops.paged_attention import (
+            paged_chunk_decode_attention,
+        )
+
+        P = cache["k"].shape[3]
+        interp = interpret or jax.default_backend() != "tpu"
+        if interp or (P % 128 == 0 and D % 128 == 0):
+            return paged_chunk_decode_attention(
+                q, cache, layer, kv_valid, offset,
+                sm_scale=sm_scale, interpret=interp)
     if paged:  # paged pool: contiguous logical view via the table
         from multimodal_unlearning_tpu.ops.paged_attention import gather_layer_kv
 

@@ -313,3 +313,167 @@ def paged_decode_attention(
         )
     out = run(*args)
     return out[:, :, :G].reshape(B, Hq, 1, D)
+
+
+def _paged_chunk_kernel(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
+                        valid_ref, o_ref, m_ref, d_ref, acc_ref, *, C, P):
+    b, j = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, _NEG_INF, m_ref.dtype)
+        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    n = n_ref[b]
+
+    @pl.when(j < n)
+    def _page():
+        q = q_ref[0, 0]  # [Mp, D]; row m = g*C + c
+        k = k_ref[0, 0, 0]  # [P, D]
+        v = v_ref[0, 0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Mp, P]
+        Mp = s.shape[0]
+        col = j * P + jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 1)  # logical
+        c = jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 0) % C
+        off = off_ref[b]
+        in_chunk = (col >= off) & (col <= off + c)
+        mask = (valid_ref[0, 0][None, :] > 0) | in_chunk
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_new
+        o_ref[0, 0] = (acc_ref[...] / jnp.maximum(d_ref[...], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def _paged_chunk_kernel_q8(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
+                           ks_ref, vs_ref, valid_ref, o_ref,
+                           m_ref, d_ref, acc_ref, *, C, P):
+    b, j = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, _NEG_INF, m_ref.dtype)
+        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    n = n_ref[b]
+
+    @pl.when(j < n)
+    def _page():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0, 0].astype(q.dtype)
+        v = v_ref[0, 0, 0].astype(q.dtype)
+        k_s = ks_ref[0, 0, 0, 0]
+        v_s = vs_ref[0, 0, 0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * k_s[None, :]
+        Mp = s.shape[0]
+        col = j * P + jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 0) % C
+        off = off_ref[b]
+        in_chunk = (col >= off) & (col <= off + c)
+        mask = (valid_ref[0, 0][None, :] > 0) | in_chunk
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = (p * v_s[None, :]).astype(v.dtype)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_new
+        o_ref[0, 0] = (acc_ref[...] / jnp.maximum(d_ref[...], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def paged_chunk_decode_attention(
+    q, cache, layer, kv_valid, offset,
+    *, sm_scale: float | None = None, interpret: bool = False,
+):
+    """Block-table-aware verify-chunk attention: C candidate tokens per row
+    attend the PAGED pool directly (online softmax across the row's pages,
+    per-row in-chunk causal term computed from LOGICAL columns j·page+i),
+    removing the dense per-layer gather view the XLA path materializes
+    (chunk_decode_attention's paged caveat).  Pages past both the valid
+    prefix AND the chunk columns are skipped.
+
+    Args as chunk_decode_attention; cache as paged_decode_attention.
+    """
+    from functools import partial as _partial
+
+    k_pool = cache["k"]
+    quantized = k_pool.dtype == jnp.int8
+    B, Hq, C, D = q.shape
+    _, Hkv, _, P, _ = k_pool.shape
+    G = Hq // Hkv
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    M = G * C
+    Mp = -(-M // 8) * 8
+    qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    qs = qs.reshape(B, Hkv, G, C, D).reshape(B, Hkv, M, D)
+    if Mp != M:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, Mp - M), (0, 0)))
+    table = cache["table"].astype(jnp.int32)
+    MP = table.shape[1]
+    offset = jnp.asarray(offset, jnp.int32).reshape((-1,))
+    # pages covering the accepted prefix AND the in-flight chunk columns
+    npages = jnp.maximum(
+        jnp.maximum(_page_counts(kv_valid, P), (offset + C - 1) // P + 1), 1)
+    layer = jnp.asarray(layer, jnp.int32).reshape((1,))
+    valid_p = kv_valid.astype(jnp.int32).reshape(B, MP, P)
+
+    def page_of(b, j, n_ref, t_ref):
+        jc = jnp.minimum(j, jnp.maximum(n_ref[b] - 1, 0))
+        return t_ref[b, jc]
+
+    kv_map = lambda b, h, j, l, t, n, off: (l[0], h, page_of(b, j, n, t), 0, 0)
+    vmask_map = lambda b, h, j, l, t, n, off: (
+        b, jnp.minimum(j, jnp.maximum(n[b] - 1, 0)), 0)
+    kv_spec = pl.BlockSpec((1, 1, 1, P, D), kv_map)
+    in_specs = [
+        pl.BlockSpec((1, 1, Mp, D), lambda b, h, j, l, t, n, off: (b, h, 0, 0)),
+        kv_spec, kv_spec,
+    ]
+    operands = [qs, k_pool, cache["v"]]
+    kernel = _partial(_paged_chunk_kernel, C=C, P=P)
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, 1, 1, P), kv_map)] * 2
+        operands += [cache["k_s"], cache["v_s"]]
+        kernel = _partial(_paged_chunk_kernel_q8, C=C, P=P)
+    in_specs.append(pl.BlockSpec((1, 1, P), vmask_map))
+    operands.append(valid_p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, Hkv, MP),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, Mp, D), lambda b, h, j, l, t, n, off: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, 1), jnp.float32),
+            pltpu.VMEM((Mp, 1), jnp.float32),
+            pltpu.VMEM((Mp, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Mp, D), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(layer, table, npages, offset, *operands)
+    return out[:, :, :M].reshape(B, Hkv, G, C, D).reshape(B, Hq, C, D)

@@ -220,3 +220,44 @@ def test_paged_write_then_attend():
     got = decode_attention(q, paged2, 1, valid, impl="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_paged_chunk_kernel_matches_gather_path(int8):
+    """Block-table-aware verify-chunk kernel (interpret) == the XLA gather
+    path: online softmax across pages + logical-column in-chunk causal."""
+    rng = np.random.default_rng(6)
+    L, B, Hkv, G, S, D, page, C = 2, 3, 2, 2, 256, 128, 128, 5
+    dense = _dense_cache(rng, L, B, Hkv, S, D, jnp.float32, int8=int8)
+    paged = _to_paged(dense, page, rng)
+    q = jnp.asarray(rng.normal(size=(B, Hkv * G, C, D)), jnp.float32)
+    offset = jnp.asarray([5, 120, 200], jnp.int32)  # rows span 1..2 pages
+    valid = np.zeros((B, S), np.int32)
+    for b in range(B):
+        valid[b, : int(offset[b])] = 1
+    valid = jnp.asarray(valid)
+    want = chunk_decode_attention(q, paged, 1, valid, offset, impl="xla")
+    got = chunk_decode_attention(q, paged, 1, valid, offset, impl="pallas",
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_chunk_kernel_covers_chunk_beyond_valid_pages():
+    """A chunk landing on a page with NO accepted-prefix validity (fresh
+    decode page) must still be read — npages covers the chunk columns."""
+    rng = np.random.default_rng(7)
+    L, B, Hkv, G, S, D, page, C = 1, 2, 1, 8, 512, 128, 128, 4
+    dense = _dense_cache(rng, L, B, Hkv, S, D, jnp.float32)
+    paged = _to_paged(dense, page, rng)
+    q = jnp.asarray(rng.normal(size=(B, Hkv * G, C, D)), jnp.float32)
+    offset = jnp.asarray([128, 256], jnp.int32)  # chunk starts a NEW page
+    valid = np.zeros((B, S), np.int32)
+    valid[0, :128] = 1
+    valid[1, :256] = 1
+    valid = jnp.asarray(valid)
+    want = chunk_decode_attention(q, paged, 0, valid, offset, impl="xla")
+    got = chunk_decode_attention(q, paged, 0, valid, offset, impl="pallas",
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -280,3 +280,28 @@ def test_prefix_overflow_raises_cleanly():
     engine = _engine(cfg, params, page_size=16, kv_pool_pages=3)  # 2 usable
     with pytest.raises(ValueError, match="prefix needs"):
         engine.register_prefix(rng.integers(3, cfg.vocab_size, 40).tolist())
+
+
+def test_paged_spec_engine_through_pallas_chunk_kernel(monkeypatch):
+    """Paged + speculative engine streams token-identical through the
+    block-table-aware verify-chunk kernel (interpret mode)."""
+    from functools import partial
+
+    import multimodal_unlearning_tpu.ops.decode_attention as da
+
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(12)
+    motif = rng.integers(3, cfg.vocab_size, 5).tolist()
+    prompts = [(motif * 6)[:27], rng.integers(3, cfg.vocab_size, 11).tolist()]
+
+    def run():
+        e = _engine(cfg, params, speculate_k=3, spec_ref_len=16, page_size=16)
+        rs = [e.submit(p, 8, draft_ref=p[:10]) for p in prompts]
+        e.drain(rs)
+        return [list(r.tokens) for r in rs]
+
+    base = run()
+    orig = da.chunk_decode_attention
+    monkeypatch.setattr(da, "chunk_decode_attention",
+                        partial(orig, impl="pallas", interpret=True))
+    assert run() == base
