@@ -169,6 +169,8 @@ def _run(cfg):
             cache_dtype=cache_dtype, compute_dtype=dtype, mesh=gen_mesh,
             speculate_k=speculate_k,
             spec_ref_len=int(cfg.get("spec_ref_len", 128) or 0) if speculate_k else 0,
+            page_size=int(cfg.get("page_size", 0) or 0),
+            kv_pool_pages=int(cfg.get("kv_pool_pages", 0) or 0) or None,
         )
 
     aggregated = {}

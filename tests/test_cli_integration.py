@@ -387,3 +387,26 @@ def test_mm_eval_int4_decode(tmp_path):
     q = np.array([quant["avg_gt_loss"][k] for k in sorted(quant["avg_gt_loss"])])
     assert np.all(np.isfinite(q))
     np.testing.assert_allclose(q, d, rtol=0.3)  # int4 noise, same ballpark
+
+
+def test_mm_eval_engine_generate_paged_identical(ft_dir, tmp_path):
+    """engine_generate with page_size>0: the paged serving engine produces
+    IDENTICAL aggregated eval logs to the dense engine path."""
+    from multimodal_unlearning_tpu.cli import mm_eval
+
+    def run(page, out):
+        cfg = _cfg(
+            "mm", "eval",
+            model_family="tiny-llava-test", model_path=str(ft_dir),
+            processor_path=None, save_dir=str(tmp_path / out),
+            ds_size=5, batch_size=2, max_length=256, dtype="float32",
+            eval_task_ids=[2], engine_generate=True, page_size=page,
+        )
+        dict.__setitem__(cfg, "data_path", ["synthetic:n_persons=80,qa_per_person=8"] * 6)
+        dict.__setitem__(cfg["generation"], "max_new_tokens", 5)
+        return mm_eval.run(cfg)
+
+    dense = run(0, "eval_dense")
+    paged = run(128, "eval_paged")
+    assert json.dumps(dense, sort_keys=True, default=list) == json.dumps(
+        paged, sort_keys=True, default=list)
