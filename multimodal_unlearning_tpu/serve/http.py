@@ -117,12 +117,18 @@ class EngineServer:
             w.event.set()
 
     # ---------------------------------------------------------------- api
-    def submit(self, payload: dict, timeout: float | None = None) -> dict:
-        """Thread-safe: enqueue one completion request and wait for it."""
+    def submit_work(self, payload: dict) -> "_Work":
+        """Thread-safe: enqueue a completion and return its handle without
+        waiting (the streaming path polls ``w.request.tokens`` growth)."""
         w = _Work(payload)
         with self._lock:
             self._inbox.append(w)
         self._wake.set()
+        return w
+
+    def submit(self, payload: dict, timeout: float | None = None) -> dict:
+        """Thread-safe: enqueue one completion request and wait for it."""
+        w = self.submit_work(payload)
         if not w.event.wait(timeout):
             raise TimeoutError("completion timed out")
         if w.error is not None:
@@ -177,6 +183,45 @@ class EngineServer:
                 else:
                     self._send(404, {"error": "not found"})
 
+            def _stream(self, payload):
+                """SSE streaming ('stream': true): flush text deltas as the
+                driver thread lands tokens; a stop string or cancellation
+                ends the stream at the truncation point."""
+                import time as _time
+
+                w = outer.submit_work(payload)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                sent = ""
+                deadline = _time.monotonic() + 600
+                while _time.monotonic() < deadline:
+                    if w.error is not None:
+                        raise w.error
+                    r = w.request
+                    done = w.event.is_set() or (r is not None and r.done)
+                    if r is not None:
+                        # full-decode-then-diff keeps multi-byte/BPE merges
+                        # stable at chunk boundaries
+                        text = (w.text if w.text is not None
+                                else outer.decode(r.tokens))
+                        cuts = [text.find(s) for s in w.stops if s in text]
+                        if cuts:
+                            text = text[: min(cuts)]
+                        if text != sent:
+                            delta = text[len(sent):] if text.startswith(sent) else text
+                            self.wfile.write(
+                                b"data: " + json.dumps({"text": delta}).encode()
+                                + b"\n\n")
+                            self.wfile.flush()
+                            sent = text
+                    if done:
+                        break
+                    _time.sleep(0.01)
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+
             def do_POST(self):
                 if self.path != "/v1/completions":
                     return self._send(404, {"error": "not found"})
@@ -185,6 +230,8 @@ class EngineServer:
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     if "prompt" not in payload:
                         return self._send(400, {"error": "missing 'prompt'"})
+                    if payload.get("stream"):
+                        return self._stream(payload)
                     self._send(200, outer.submit(payload, timeout=600))
                 except (KeyError, ValueError) as e:
                     self._send(400, {"error": str(e)})

@@ -139,3 +139,30 @@ def test_http_stop_string_truncates_text(server):
                  {"prompt": "stoptest", "max_tokens": 10,
                   "stop": ["ÿÿÿ"]})
     assert out2["text"] == text
+
+
+def test_http_streaming_sse(server):
+    """'stream': true returns Server-Sent Events whose concatenated text
+    deltas equal the non-streamed completion."""
+    srv, url, cfg, params, enc = server
+    want = _post(f"{url}/v1/completions",
+                 {"prompt": "stream me", "max_tokens": 40})["text"]
+
+    req = urllib.request.Request(
+        f"{url}/v1/completions",
+        data=json.dumps({"prompt": "stream me", "max_tokens": 40,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    deltas = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[len("data: "):]
+            if body == "[DONE]":
+                break
+            deltas.append(json.loads(body)["text"])
+    assert "".join(deltas) == want
+    assert len(deltas) >= 2  # actually streamed, not one final blob
