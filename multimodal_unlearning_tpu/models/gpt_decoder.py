@@ -290,7 +290,8 @@ def forward(
                     chunk_decode_attention,
                 )
 
-                attn = chunk_decode_attention(q, cache, layer_id, kv_mask, offset_vec)
+                attn = chunk_decode_attention(
+                q, cache, layer_id, kv_mask, offset_vec, mesh=mesh)
             elif decoding:
                 from multimodal_unlearning_tpu.ops.decode_attention import decode_attention
 

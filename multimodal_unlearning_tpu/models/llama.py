@@ -490,7 +490,8 @@ def forward(
                 chunk_decode_attention,
             )
 
-            attn = chunk_decode_attention(q, cache, layer_id, kv_mask, offset_vec)
+            attn = chunk_decode_attention(
+                q, cache, layer_id, kv_mask, offset_vec, mesh=mesh)
         elif decoding:
             # flash-decode: read layer_id's K/V straight out of the stacked
             # cache (scalar-prefetch indexing — see ops/decode_attention.py)

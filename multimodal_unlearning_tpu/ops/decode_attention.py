@@ -347,7 +347,8 @@ def _pallas_chunk_decode(q, cache, layer, kv_valid, offset, sm_scale, interpret)
 
 
 def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None,
-                           impl: str = "auto", interpret: bool = False):
+                           impl: str = "auto", interpret: bool = False,
+                           mesh=None, head_axis: str = "tensor"):
     """C-token verify-chunk attention against layer ``layer`` of the cache.
 
     The speculative-decode verify step (evaluation/generate.py) feeds C
@@ -375,21 +376,28 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None,
     flip the default after on-chip validation) and shapes are
     lane-aligned; dense caches only.
 
-    Paged caches: the verify chunk materializes the full [B,Hkv,MP·page,D]
-    gather view per layer, so SPECULATIVE decode does not keep the paged
-    pool's transient-memory cap (the persistent pool is still capped; the
-    gather is a per-layer transient).  A block-table-aware chunk kernel
-    would remove this — plain paged decode already has one
-    (ops/paged_attention.py).
+    Paged caches: the XLA path materializes the full [B,Hkv,MP·page,D]
+    gather view per layer (a transient — the persistent pool stays capped);
+    the block-table-aware kernel (paged_chunk_decode_attention, same
+    rollout gate) reads only each row's actual pages and removes that
+    transient.
+
+    Tensor parallelism: the Pallas paths have no shard_map wrapper yet —
+    under a tensor>1 mesh this falls back to the XLA path (which GSPMD
+    partitions fine) instead of letting a bare pallas_call force an
+    all-gather of the head-sharded cache.
     """
     B, Hq, C, D = q.shape
     if sm_scale is None:
         sm_scale = D ** -0.5
     paged = "table" in cache
+    tp = mesh.shape.get(head_axis, 1) if mesh is not None else 1
     if impl == "auto":
         use = (jax.default_backend() == "tpu"
                and os.environ.get("MMU_CHUNK_PALLAS") == "1")
         impl = "pallas" if use else "xla"
+    if tp > 1:
+        impl = "xla"
     if impl == "pallas" and not paged:
         Smax = cache["k"].shape[3]
         interp = interpret or jax.default_backend() != "tpu"

@@ -29,8 +29,19 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _apply_stops(text: str, stops: list) -> tuple[str, bool]:
+    """Truncate at the earliest stop-string occurrence (OpenAI semantics).
+    The single source of stop-cut truth for the driver watch, the blocking
+    response, and the SSE stream."""
+    cuts = [text.find(s) for s in stops if s in text]
+    if cuts:
+        return text[: min(cuts)], True
+    return text, False
+
+
 class _Work:
-    __slots__ = ("payload", "event", "request", "error", "stops", "text")
+    __slots__ = ("payload", "event", "request", "error", "stops", "text",
+                 "abandoned")
 
     def __init__(self, payload):
         self.payload = payload
@@ -40,6 +51,7 @@ class _Work:
         stops = payload.get("stop") or []
         self.stops = [stops] if isinstance(stops, str) else list(stops)
         self.text = None  # set when a stop string truncates the stream
+        self.abandoned = False  # streaming client gone: driver cancels it
 
 
 class EngineServer:
@@ -93,15 +105,21 @@ class EngineServer:
                 self.engine.step()
                 # TEXT-level stop strings (OpenAI semantics): token-id
                 # matching misses BPE boundary merges, so decode each
-                # watched stream and cancel at the earliest stop occurrence
+                # watched stream and cancel at the earliest stop occurrence.
+                # Abandoned streams (client gone / deadline) cancel here too:
+                # the ENGINE is single-owner — only this thread may touch it.
                 for w in pending:
                     r = w.request
-                    if r is None or r.done or not w.stops or w.text is not None:
+                    if r is None or r.done:
                         continue
-                    text = self.decode(r.tokens)
-                    cuts = [text.find(s) for s in w.stops if s in text]
-                    if cuts:
-                        w.text = text[: min(cuts)]
+                    if w.abandoned:
+                        self.engine.cancel(r)
+                        continue
+                    if not w.stops or w.text is not None:
+                        continue
+                    text, hit = _apply_stops(self.decode(r.tokens), w.stops)
+                    if hit:
+                        w.text = text
                         self.engine.cancel(r)
             else:
                 # idle: sleep until a handler enqueues work
@@ -137,9 +155,7 @@ class EngineServer:
         text = w.text if w.text is not None else self.decode(r.tokens)
         # a stop may land inside the final consumed chunk after the request
         # already finished — truncate here too
-        cuts = [text.find(s) for s in w.stops if s in text]
-        if cuts:
-            text = text[: min(cuts)]
+        text, _ = _apply_stops(text, w.stops)
         out = {
             "text": text,
             "tokens": len(r.tokens),
@@ -186,7 +202,17 @@ class EngineServer:
             def _stream(self, payload):
                 """SSE streaming ('stream': true): flush text deltas as the
                 driver thread lands tokens; a stop string or cancellation
-                ends the stream at the truncation point."""
+                ends the stream at the truncation point.
+
+                Contract details: headers are already sent when anything can
+                fail, so errors become a ``data: {"error": ...}`` event (a
+                second HTTP response would corrupt the stream).  Deltas are
+                withheld while the decoded tail is unstable (a trailing
+                U+FFFD from a token mid-multi-byte-sequence, or a decode
+                that doesn't extend what was sent) so concatenated deltas
+                always equal the final text.  On deadline or client
+                disconnect the work is marked abandoned — the DRIVER thread
+                cancels it (single-owner engine), freeing the slot."""
                 import time as _time
 
                 w = outer.submit_work(payload)
@@ -194,33 +220,49 @@ class EngineServer:
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
+
+                def event(obj):
+                    self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+                    self.wfile.flush()
+
                 sent = ""
                 deadline = _time.monotonic() + 600
-                while _time.monotonic() < deadline:
-                    if w.error is not None:
-                        raise w.error
-                    r = w.request
-                    done = w.event.is_set() or (r is not None and r.done)
-                    if r is not None:
-                        # full-decode-then-diff keeps multi-byte/BPE merges
-                        # stable at chunk boundaries
-                        text = (w.text if w.text is not None
-                                else outer.decode(r.tokens))
-                        cuts = [text.find(s) for s in w.stops if s in text]
-                        if cuts:
-                            text = text[: min(cuts)]
-                        if text != sent:
-                            delta = text[len(sent):] if text.startswith(sent) else text
-                            self.wfile.write(
-                                b"data: " + json.dumps({"text": delta}).encode()
-                                + b"\n\n")
-                            self.wfile.flush()
-                            sent = text
-                    if done:
-                        break
-                    _time.sleep(0.01)
-                self.wfile.write(b"data: [DONE]\n\n")
-                self.wfile.flush()
+                try:
+                    while True:
+                        if w.error is not None:
+                            event({"error": f"{type(w.error).__name__}: {w.error}"})
+                            break
+                        r = w.request
+                        done = w.event.is_set() or (r is not None and r.done)
+                        if r is not None:
+                            text = (w.text if w.text is not None
+                                    else outer.decode(r.tokens))
+                            text, _hit = _apply_stops(text, w.stops)
+                            if not done and text.endswith("�"):
+                                # token ends mid multi-byte sequence: hold
+                                # back until the next token completes it
+                                text = text[: -1]
+                            if text != sent:
+                                if text.startswith(sent):
+                                    event({"text": text[len(sent):]})
+                                    sent = text
+                                elif done:
+                                    # decode revised earlier chars: final
+                                    # authoritative replacement
+                                    event({"text": text, "restart": True})
+                                    sent = text
+                                # else: unstable mid-stream decode — wait
+                        if done:
+                            break
+                        if _time.monotonic() > deadline:
+                            w.abandoned = True  # driver cancels + frees slot
+                            event({"error": "stream timed out"})
+                            break
+                        _time.sleep(0.01)
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    w.abandoned = True  # client gone: driver cancels
 
             def do_POST(self):
                 if self.path != "/v1/completions":
@@ -231,7 +273,12 @@ class EngineServer:
                     if "prompt" not in payload:
                         return self._send(400, {"error": "missing 'prompt'"})
                     if payload.get("stream"):
-                        return self._stream(payload)
+                        try:
+                            return self._stream(payload)
+                        except Exception:
+                            # SSE headers may already be on the wire — a
+                            # second HTTP response would corrupt the stream
+                            return
                     self._send(200, outer.submit(payload, timeout=600))
                 except (KeyError, ValueError) as e:
                     self._send(400, {"error": str(e)})

@@ -253,8 +253,11 @@ class TrainStateCheckpointer:
             self._error = e
 
     def save(self, step: int, state) -> None:
-        host_state = jax.tree.map(np.asarray, state)  # sync d2h snapshot
+        # drain the in-flight write FIRST: snapshotting before waiting would
+        # hold two full host-side train states at once (at 7B that is
+        # O(100 GB) transient host RAM)
         self.wait()
+        host_state = jax.tree.map(np.asarray, state)  # sync d2h snapshot
         if self.async_save:
             import threading
 
