@@ -408,6 +408,7 @@ def qwen2vl_to_hf(params: dict) -> dict:
     vt = params["vision_tower"]
     bp = vt["blocks"]
     L, E = bp["q_proj"].shape[0], bp["q_proj"].shape[1]
+    v25 = "gate" in bp  # Qwen2.5-VL tower: RMS norms + biased SwiGLU MLP
     pe = np.asarray(vt["patch_embed"])  # [patch_dim, E]
     # conv3d kernel [E, 3, T, P, P] ← patch vector order (c, t, ph, pw)
     patch_dim = pe.shape[0]
@@ -417,9 +418,10 @@ def qwen2vl_to_hf(params: dict) -> dict:
     for i in range(L):
         base = f"visual.blocks.{i}"
         sd[f"{base}.norm1.weight"] = np.asarray(bp["ln1"]["scale"][i])
-        sd[f"{base}.norm1.bias"] = np.asarray(bp["ln1"]["bias"][i])
         sd[f"{base}.norm2.weight"] = np.asarray(bp["ln2"]["scale"][i])
-        sd[f"{base}.norm2.bias"] = np.asarray(bp["ln2"]["bias"][i])
+        if not v25:
+            sd[f"{base}.norm1.bias"] = np.asarray(bp["ln1"]["bias"][i])
+            sd[f"{base}.norm2.bias"] = np.asarray(bp["ln2"]["bias"][i])
         sd[f"{base}.attn.qkv.weight"] = np.concatenate(
             [_t(bp[f"{n}_proj"][i]) for n in _QWEN_VIT_QKV], axis=0
         )
@@ -428,13 +430,19 @@ def qwen2vl_to_hf(params: dict) -> dict:
         )
         sd[f"{base}.attn.proj.weight"] = _t(bp["o_proj"][i])
         sd[f"{base}.attn.proj.bias"] = np.asarray(bp["o_bias"][i])
-        sd[f"{base}.mlp.fc1.weight"] = _t(bp["fc1"][i])
-        sd[f"{base}.mlp.fc1.bias"] = np.asarray(bp["fc1_bias"][i])
-        sd[f"{base}.mlp.fc2.weight"] = _t(bp["fc2"][i])
-        sd[f"{base}.mlp.fc2.bias"] = np.asarray(bp["fc2_bias"][i])
+        if v25:
+            for ours, hf in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+                sd[f"{base}.mlp.{hf}.weight"] = _t(bp[ours][i])
+                sd[f"{base}.mlp.{hf}.bias"] = np.asarray(bp[f"{ours}_bias"][i])
+        else:
+            sd[f"{base}.mlp.fc1.weight"] = _t(bp["fc1"][i])
+            sd[f"{base}.mlp.fc1.bias"] = np.asarray(bp["fc1_bias"][i])
+            sd[f"{base}.mlp.fc2.weight"] = _t(bp["fc2"][i])
+            sd[f"{base}.mlp.fc2.bias"] = np.asarray(bp["fc2_bias"][i])
     m = vt["merger"]
     sd["visual.merger.ln_q.weight"] = np.asarray(m["ln_q"]["scale"])
-    sd["visual.merger.ln_q.bias"] = np.asarray(m["ln_q"]["bias"])
+    if not v25:
+        sd["visual.merger.ln_q.bias"] = np.asarray(m["ln_q"]["bias"])
     sd["visual.merger.mlp.0.weight"] = _t(m["fc1"])
     sd["visual.merger.mlp.0.bias"] = np.asarray(m["fc1_bias"])
     sd["visual.merger.mlp.2.weight"] = _t(m["fc2"])
@@ -448,16 +456,25 @@ def qwen2vl_from_hf(sd: dict, decoder_layers: int, vision_depth: int, dtype=np.f
 
     conv = g("visual.patch_embed.proj.weight")  # [E, 3, T, P, P]
     E = conv.shape[0]
-    blocks = {
-        "ln1": {
-            "scale": np.stack([g(f"visual.blocks.{i}.norm1.weight") for i in range(vision_depth)]),
-            "bias": np.stack([g(f"visual.blocks.{i}.norm1.bias") for i in range(vision_depth)]),
-        },
-        "ln2": {
-            "scale": np.stack([g(f"visual.blocks.{i}.norm2.weight") for i in range(vision_depth)]),
-            "bias": np.stack([g(f"visual.blocks.{i}.norm2.bias") for i in range(vision_depth)]),
-        },
-    }
+    v25 = "visual.blocks.0.mlp.gate_proj.weight" in sd  # Qwen2.5-VL tower
+    if v25:
+        blocks = {
+            "ln1": {"scale": np.stack(
+                [g(f"visual.blocks.{i}.norm1.weight") for i in range(vision_depth)])},
+            "ln2": {"scale": np.stack(
+                [g(f"visual.blocks.{i}.norm2.weight") for i in range(vision_depth)])},
+        }
+    else:
+        blocks = {
+            "ln1": {
+                "scale": np.stack([g(f"visual.blocks.{i}.norm1.weight") for i in range(vision_depth)]),
+                "bias": np.stack([g(f"visual.blocks.{i}.norm1.bias") for i in range(vision_depth)]),
+            },
+            "ln2": {
+                "scale": np.stack([g(f"visual.blocks.{i}.norm2.weight") for i in range(vision_depth)]),
+                "bias": np.stack([g(f"visual.blocks.{i}.norm2.bias") for i in range(vision_depth)]),
+            },
+        }
     for j, n in enumerate(_QWEN_VIT_QKV):
         blocks[f"{n}_proj"] = np.stack(
             [g(f"visual.blocks.{i}.attn.qkv.weight")[j * E:(j + 1) * E].T for i in range(vision_depth)]
@@ -471,20 +488,27 @@ def qwen2vl_from_hf(sd: dict, decoder_layers: int, vision_depth: int, dtype=np.f
     blocks["o_bias"] = np.stack(
         [g(f"visual.blocks.{i}.attn.proj.bias") for i in range(vision_depth)]
     )
-    for ours, hf in (("fc1", "fc1"), ("fc2", "fc2")):
+    mlp_names = (
+        (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj"))
+        if v25 else (("fc1", "fc1"), ("fc2", "fc2"))
+    )
+    for ours, hf in mlp_names:
         blocks[ours] = np.stack(
             [g(f"visual.blocks.{i}.mlp.{hf}.weight").T for i in range(vision_depth)]
         )
         blocks[f"{ours}_bias"] = np.stack(
             [g(f"visual.blocks.{i}.mlp.{hf}.bias") for i in range(vision_depth)]
         )
+    ln_q = {"scale": g("visual.merger.ln_q.weight")}
+    if not v25:
+        ln_q["bias"] = g("visual.merger.ln_q.bias")
     return {
         "language_model": llama_from_hf(sd, decoder_layers, qkv_bias=True, dtype=dtype),
         "vision_tower": {
             "patch_embed": conv.reshape(E, -1).T,
             "blocks": blocks,
             "merger": {
-                "ln_q": {"scale": g("visual.merger.ln_q.weight"), "bias": g("visual.merger.ln_q.bias")},
+                "ln_q": ln_q,
                 "fc1": g("visual.merger.mlp.0.weight").T,
                 "fc1_bias": g("visual.merger.mlp.0.bias"),
                 "fc2": g("visual.merger.mlp.2.weight").T,

@@ -1,9 +1,10 @@
-"""Qwen2-VL: NaViT-style vision tower + M-RoPE Qwen2 decoder (true arch).
+"""Qwen2-VL / Qwen2.5-VL: NaViT-style vision tower + M-RoPE Qwen2 decoder.
 
 The reference's *default* mm family is qwen-vl2-2b loaded as HF
 ``Qwen2VLForConditionalGeneration`` (reference config/mm/finetune.yaml:2,
-config/model_config.yaml:66-79, mm/finetune.py:79-84).  This is the exact
-architecture, built TPU-first:
+config/model_config.yaml:66-79, mm/finetune.py:79-84), and its qwen-vl-3b
+family is HF ``Qwen2_5_VLForConditionalGeneration`` (reference
+config/model_config.yaml:59-65).  Both true architectures, built TPU-first:
 
 - the vision tower consumes pre-patchified pixels
   ``[B, N, C·T·P·P]`` (the Qwen2VLImageProcessor flatten order) with a
@@ -17,8 +18,17 @@ architecture, built TPU-first:
   in-graph with cumsums for the single-image-per-row case (the CLEAR data
   shape, reference mm/dataset.py:54-84).
 
-HF-parity is tested against torch Qwen2VLForConditionalGeneration in
-tests/test_hf_parity.py.
+The 2.5 tower (``version: "2.5"``) differs from 2.0 in exactly the HF ways:
+RMSNorm block/merger norms (no biases), a biased SwiGLU block MLP
+(gate/up/down), and *windowed* attention — every block attends within
+static windows of ``window_size`` pixels except ``fullatt_block_indexes``.
+The window partition (HF ``get_window_index``) is a function of the static
+grid only, so it compiles to constant gathers: patches are permuted into
+window order once, windowed blocks fold windows into the batch dim, and
+the merger's output is un-permuted back to raster order.
+
+HF-parity is tested against torch Qwen2VLForConditionalGeneration and
+Qwen2_5_VLForConditionalGeneration in tests/test_hf_parity.py.
 """
 
 from __future__ import annotations
@@ -46,6 +56,11 @@ class QwenVisionConfig:
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
     image_size: int = 336  # fixed-resolution operating point
+    # Qwen2.5-VL tower (HF Qwen2_5_VisionTransformerPretrainedModel):
+    version: str = "2"  # "2" (LN + GELU MLP, full attn) | "2.5" (RMS + SwiGLU + windows)
+    intermediate_size: int | None = None  # 2.5 SwiGLU width (2.0 uses mlp_ratio)
+    window_size: int = 0  # 2.5 window attention, in pixels (0 = full attention)
+    fullatt_block_indexes: tuple = ()  # 2.5 blocks that attend over the full grid
 
     @property
     def head_dim(self) -> int:
@@ -57,6 +72,8 @@ class QwenVisionConfig:
 
     @property
     def mlp_hidden(self) -> int:
+        if self.intermediate_size is not None:
+            return self.intermediate_size
         return int(self.embed_dim * self.mlp_ratio)
 
     @property
@@ -65,6 +82,7 @@ class QwenVisionConfig:
 
     @classmethod
     def from_registry(cls, arch) -> "QwenVisionConfig":
+        inter = arch.get("intermediate_size")
         return cls(
             embed_dim=int(arch["embed_dim"]),
             depth=int(arch["depth"]),
@@ -76,6 +94,12 @@ class QwenVisionConfig:
             mlp_ratio=float(arch.get("mlp_ratio", 4.0)),
             layer_norm_eps=float(arch.get("layer_norm_eps", 1e-6)),
             image_size=int(arch.get("image_size", 336)),
+            version=str(arch.get("version", "2")),
+            intermediate_size=None if inter is None else int(inter),
+            window_size=int(arch.get("window_size", 0)),
+            fullatt_block_indexes=tuple(
+                int(i) for i in arch.get("fullatt_block_indexes", ())
+            ),
         )
 
 
@@ -121,26 +145,45 @@ def init_params(cfg: QwenVLConfig, key, dtype=jnp.float32) -> dict:
     def ln(shape=(L, E)):
         return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
 
-    vision = {
-        "patch_embed": w_init(next(keys), (v.patch_dim, E)),
-        "blocks": {
+    patch_embed = w_init(next(keys), (v.patch_dim, E))
+    blocks = {
+        "q_proj": w_init(next(keys), (L, E, E)),
+        "q_bias": jnp.zeros((L, E), dtype),
+        "k_proj": w_init(next(keys), (L, E, E)),
+        "k_bias": jnp.zeros((L, E), dtype),
+        "v_proj": w_init(next(keys), (L, E, E)),
+        "v_bias": jnp.zeros((L, E), dtype),
+        "o_proj": w_init(next(keys), (L, E, E)),
+        "o_bias": jnp.zeros((L, E), dtype),
+    }
+    if v.version == "2.5":
+        # RMSNorm (scale only) + biased SwiGLU MLP (HF Qwen2_5_VLVisionBlock)
+        blocks.update({
+            "ln1": {"scale": jnp.ones((L, E), dtype)},
+            "ln2": {"scale": jnp.ones((L, E), dtype)},
+            "gate": w_init(next(keys), (L, E, M)),
+            "gate_bias": jnp.zeros((L, M), dtype),
+            "up": w_init(next(keys), (L, E, M)),
+            "up_bias": jnp.zeros((L, M), dtype),
+            "down": w_init(next(keys), (L, M, E)),
+            "down_bias": jnp.zeros((L, E), dtype),
+        })
+        merger_ln = {"scale": jnp.ones((E,), dtype)}
+    else:
+        blocks.update({
             "ln1": ln(),
-            "q_proj": w_init(next(keys), (L, E, E)),
-            "q_bias": jnp.zeros((L, E), dtype),
-            "k_proj": w_init(next(keys), (L, E, E)),
-            "k_bias": jnp.zeros((L, E), dtype),
-            "v_proj": w_init(next(keys), (L, E, E)),
-            "v_bias": jnp.zeros((L, E), dtype),
-            "o_proj": w_init(next(keys), (L, E, E)),
-            "o_bias": jnp.zeros((L, E), dtype),
             "ln2": ln(),
             "fc1": w_init(next(keys), (L, E, M)),
             "fc1_bias": jnp.zeros((L, M), dtype),
             "fc2": w_init(next(keys), (L, M, E)),
             "fc2_bias": jnp.zeros((L, E), dtype),
-        },
+        })
+        merger_ln = {"scale": jnp.ones((E,), dtype), "bias": jnp.zeros((E,), dtype)}
+    vision = {
+        "patch_embed": patch_embed,
+        "blocks": blocks,
         "merger": {
-            "ln_q": {"scale": jnp.ones((E,), dtype), "bias": jnp.zeros((E,), dtype)},
+            "ln_q": merger_ln,
             "fc1": w_init(next(keys), (v.merge_dim, v.merge_dim)),
             "fc1_bias": jnp.zeros((v.merge_dim,), dtype),
             "fc2": w_init(next(keys), (v.merge_dim, v.out_hidden_size)),
@@ -178,6 +221,62 @@ def _rotate_half(x):
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
+def _window_partition(cfg: QwenVisionConfig, grid: tuple):
+    """Static Qwen2.5-VL window partition (HF get_window_index semantics).
+
+    Everything here is a function of the static grid, so it runs in numpy at
+    trace time and compiles to constant gathers.  Returns
+    ``(patch_perm, gather, gmask, inv_scatter, inv_perm, uniform)``:
+
+    - patch_perm [N]: permutation taking patches (merge-block order) into
+      window order — groups of merge_size² patches move together;
+    - gather [W, Lw]: per-window indices into the *permuted* patch sequence,
+      right-padded with the last valid index (mask says which are real);
+    - gmask [W, Lw]: 1 where gather holds a real patch;
+    - inv_scatter [N]: flat (w·Lw + l) index of each permuted patch, so
+      windowed attention output scatters back with one static gather;
+    - inv_perm [U]: merged-token inverse permutation (HF argsort(window_index))
+      applied after the PatchMerger to restore raster order;
+    - uniform: True when every window is full (gather is a pure reshape).
+    """
+    t, h, w = grid
+    ms = cfg.spatial_merge_size
+    lh, lw = h // ms, w // ms
+    vit_win = cfg.window_size // ms // cfg.patch_size
+    unit = ms * ms
+    idx = np.arange(t * lh * lw).reshape(t, lh, lw)
+    # HF pads by `vit_win - l % vit_win` (a full empty window row when l
+    # divides evenly — those windows have seqlen 0 and are dropped below,
+    # so (-l) % vit_win is equivalent).
+    pad_h, pad_w = (-lh) % vit_win, (-lw) % vit_win
+    idx_p = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+    idx_p[:, :lh, :lw] = idx
+    nwh, nww = (lh + pad_h) // vit_win, (lw + pad_w) // vit_win
+    idx_p = (
+        idx_p.reshape(t, nwh, vit_win, nww, vit_win)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(t * nwh * nww, vit_win * vit_win)
+    )
+    seqlens = (idx_p != -100).sum(axis=1)  # merge units per window
+    flat = idx_p.reshape(-1)
+    perm = flat[flat != -100]  # [U] merge-unit permutation (window order)
+    lens = seqlens[seqlens > 0] * unit  # patches per (nonempty) window
+    U, Wn, Lw = perm.shape[0], lens.shape[0], int(lens.max())
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    gather = np.full((Wn, Lw), 0, np.int64)
+    gmask = np.zeros((Wn, Lw), np.int32)
+    for i in range(Wn):
+        gather[i, : lens[i]] = np.arange(starts[i], starts[i] + lens[i])
+        gather[i, lens[i]:] = starts[i] + lens[i] - 1  # clamp padding in-range
+        gmask[i, : lens[i]] = 1
+    inv_scatter = np.empty(U * unit, np.int64)
+    pos = (np.arange(Wn)[:, None] * Lw + np.arange(Lw)[None, :])
+    inv_scatter[gather[gmask == 1]] = pos[gmask == 1]
+    patch_perm = (perm[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+    uniform = bool(gmask.all()) and Wn * Lw == U * unit
+    return patch_perm, gather, gmask, inv_scatter, np.argsort(perm), uniform
+
+
 def vision_forward(
     params: dict,
     cfg: QwenVisionConfig,
@@ -198,8 +297,18 @@ def vision_forward(
     """
     B, N, _ = patches.shape
     E, nh, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+    is25 = cfg.version == "2.5"
+    windowed = is25 and cfg.window_size > 0
     x = patches.astype(compute_dtype) @ params["patch_embed"].astype(compute_dtype)
-    cos, sin = _vision_rope(cfg, grid)  # [N, hd] fp32
+    cos, sin = _vision_rope(cfg, grid)  # [N, hd] fp32 (merge-block order)
+
+    if windowed:
+        patch_perm, gather, gmask, inv_scatter, inv_perm, uniform = _window_partition(cfg, grid)
+        # one static permutation into window order; rope rows move with it
+        x = x[:, patch_perm]
+        cos, sin = cos[patch_perm], sin[patch_perm]
+        Wn, Lw = gather.shape
 
     mask = jnp.ones((B, N), jnp.int32)
 
@@ -208,22 +317,67 @@ def vision_forward(
         out = q32 * cos[None, None] + _rotate_half(q32) * sin[None, None]
         return out.astype(q.dtype)
 
-    def block(x, lp):
-        h = layer_norm(x, lp["ln1"], cfg.layer_norm_eps)
+    def norm(h, lp_n):
+        if is25:  # HF Qwen2RMSNorm, scale only
+            return llama.rms_norm(h, lp_n["scale"], eps)
+        return layer_norm(h, lp_n, eps)
+
+    def full_attn(q, k, v):
+        return flash_attention(q, k, v, mask, causal=False, impl=attn_impl)
+
+    def win_attn(q, k, v):
+        # fold windows into the batch dim: [B, nh, N, hd] -> [B·W, nh, Lw, hd]
+        if uniform:  # windows tile the permuted sequence exactly — reshape
+            def gw(z):
+                return (
+                    z.reshape(B, nh, Wn, Lw, hd)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(B * Wn, nh, Lw, hd)
+                )
+        else:  # ragged windows: static gather, right-pad masked
+            def gw(z):
+                zg = z[:, :, jnp.asarray(gather)]  # [B, nh, Wn, Lw, hd]
+                return zg.transpose(0, 2, 1, 3, 4).reshape(B * Wn, nh, Lw, hd)
+        wmask = jnp.broadcast_to(
+            jnp.asarray(gmask)[None], (B, Wn, Lw)
+        ).reshape(B * Wn, Lw)
+        ow = flash_attention(gw(q), gw(k), gw(v), wmask, causal=False, impl=attn_impl)
+        ow = (
+            ow.reshape(B, Wn, nh, Lw, hd)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(B, nh, Wn * Lw, hd)
+        )
+        return ow if uniform else ow[:, :, jnp.asarray(inv_scatter)]
+
+    def block(x, inp):
+        lp, is_full = inp
+        h = norm(x, lp["ln1"])
         q = (h @ lp["q_proj"].astype(h.dtype) + lp["q_bias"]).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
         k = (h @ lp["k_proj"].astype(h.dtype) + lp["k_bias"]).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
         v = (h @ lp["v_proj"].astype(h.dtype) + lp["v_bias"]).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
         q, k = rope(q), rope(k)
-        attn = flash_attention(q, k, v, mask, causal=False, impl=attn_impl)
+        if windowed:
+            attn = jax.lax.cond(is_full, full_attn, win_attn, q, k, v)
+        else:
+            attn = full_attn(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, N, E)
         x = x + attn @ lp["o_proj"].astype(h.dtype) + lp["o_bias"]
-        h = layer_norm(x, lp["ln2"], cfg.layer_norm_eps)
+        h = norm(x, lp["ln2"])
+        if is25:  # biased SwiGLU (HF Qwen2_5_VLMLP with bias=True)
+            g = h @ lp["gate"].astype(h.dtype) + lp["gate_bias"]
+            u = h @ lp["up"].astype(h.dtype) + lp["up_bias"]
+            return x + (jax.nn.silu(g) * u) @ lp["down"].astype(h.dtype) + lp["down_bias"]
         h = quick_gelu(h @ lp["fc1"].astype(h.dtype) + lp["fc1_bias"])
         return x + h @ lp["fc2"].astype(h.dtype) + lp["fc2_bias"]
 
-    x, _ = jax.lax.scan(lambda c, lp: (block(c, lp), None), x, params["blocks"])
+    full_flags = jnp.asarray(
+        [(not windowed) or (i in cfg.fullatt_block_indexes) for i in range(cfg.depth)]
+    )
+    x, _ = jax.lax.scan(
+        lambda c, inp: (block(c, inp), None), x, (params["blocks"], full_flags)
+    )
 
-    # PatchMerger: LN, group merge²-consecutive patches, 2-layer GELU MLP
+    # PatchMerger: LN/RMS, group merge²-consecutive patches, 2-layer GELU MLP
     m = params["merger"]
 
     def dense(z, name):
@@ -231,13 +385,19 @@ def vision_forward(
         ab = merger_lora.get(name) if merger_lora is not None else None
         return llama.apply_lora_delta(y, z, ab, lora_scale, lora_ids)
 
-    y = layer_norm(x, m["ln_q"], cfg.layer_norm_eps)
+    if is25:
+        y = llama.rms_norm(x, m["ln_q"]["scale"], eps)
+    else:
+        y = layer_norm(x, m["ln_q"], eps)
     y = y.reshape(B, N // cfg.spatial_merge_size**2, cfg.merge_dim)
     y = dense(y, "fc1")
     y = jax.nn.gelu(
         y.astype(jnp.promote_types(y.dtype, jnp.float32)), approximate=False
     ).astype(x.dtype)
-    return dense(y, "fc2")
+    y = dense(y, "fc2")
+    if windowed:  # un-permute merged tokens back to raster order
+        y = y[:, jnp.asarray(inv_perm)]
+    return y
 
 
 def mrope_positions(input_ids, attention_mask, image_token_id: int, grid_merged: tuple):

@@ -271,9 +271,15 @@ def test_nlp_grad_proj_runs(tmp_path):
     assert (tmp_path / "gp" / "model.safetensors").exists()
 
 
-def test_qwen2vl_forget_and_generate(tmp_path):
-    """True-Qwen2-VL end-to-end: forget CLI trains (loss finite, model saved),
-    greedy generation runs with the M-RoPE rope-delta decode continuation."""
+@pytest.mark.parametrize(
+    "family,img_px,n_patches",
+    [("tiny-qwen2vl-test", 16, 16), ("tiny-qwen25vl-test", 32, 64)],
+    ids=["qwen2vl", "qwen25vl"],
+)
+def test_qwen2vl_forget_and_generate(tmp_path, family, img_px, n_patches):
+    """True-Qwen2-VL / Qwen2.5-VL end-to-end: forget CLI trains (loss finite,
+    model saved), greedy generation runs with the M-RoPE rope-delta decode
+    continuation (2.5: windowed RMS/SwiGLU tower)."""
     import jax.numpy as jnp
 
     from multimodal_unlearning_tpu.cli import mm_forget
@@ -286,26 +292,27 @@ def test_qwen2vl_forget_and_generate(tmp_path):
     out = tmp_path / "qforget"
     cfg = _cfg(
         "mm", "forget",
-        model_family="tiny-qwen2vl-test", model_path="random-init",
+        model_family=family, model_path="random-init",
         forget_data_path=DATA, retain_data_path=DATA,
         forget_loss="grad_diff_forget_ce_retain_ce",
         batch_size=2, gradient_accumulation_steps=1, num_epochs=0.1,
-        max_length=64, lr=1e-3, save_dir=str(out), dtype="float32",
+        max_length=96, lr=1e-3, save_dir=str(out), dtype="float32",
     )
     dict.__setitem__(cfg["LoRA"], "r", 0)
     history = mm_forget.run(cfg)
     assert history and np.isfinite(history[-1]["loss"])
     assert (out / "model.safetensors").exists()
 
-    model_cfg = get_model_identifiers("tiny-qwen2vl-test")
+    model_cfg = get_model_identifiers(family)
     kind, mcfg, params = init_or_load_params(model_cfg, str(out), dtype=jnp.float32)
     assert kind == "qwen2_vl"
     proc = build_processor(model_cfg, cfg)
     batch = proc.collate(
-        [{"question": "who?", "answer": "me", "image": np.zeros((16, 16, 3), np.float32), "idx": 0}],
-        max_length=64,
+        [{"question": "who?", "answer": "me",
+          "image": np.zeros((img_px, img_px, 3), np.float32), "idx": 0}],
+        max_length=96,
     )
-    assert batch["pixel_values"].shape[1:] == (16, 96)  # patches, not raw pixels
+    assert batch["pixel_values"].shape[1:] == (n_patches, 96)  # patches, not raw pixels
     n_img_span = (batch["input_ids"] == 250).sum()
     assert n_img_span == mcfg.num_image_tokens
     gen = greedy_generate(

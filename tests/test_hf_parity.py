@@ -389,6 +389,152 @@ def test_qwen2vl_bridge_roundtrip():
     )
 
 
+def _tiny_qwen25vl():
+    """Matching (HF torch model, our config) pair for the true Qwen2.5-VL arch
+    (reference qwen-vl-3b family, config/model_config.yaml:59-65): windowed
+    RMSNorm+SwiGLU tower + M-RoPE Qwen2 decoder."""
+    from transformers import Qwen2_5_VLConfig as HFQwen25VLConfig
+    from transformers import Qwen2_5_VLForConditionalGeneration
+
+    from multimodal_unlearning_tpu.models import qwen2_vl
+
+    hf_cfg = HFQwen25VLConfig(
+        text_config=dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=256, rms_norm_eps=1e-5,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+            tie_word_embeddings=False, attn_implementation="eager",
+        ),
+        vision_config=dict(
+            depth=2, hidden_size=32, intermediate_size=48, num_heads=2,
+            in_channels=3, patch_size=4, spatial_merge_size=2,
+            temporal_patch_size=2, window_size=16, fullatt_block_indexes=[1],
+            out_hidden_size=64, hidden_act="silu",
+        ),
+        image_token_id=250, video_token_id=253,
+        vision_start_token_id=251, vision_end_token_id=252,
+    )
+    torch.manual_seed(0)
+    hf_model = Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+
+    ours_cfg = qwen2_vl.QwenVLConfig.from_registry(dict(
+        decoder=dict(
+            decoder="llama", vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=2, rope_theta=10000.0,
+            max_position_embeddings=256, rms_norm_eps=1e-5,
+            qkv_bias=True, mrope_section=[2, 3, 3],
+        ),
+        vision=dict(
+            version="2.5", embed_dim=32, depth=2, num_heads=2,
+            out_hidden_size=64, intermediate_size=48, patch_size=4,
+            spatial_merge_size=2, temporal_patch_size=2, window_size=16,
+            fullatt_block_indexes=[1], layer_norm_eps=1e-6, image_size=32,
+        ),
+        image_token_id=250, vision_start_token_id=251, vision_end_token_id=252,
+    ))
+
+    sd = {}
+    for k, v in hf_model.state_dict().items():
+        k2 = k
+        if k2.startswith("model.visual."):
+            k2 = "visual." + k2[len("model.visual."):]
+        elif k2.startswith("model.language_model."):
+            k2 = "model." + k2[len("model.language_model."):]
+        sd[k2] = v.detach().numpy()
+    params = jax.tree.map(jnp.asarray, hf_bridge.qwen2vl_from_hf(sd, 2, 2))
+    return hf_model, ours_cfg, params
+
+
+def _qwen25_inputs(rng, grid, B=2, n_text_before=3, n_text_after=5, pad=(0, 0)):
+    t, h, w = grid
+    n_img = t * h * w // 4  # merged tokens
+    S = n_text_before + 1 + n_img + 1 + n_text_after
+    ids = rng.integers(1, 240, (B, S))
+    mask = np.ones((B, S), np.int64)
+    for b in range(B):
+        p = pad[b] if b < len(pad) else 0
+        ids[b, p + n_text_before] = 251  # vision_start
+        ids[b, p + n_text_before + 1: p + n_text_before + 1 + n_img] = 250
+        ids[b, p + n_text_before + 1 + n_img] = 252  # vision_end
+        mask[b, :p] = 0
+    patches = rng.normal(size=(B, t * h * w, 96)).astype(np.float32)
+    return ids, mask, patches
+
+
+@pytest.mark.parametrize(
+    "grid",
+    [
+        (1, 8, 8),  # merged 4x4, window 2x2 merged cells: uniform windows
+        (1, 6, 6),  # merged 3x3: ragged windows (HF pads with -100, drops)
+    ],
+    ids=["uniform-windows", "ragged-windows"],
+)
+def test_qwen25vl_full_assembly_matches_hf(grid):
+    """True Qwen2.5-VL parity (windowed tower + fullatt blocks + RMS/SwiGLU +
+    merger un-permute) vs torch Qwen2_5_VLForConditionalGeneration."""
+    from multimodal_unlearning_tpu.models import qwen2_vl
+
+    hf_model, ours_cfg, params = _tiny_qwen25vl()
+    rng = np.random.default_rng(0)
+    ids, mask, patches = _qwen25_inputs(rng, grid)
+
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(patches.reshape(-1, 96)),
+            image_grid_thw=torch.tensor([list(grid)] * len(ids)),
+        ).logits.numpy()
+    ours = np.asarray(
+        qwen2_vl.forward(
+            params, ours_cfg, jnp.asarray(ids),
+            pixel_values=jnp.asarray(patches),
+            attention_mask=jnp.asarray(mask),
+            grid=grid, compute_dtype=jnp.float32,
+        )["logits"]
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=5e-4, rtol=5e-4)
+
+
+def test_qwen25vl_left_padding_matches_hf():
+    """M-RoPE positions + windowed tower under left padding."""
+    from multimodal_unlearning_tpu.models import qwen2_vl
+
+    hf_model, ours_cfg, params = _tiny_qwen25vl()
+    rng = np.random.default_rng(1)
+    ids, mask, patches = _qwen25_inputs(rng, (1, 8, 8), pad=(4, 0))
+
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(patches.reshape(-1, 96)),
+            image_grid_thw=torch.tensor([[1, 8, 8]] * len(ids)),
+        ).logits.numpy()
+    ours = np.asarray(
+        qwen2_vl.forward(
+            params, ours_cfg, jnp.asarray(ids),
+            pixel_values=jnp.asarray(patches),
+            attention_mask=jnp.asarray(mask),
+            grid=(1, 8, 8), compute_dtype=jnp.float32,
+        )["logits"]
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(ours[valid], hf_logits[valid], atol=5e-4, rtol=5e-4)
+
+
+def test_qwen25vl_bridge_roundtrip():
+    _, ours_cfg, params = _tiny_qwen25vl()
+    back = hf_bridge.qwen2vl_from_hf(
+        hf_bridge.qwen2vl_to_hf(jax.tree.map(np.asarray, params)), 2, 2
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b, atol=0),
+        params, back,
+    )
+
+
 def test_llava_full_assembly_matches_hf():
     """End-to-end VLM parity: HF LlavaForConditionalGeneration (torch) vs our
     assembly through the bridge — validates the projector, feature-layer
