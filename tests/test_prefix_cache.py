@@ -157,10 +157,14 @@ def test_prefix_rejections():
         eng.submit([], 4, prefix=pid)
 
 
-def test_prefix_qwen2vl_mrope():
-    """Qwen2-VL prefix: the image+preamble slab carries its M-RoPE rope
-    delta; text suffixes continue decode-style.  Streams == full-prompt."""
-    arch = get_model_identifiers("tiny-qwen2vl-test").arch
+@pytest.mark.parametrize(
+    "family", ["tiny-qwen2vl-test", "tiny-qwen25vl-test"], ids=["qwen2vl", "qwen25vl"]
+)
+def test_prefix_qwen2vl_mrope(family):
+    """Qwen2-VL / Qwen2.5-VL prefix: the image+preamble slab carries its
+    M-RoPE rope delta; text suffixes continue decode-style.  Streams ==
+    full-prompt (2.5: through the windowed RMS/SwiGLU tower)."""
+    arch = get_model_identifiers(family).arch
     from multimodal_unlearning_tpu.models import qwen2_vl
 
     qcfg = qwen2_vl.QwenVLConfig.from_registry(arch)
