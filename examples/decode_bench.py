@@ -154,8 +154,13 @@ def main():
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001 — e.g. bf16 7B OOMs one chip
-            msg = str(e).split("\n")[0][:140]
+            text = str(e)
+            msg = text.split("\n")[0][:140]
             print(f"{name:6s} FAILED: {msg}", flush=True)
+            # surface the server-side HBM breakdown on compile-time OOMs
+            for line in text.split("\n"):
+                if any(k in line for k in ("Ran out of memory", "hbm", "Largest")):
+                    print("   ", line.strip()[:160], flush=True)
     enable_int8_compute(False)
 
 

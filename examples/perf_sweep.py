@@ -11,11 +11,13 @@ variant so bench.py can pin the fastest configuration.  Variants:
              7B teacher at the SAME precision — the expensive half of the
              reference sweep (run_exps.py:92-103), 1-2 extra 7B forwards.
 
-Usage: python examples/perf_sweep.py [variant ...]
+Usage: python examples/perf_sweep.py [family] [variant ...]
   variant = "<precision>:<remat>[:<loss>][:s<seqlen>]", default sweep list
   below.  The optional trailing "s<seqlen>" field (e.g. ":s2048") moves the
   op point off the default S=768 — config/mm/forget.yaml's max_length cap
   is 2048, so ":s2048" is the literal config-cap operating point.
+  An optional leading family name (no ":") swaps the model — e.g.
+  "qwen-vl-3b" benches the true Qwen2.5-VL arch's forget step.
 """
 
 import os
@@ -29,23 +31,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce", seq=768):
+def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce", seq=768,
+          family="llava"):
     from multimodal_unlearning_tpu.cli.common import build_model_config
     from multimodal_unlearning_tpu.cli.mm_forget import make_apply_fn
     from multimodal_unlearning_tpu.config import get_model_identifiers
-    from multimodal_unlearning_tpu.models import llava, lora as lora_mod
+    from multimodal_unlearning_tpu.models import lora as lora_mod, vlm_module
     from multimodal_unlearning_tpu.models.llama import enable_int8_compute
     from multimodal_unlearning_tpu.train import losses as L, optim, trainer
     from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
 
-    model_cfg = get_model_identifiers("llava")
+    model_cfg = get_model_identifiers(family)
+    kind = model_cfg["arch"]["kind"]
     mcfg = build_model_config(model_cfg)
     dtype = jnp.bfloat16
     B, S = 2, seq
     n_img = mcfg.num_image_tokens
     img_size = mcfg.vision.image_size
 
-    params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
+    params = vlm_module(kind).init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
     adapters = {"language_model": lora_mod.init_lora(
         params["language_model"]["layers"], 8, jax.random.PRNGKey(1), dtype=dtype)}
 
@@ -74,21 +78,30 @@ def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce", seq=768
 
     def split_batch():
         ids = rng.integers(10, mcfg.decoder.vocab_size - 70, (B, S))
-        ids[:, :n_img] = mcfg.image_token_id
+        if kind == "qwen2_vl":
+            g = img_size // mcfg.vision.patch_size
+            ids[:, 0] = mcfg.vision_start_token_id
+            ids[:, 1:1 + n_img] = mcfg.image_token_id
+            ids[:, 1 + n_img] = mcfg.vision_end_token_id
+            pix = jnp.asarray(
+                rng.normal(size=(B, g * g, mcfg.vision.patch_dim)), dtype)
+        else:
+            ids[:, :n_img] = mcfg.image_token_id
+            pix = jnp.asarray(rng.normal(size=(B, img_size, img_size, 3)), dtype)
         labels = ids.copy()
         labels[:, : n_img + 64] = -100
         return {
             "input_ids": jnp.asarray(ids, jnp.int32),
             "attention_mask": jnp.ones((B, S), jnp.int32),
             "labels": jnp.asarray(labels, jnp.int32),
-            "pixel_values": jnp.asarray(rng.normal(size=(B, img_size, img_size, 3)), dtype),
+            "pixel_values": pix,
         }
 
     batch = {"forget": split_batch(), "retain": split_batch()}
 
     remat = remat_policy != "none"
     apply_fn = make_apply_fn(
-        "llava", mcfg, lora_cfg=scale, compute_dtype=dtype,
+        kind, mcfg, lora_cfg=scale, compute_dtype=dtype,
         remat=remat, remat_policy=None if remat_policy in ("none", "full") else remat_policy,
         logits_dtype=dtype,
     )
@@ -107,18 +120,22 @@ def build(precision, remat_policy, loss="grad_diff_forget_ce_retain_ce", seq=768
     # × (fwd+bwd=3) × 2·P·tokens for the student + 1× fwd per teacher split
     from multimodal_unlearning_tpu.utils.pytree import count_params
 
-    p_act = count_params(params["language_model"]) + count_params(params["projector"])
+    p_act = count_params(params["language_model"]) + (
+        count_params(params["projector"]) if "projector" in params else 0
+    )
     p_vis = count_params(params["vision_tower"])
     n_teacher_fwd = {"npo": 1, "kl": 1, "scrub": 2, "llmu": 1}.get(loss.lower(), 0)
     if loss.lower().startswith("grad_diff"):
         n_teacher_fwd = int("forget_kl" in loss.lower()) + int("retain_kl" in loss.lower())
-    tokens, vis_tokens = 2 * B * S, 2 * B * (n_img + 1)
+    # vision FLOP tokens: pre-merge patches for qwen towers, patch grid for CLIP
+    vis_per_img = n_img * mcfg.vision.spatial_merge_size**2 if kind == "qwen2_vl" else n_img + 1
+    tokens, vis_tokens = 2 * B * S, 2 * B * vis_per_img
     flops = 3 * 2 * p_act * tokens + 3 * 2 * p_vis * vis_tokens
-    flops += n_teacher_fwd * 2 * p_act * B * S + n_teacher_fwd * 2 * p_vis * B * (n_img + 1)
+    flops += n_teacher_fwd * 2 * p_act * B * S + n_teacher_fwd * 2 * p_vis * B * (vis_per_img)
     return step, state, params, teacher, batch, flops
 
 
-def run_variant(name):
+def run_variant(name, family="llava"):
     parts = name.split(":")
     precision, remat_policy = parts[0], parts[1]
     seq = 768
@@ -127,7 +144,8 @@ def run_variant(name):
         seq = int(rest.pop()[1:])
     loss = rest[0] if rest else "grad_diff_forget_ce_retain_ce"
     try:
-        step, state, params, teacher, batch, flops = build(precision, remat_policy, loss, seq)
+        step, state, params, teacher, batch, flops = build(
+            precision, remat_policy, loss, seq, family=family)
         t_c0 = time.perf_counter()
         state, metrics = step(state, params, teacher, batch)
         loss0 = float(metrics["loss"])
@@ -168,6 +186,8 @@ DEFAULT = [
 ]
 
 if __name__ == "__main__":
-    variants = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    family = args.pop(0) if args and ":" not in args[0] else "llava"
+    variants = args or DEFAULT
     for v in variants:
-        run_variant(v)
+        run_variant(v, family=family)

@@ -175,12 +175,17 @@ def apply_lora_delta(y, t, ll, scale, ids=None):
 
 
 def dense(x, w, lora_leaf=None, lora_scale: float = 0.0, lora_ids=None):
-    # the int8-MXU W8A8 route is int8-only; int4 leaves always take the
-    # dequantizing W4A16 path below
-    if isinstance(w, dict) and INT8_COMPUTE and w["q"].dtype == jnp.int8:
+    # the int8-MXU W8A8 route is int8-only; q4 (grouped int4) leaves take the
+    # half-split W4A16 matmul (dequant fused into the operand stream — a
+    # dense dequant here would materialize bf16 weights every decode step)
+    if isinstance(w, dict) and INT8_COMPUTE and "q" in w and w["q"].dtype == jnp.int8:
         from multimodal_unlearning_tpu.utils.quantize import int8_matmul
 
         y = int8_matmul(x, w["q"], w["s"])
+    elif isinstance(w, dict) and "q4" in w:
+        from multimodal_unlearning_tpu.utils.quantize import int4_matmul
+
+        y = int4_matmul(x, w["q4"], w["s"])
     else:
         y = x @ _maybe_dequant(w, x.dtype)
     return apply_lora_delta(y, x, lora_leaf, lora_scale, lora_ids)
@@ -379,7 +384,7 @@ def forward(
         logits_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     if inputs_embeds is None:
         et = params["embed_tokens"]
-        if isinstance(et, dict):  # quantized embedding table (int8 or int4)
+        if isinstance(et, dict):  # quantized embedding table (int8 or q4)
             from multimodal_unlearning_tpu.utils.quantize import embed_lookup
 
             inputs_embeds = embed_lookup(et, input_ids)
@@ -460,7 +465,7 @@ def forward(
             return [extras(y, t, n) for y, n in zip(ys, names)]
 
         int8_grouped = INT8_COMPUTE and all(
-            isinstance(lp[n], dict) and lp[n]["q"].dtype == jnp.int8
+            isinstance(lp[n], dict) and "q" in lp[n] and lp[n]["q"].dtype == jnp.int8
             for n in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
         )
 

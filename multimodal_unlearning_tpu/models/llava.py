@@ -148,7 +148,9 @@ def forward(
     lm = params["language_model"]
     et = lm["embed_tokens"]
     if isinstance(et, dict):  # quantized embedding table (utils/quantize.py)
-        embeds = (jnp.take(et["q"], input_ids, axis=0).astype(jnp.float32) * et["s"][0]).astype(compute_dtype)
+        from multimodal_unlearning_tpu.utils.quantize import embed_lookup
+
+        embeds = embed_lookup(et, input_ids).astype(compute_dtype)
     else:
         embeds = jnp.take(et, input_ids, axis=0).astype(compute_dtype)
 

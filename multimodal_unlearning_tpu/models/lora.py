@@ -33,8 +33,9 @@ def init_lora(layer_params: dict, r: int, key, targets=DEFAULT_TARGETS, dtype=jn
         w = layer_params.get(name)
         if w is None:
             continue
-        if isinstance(w, dict):  # int8 QTensor base (QLoRA)
-            w = w["q"]
+        q4 = isinstance(w, dict) and "q4" in w
+        if isinstance(w, dict):  # int8/int4 QTensor base (QLoRA)
+            w = w["q4"] if q4 else w["q"]
         if w.ndim != 3:
             # MoE expert stacks [L,E,in,out] are not LoRA targets: top-k
             # routing shows each expert ~k/E of the tokens, so the
@@ -42,6 +43,8 @@ def init_lora(layer_params: dict, r: int, key, targets=DEFAULT_TARGETS, dtype=jn
             # projections; the router stays frozen (no reference analog)
             continue
         L, d_in, d_out = w.shape
+        if q4:  # nibble-packed contracting dim: physical in/2
+            d_in *= 2
         adapters[name] = {
             "a": (jax.random.normal(next(keys), (L, d_in, r)) * d_in**-0.5).astype(dtype),
             "b": jnp.zeros((L, r, d_out), dtype),
@@ -61,9 +64,12 @@ def init_flat_lora(flat_params: dict, r: int, key, targets=PROJECTOR_TARGETS, dt
     keys = iter(jax.random.split(key, len(targets)))
     for name in targets:
         w = flat_params[name]
+        q4 = isinstance(w, dict) and "q4" in w
         if isinstance(w, dict):
-            w = w["q"]
+            w = w["q4"] if q4 else w["q"]
         d_in, d_out = w.shape
+        if q4:  # nibble-packed contracting dim: physical in/2
+            d_in *= 2
         adapters[name] = {
             "a": (jax.random.normal(next(keys), (d_in, r)) * d_in**-0.5).astype(dtype),
             "b": jnp.zeros((r, d_out), dtype),

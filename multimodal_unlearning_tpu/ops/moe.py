@@ -78,7 +78,7 @@ def moe_mlp(
     dequantize per layer (W8A16)."""
     combine, _ = router_weights(h, _dq(router_w, h.dtype), k)
     if route == "dense":
-        if int8_compute and isinstance(gate_w, dict) and gate_w["q"].dtype == jnp.int8:
+        if int8_compute and isinstance(gate_w, dict) and "q" in gate_w and gate_w["q"].dtype == jnp.int8:
             return _dense_moe_w8a8(h, combine, gate_w, up_w, down_w)
         return _dense_moe(h, combine, *(_dq(w, h.dtype) for w in (gate_w, up_w, down_w)))
     if route == "capacity":

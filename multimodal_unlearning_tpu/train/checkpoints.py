@@ -103,9 +103,11 @@ def load_adapter(path: str | Path):
 # serve / forget run loads the int8/int4 tree directly — no dense weights ever
 # touch host RAM or HBM at load time (a 7B int4 checkpoint is ~3.4 GB on disk
 # vs 13.5 GB bf16).  Native '/'-joined tree layout (like adapters), NOT the
-# HF state-dict layout: QTensor leaves ({"q","s"}, utils/quantize.py) persist
-# as `<key>/q` + `<key>/s`; int4 q-arrays are nibble-packed into uint8 pairs
-# (safetensors has no 4-bit dtype) with shapes recorded in quantize_meta.json.
+# HF state-dict layout: QTensor leaves ({"q","s"} / {"q4","s"},
+# utils/quantize.py) persist as `<key>/q[4]` + `<key>/s`; q4 leaves are
+# already int8 nibble pairs so they save verbatim.  Legacy checkpoints that
+# recorded jnp.int4 arrays (flat uint8 nibbles + int4_shapes metadata) are
+# converted to the q4 layout at load time.
 # ---------------------------------------------------------------------------
 
 _QUANT_FILE = "model.quant.safetensors"
@@ -116,45 +118,34 @@ def quantized_checkpoint_exists(path: str | Path) -> bool:
     return (Path(path) / _QUANT_FILE).exists()
 
 
-def _pack_int4(q) -> np.ndarray:
-    """jnp.int4 array -> uint8 nibble pairs (flat C order: low = element 2i,
-    high = element 2i+1).  Every quantized dim is ≥ 2, so size is even."""
-    import jax.numpy as jnp
-
-    flat = np.asarray(q.astype(jnp.int8)).reshape(-1).astype(np.uint8) & 0xF
-    return (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
-
-
-def _unpack_int4(packed: np.ndarray, shape):
-    import jax.numpy as jnp
-
+def _legacy_int4_to_q4(packed: np.ndarray, shape) -> np.ndarray:
+    """Legacy checkpoint format (flat uint8 nibbles of a jnp.int4 array) →
+    the runtime q4 layout (int8 nibble pairs along the contracting dim)."""
     lo = packed & 0xF
     hi = packed >> 4
     vals = np.empty(packed.size * 2, np.int8)
     vals[0::2] = lo
     vals[1::2] = hi
     vals = np.where(vals > 7, vals - 16, vals).astype(np.int8)  # sign-extend
-    return jax.numpy.asarray(vals.reshape(shape)).astype(jnp.int4)
+    vals = vals.reshape(shape)
+    half = shape[-2] // 2  # half-split packing (see utils/quantize.py)
+    lo2, hi2 = vals[..., :half, :], vals[..., half:, :]
+    return ((lo2 & 0xF) | (hi2 << 4)).astype(np.int8)
 
 
 def save_quantized_checkpoint(save_dir: str | Path, params: dict, meta: dict | None = None):
-    import jax.numpy as jnp
     from safetensors.numpy import save_file
 
     p = Path(save_dir)
     p.mkdir(parents=True, exist_ok=True)
     leaves = jax.tree_util.tree_flatten_with_path(params)[0]
-    flat, int4_shapes = {}, {}
+    flat = {}
     for path, v in leaves:
         key = "/".join(str(k.key) for k in path)
-        if v.dtype == jnp.int4:
-            int4_shapes[key] = list(v.shape)
-            flat[key] = _pack_int4(v)
-        else:
-            flat[key] = np.ascontiguousarray(np.asarray(v))
+        flat[key] = np.ascontiguousarray(np.asarray(v))
     save_file(flat, str(p / _QUANT_FILE))
     with open(p / _QUANT_META, "w") as f:
-        json.dump(dict(meta or {}, int4_shapes=int4_shapes), f, indent=2)
+        json.dump(dict(meta or {}, int4_shapes={}), f, indent=2)
 
 
 def load_quantized_checkpoint(path: str | Path, dtype=None):
@@ -171,12 +162,13 @@ def load_quantized_checkpoint(path: str | Path, dtype=None):
     flat = load_file(str(p / _QUANT_FILE))
     tree: dict = {}
     for key, val in flat.items():
-        if key in int4_shapes:
-            arr = _unpack_int4(val, int4_shapes[key])
+        parts = key.split("/")
+        if key in int4_shapes:  # legacy jnp.int4 checkpoint → q4 layout
+            arr = jax.numpy.asarray(_legacy_int4_to_q4(val, int4_shapes[key]))
+            parts[-1] = "q4"
         else:
             arr = jax.numpy.asarray(val)
         node = tree
-        parts = key.split("/")
         for part in parts[:-1]:
             node = node.setdefault(part, {})
         node[parts[-1]] = arr

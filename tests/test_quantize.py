@@ -258,7 +258,8 @@ def test_int4_roundtrip_error_and_layout():
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.normal(size=(512, 256)), jnp.float32)
     qt = quantize_leaf_int4(w, group_size=128)
-    assert qt["q"].dtype == jnp.int4 and qt["q"].shape == (512, 256)
+    # nibble-packed int8 pairs along the contracting dim — no s4 arrays
+    assert qt["q4"].dtype == jnp.int8 and qt["q4"].shape == (256, 256)
     assert qt["s"].shape == (4, 256)  # 512/128 groups x out channels
     back = np.asarray(dequantize_leaf(qt, jnp.float32)).reshape(4, 128, 256)
     err = np.abs(back - np.asarray(w).reshape(4, 128, 256))
@@ -267,10 +268,11 @@ def test_int4_roundtrip_error_and_layout():
 
 
 def test_int4_group_size_falls_back_to_divisor():
-    # 300 is not a multiple of 128 -> largest divisor <= 128 is 100
+    # groups must divide the half-split dim: for in=300, half=150 and the
+    # largest divisor of 150 that is <= 128 is 75 -> 4 groups of 75
     w = jnp.asarray(np.random.default_rng(1).normal(size=(300, 256)), jnp.float32)
     qt = quantize_leaf_int4(w, group_size=128)
-    assert qt["s"].shape == (3, 256)
+    assert qt["s"].shape == (4, 256)
     assert np.isfinite(np.asarray(dequantize_leaf(qt, jnp.float32))).all()
 
 
@@ -290,7 +292,7 @@ def test_int4_forward_exactly_matches_dequantized_tree():
     bit-identical to forwarding a pre-dequantized dense copy of the tree."""
     cfg, params = big_decoder()
     qp = quantize_tree(params, bits=4)
-    assert qp["layers"]["q_proj"]["q"].dtype == jnp.int4
+    assert qp["layers"]["q_proj"]["q4"].dtype == jnp.int8
     assert not isinstance(qp["norm"], dict)  # small leaves stay float
     dense_copy = dequantize_tree(qp, jnp.float32)
     ids = jnp.asarray(np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 16)))
@@ -337,7 +339,7 @@ def test_int4_moe_expert_stacks():
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     qp = quantize_tree(params, bits=4)
     leaf = qp["layers"]["gate_proj"]
-    assert leaf["q"].dtype == jnp.int4
+    assert leaf["q4"].dtype == jnp.int8
     assert leaf["s"].shape == (2, 4, 2, 256)  # [L,E,256/128,out]
     dense_copy = dequantize_tree(qp, jnp.float32)
     ids = jnp.asarray(np.random.default_rng(6).integers(1, 512, (2, 12)), jnp.int32)

@@ -54,13 +54,12 @@ def test_int8_checkpoint_roundtrip_bit_exact(tmp_path):
 
 
 def test_int4_checkpoint_roundtrip_bit_exact(tmp_path):
-    """int4 q-arrays survive the nibble pack/unpack exactly (incl. negative
-    values — two's-complement sign extension)."""
+    """q4 leaves (int8 nibble pairs) save and load verbatim."""
     cfg, params = _decoder()
     qp = quantize_tree(params, bits=4)
     save_quantized_checkpoint(tmp_path, qp, meta={"bits": "int4"})
     loaded, meta = load_quantized_checkpoint(tmp_path)
-    assert loaded["layers"]["q_proj"]["q"].dtype == jnp.int4
+    assert loaded["layers"]["q_proj"]["q4"].dtype == jnp.int8
     _tree_equal(qp, loaded)
     # forward from the loaded tree == forward from the in-memory tree
     ids = jnp.asarray(np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 8)))
@@ -152,3 +151,39 @@ def test_vlm_mixed_tree_roundtrip(tmp_path):
         for x in jax.tree.leaves(loaded["language_model"], is_leaf=is_qtensor)
     )
     _tree_equal(qp, loaded)
+
+
+def test_legacy_int4_checkpoint_converts_to_q4(tmp_path):
+    """Checkpoints written by the old jnp.int4 format (flat uint8 nibbles +
+    int4_shapes metadata) load as q4 leaves and forward identically."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    cfg, params = _decoder()
+    qp = quantize_tree(params, bits=4)
+
+    # write the LEGACY layout by hand: unpack q4 to int4 values, flat-pack
+    flat, int4_shapes = {}, {}
+    for path, v in jax.tree_util.tree_flatten_with_path(qp)[0]:
+        key = "/".join(str(k.key) for k in path)
+        if key.endswith("/q4"):
+            from multimodal_unlearning_tpu.utils.quantize import unpack_int4
+
+            vals = np.asarray(unpack_int4(v)).astype(np.uint8) & 0xF
+            flat_vals = vals.reshape(-1)
+            key = key[:-1]  # "/q4" -> "/q" (legacy leaf name)
+            int4_shapes[key] = [*v.shape[:-2], v.shape[-2] * 2, v.shape[-1]]
+            flat[key] = (flat_vals[0::2] | (flat_vals[1::2] << 4)).astype(np.uint8)
+        else:
+            flat[key] = np.ascontiguousarray(np.asarray(v))
+    save_file(flat, str(tmp_path / "model.quant.safetensors"))
+    with open(tmp_path / "quantize_meta.json", "w") as f:
+        json.dump({"bits": "int4", "int4_shapes": int4_shapes}, f)
+
+    loaded, _ = load_quantized_checkpoint(tmp_path)
+    _tree_equal(qp, loaded)
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, cfg.vocab_size, (2, 8)))
+    a = llama.forward(qp, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    b = llama.forward(loaded, cfg, ids, compute_dtype=jnp.float32)["logits"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
