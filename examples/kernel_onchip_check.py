@@ -3,8 +3,13 @@ real chip: each kernel vs its XLA reference at serving-realistic shapes.
 
 The paged kernels and the verify-chunk kernels are interpret-validated in
 CI (tests/test_paged_attention.py, tests/test_attention.py); this script
-is the ON-CHIP gate before flipping their auto-dispatch defaults
-(MMU_CHUNK_PALLAS — see ops/decode_attention.py:chunk_decode_attention).
+is the ON-CHIP gate behind their auto-dispatch defaults.  It PASSED on a
+real v5e (all dense+paged, bf16+int8 variants — see
+examples/kernel_onchip_check.log), so the verify-chunk kernels now
+dispatch by default on TPU; MMU_CHUNK_PALLAS=0 is the kill switch
+(ops/decode_attention.py:chunk_decode_attention).  It also caught a real
+Mosaic tiling bug interpret mode cannot see (the paged validity block
+layout), so rerun it on hardware after any kernel change.
 
   python examples/kernel_onchip_check.py            # correctness
   python examples/kernel_onchip_check.py time       # + micro-timings

@@ -366,15 +366,16 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None,
       offset: [B] int32 — each row's first in-chunk cache column.
     Returns [B, Hq, C, D] in q's dtype.
 
-    impl: "xla" (default path today) runs as (dequant+)repeat+einsum —
-    correct everywhere, but the per-layer ``dynamic_index`` materializes a
-    [B,Hkv,Smax,D] slab copy, the exact cache-traffic overhead the
-    single-token flash kernel removed.  "pallas" runs the flash
-    verify-chunk kernel (scalar-prefetched layer + per-row offsets, each
-    K/V byte read once).  "auto" picks the kernel on TPU only when the
-    MMU_CHUNK_PALLAS=1 env flag is set (kernel is interpret-validated;
-    flip the default after on-chip validation) and shapes are
-    lane-aligned; dense caches only.
+    impl: "xla" runs as (dequant+)repeat+einsum — correct everywhere, but
+    the per-layer ``dynamic_index`` materializes a [B,Hkv,Smax,D] slab
+    copy, the exact cache-traffic overhead the single-token flash kernel
+    removed.  "pallas" runs the flash verify-chunk kernel
+    (scalar-prefetched layer + per-row offsets, each K/V byte read once).
+    "auto" picks the kernel on TPU when shapes are lane-aligned — the
+    default since the on-chip Mosaic gate passed all dense+paged,
+    bf16+int8 variants with the kernel 1.4-1.6x faster than the XLA path
+    (examples/kernel_onchip_check.log); MMU_CHUNK_PALLAS=0 is the kill
+    switch back to XLA.
 
     Paged caches: the XLA path materializes the full [B,Hkv,MP·page,D]
     gather view per layer (a transient — the persistent pool stays capped);
@@ -394,7 +395,7 @@ def chunk_decode_attention(q, cache, layer, kv_valid, offset, *, sm_scale=None,
     tp = mesh.shape.get(head_axis, 1) if mesh is not None else 1
     if impl == "auto":
         use = (jax.default_backend() == "tpu"
-               and os.environ.get("MMU_CHUNK_PALLAS") == "1")
+               and os.environ.get("MMU_CHUNK_PALLAS", "1") != "0")
         impl = "pallas" if use else "xla"
     if tp > 1:
         impl = "xla"

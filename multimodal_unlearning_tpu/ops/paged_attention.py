@@ -114,7 +114,7 @@ def _paged_kernel(l_ref, t_ref, n_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Gp, page]
-        valid = valid_ref[0, 0] > 0  # [page]
+        valid = valid_ref[0, 0, 0] > 0  # [page]
         s = jnp.where(valid[None, :], s, _NEG_INF)
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -158,7 +158,7 @@ def _paged_kernel_q8(l_ref, t_ref, n_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * k_s[None, :]
-        valid = valid_ref[0, 0] > 0
+        valid = valid_ref[0, 0, 0] > 0
         s = jnp.where(valid[None, :], s, _NEG_INF)
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -196,8 +196,11 @@ def _pallas_paged(layer, table, npages, qs, k_pool, v_pool, k_s, v_s,
 
     kv_map = lambda b, h, j, l, t, n: (l[0], h, page_of(b, j, n, t), 0, 0)
     sc_map = lambda b, h, j, l, t, n: (l[0], h, page_of(b, j, n, t), 0, 0)
+    # validity rides as [B, MP, 1, P] so the block's last-two dims (1, P)
+    # equal the array's — Mosaic requires (8, 128)-divisible or full-dim
+    # blocks on the minor two axes (a (1, P) block over [B, MP, P] is not)
     vmask_map = lambda b, h, j, l, t, n: (
-        b, jnp.minimum(j, jnp.maximum(n[b] - 1, 0)), 0)
+        b, jnp.minimum(j, jnp.maximum(n[b] - 1, 0)), 0, 0)
 
     kv_spec = pl.BlockSpec((1, 1, 1, P, D), kv_map)
     in_specs = [
@@ -210,7 +213,7 @@ def _pallas_paged(layer, table, npages, qs, k_pool, v_pool, k_s, v_s,
         in_specs += [pl.BlockSpec((1, 1, 1, 1, P), sc_map)] * 2
         operands += [k_s, v_s]
         kernel = _paged_kernel_q8
-    in_specs.append(pl.BlockSpec((1, 1, P), vmask_map))
+    in_specs.append(pl.BlockSpec((1, 1, 1, P), vmask_map))
     operands.append(valid_p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -284,7 +287,7 @@ def paged_decode_attention(
     MP = table.shape[1]
     npages = jnp.maximum(_page_counts(kv_valid, P), 1)
     layer = jnp.asarray(layer, jnp.int32).reshape((1,))
-    valid_p = kv_valid.astype(jnp.int32).reshape(B, MP, P)
+    valid_p = kv_valid.astype(jnp.int32).reshape(B, MP, 1, P)
     k_s = cache.get("k_s") if quantized else None
     v_s = cache.get("v_s") if quantized else None
 
@@ -340,7 +343,7 @@ def _paged_chunk_kernel(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
         c = jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 0) % C
         off = off_ref[b]
         in_chunk = (col >= off) & (col <= off + c)
-        mask = (valid_ref[0, 0][None, :] > 0) | in_chunk
+        mask = (valid_ref[0, 0, 0][None, :] > 0) | in_chunk
         s = jnp.where(mask, s, _NEG_INF)
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -384,7 +387,7 @@ def _paged_chunk_kernel_q8(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
         c = jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 0) % C
         off = off_ref[b]
         in_chunk = (col >= off) & (col <= off + c)
-        mask = (valid_ref[0, 0][None, :] > 0) | in_chunk
+        mask = (valid_ref[0, 0, 0][None, :] > 0) | in_chunk
         s = jnp.where(mask, s, _NEG_INF)
         m_prev = m_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -435,15 +438,16 @@ def paged_chunk_decode_attention(
     npages = jnp.maximum(
         jnp.maximum(_page_counts(kv_valid, P), (offset + C - 1) // P + 1), 1)
     layer = jnp.asarray(layer, jnp.int32).reshape((1,))
-    valid_p = kv_valid.astype(jnp.int32).reshape(B, MP, P)
+    valid_p = kv_valid.astype(jnp.int32).reshape(B, MP, 1, P)
 
     def page_of(b, j, n_ref, t_ref):
         jc = jnp.minimum(j, jnp.maximum(n_ref[b] - 1, 0))
         return t_ref[b, jc]
 
     kv_map = lambda b, h, j, l, t, n, off: (l[0], h, page_of(b, j, n, t), 0, 0)
+    # [B, MP, 1, P] validity: see _pallas_paged (Mosaic minor-dims rule)
     vmask_map = lambda b, h, j, l, t, n, off: (
-        b, jnp.minimum(j, jnp.maximum(n[b] - 1, 0)), 0)
+        b, jnp.minimum(j, jnp.maximum(n[b] - 1, 0)), 0, 0)
     kv_spec = pl.BlockSpec((1, 1, 1, P, D), kv_map)
     in_specs = [
         pl.BlockSpec((1, 1, Mp, D), lambda b, h, j, l, t, n, off: (b, h, 0, 0)),
@@ -455,7 +459,7 @@ def paged_chunk_decode_attention(
         in_specs += [pl.BlockSpec((1, 1, 1, 1, P), kv_map)] * 2
         operands += [cache["k_s"], cache["v_s"]]
         kernel = _partial(_paged_chunk_kernel_q8, C=C, P=P)
-    in_specs.append(pl.BlockSpec((1, 1, P), vmask_map))
+    in_specs.append(pl.BlockSpec((1, 1, 1, P), vmask_map))
     operands.append(valid_p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
