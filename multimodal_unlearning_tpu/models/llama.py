@@ -266,44 +266,60 @@ def init_paged_kv_cache(cfg, n_pages: int, page: int, dtype=jnp.bfloat16):
 def _cache_write_per_row(cache, k, v, layer_id, offset):
     """Cache write at a DIFFERENT column range per row: k/v are [B,H,C,D],
     ``offset`` is [B] — row b's C tokens land at columns offset[b]..
-    offset[b]+C-1.  One scatter per tensor — the batched analog of the
-    dynamic_update_slice path.  C == 1 is the continuous-batching decode
+    offset[b]+C-1.  C == 1 is the continuous-batching decode
     (serve/engine.py); C > 1 is the speculative verify chunk
     (evaluation/generate.py).  Paged caches (a "table" key — see
-    init_paged_kv_cache) route the same scatter through the block table."""
+    init_paged_kv_cache) route through the block table.
+
+    Each row's target columns are CONTIGUOUS, so this is a (statically
+    unrolled) chain of per-row ``dynamic_update_slice`` — in-place on the
+    carried cache, one [H,C,D] DMA per row.  The batched-scatter
+    formulation (``.at[layer, rows, :, cols, :]``) is mathematically the
+    same but lowers to an XLA scatter that measured ~8x a plain decode
+    step on a v5e (28.5 ms/verify-round vs 3.6 ms/step at the 2B op
+    point, examples/decode_bench.py +spec4)."""
     if "table" in cache:
         return _cache_write_paged(cache, k, v, layer_id, offset)
-    B, _, C, _ = k.shape
-    rows = jnp.arange(B)[:, None]                       # [B,1]
-    cols = offset[:, None] + jnp.arange(C)[None, :]     # [B,C]
+    B = k.shape[0]
+    layer_id = jnp.asarray(layer_id).astype(jnp.int32)
+    offset = jnp.asarray(offset).astype(jnp.int32)
+    z = jnp.int32(0)
+    out = dict(cache)
     if cache["k"].dtype == jnp.int8:
         k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         k_q = jnp.round(k.astype(jnp.float32) / jnp.maximum(k_s, 1e-12)).astype(jnp.int8)
         v_q = jnp.round(v.astype(jnp.float32) / jnp.maximum(v_s, 1e-12)).astype(jnp.int8)
-        # advanced indices (rows, cols) split by the head slice broadcast
-        # to the FRONT: target block is [B, C, H, D] / scales [B, C, H]
-        return {
-            "k": cache["k"].at[layer_id, rows, :, cols, :].set(k_q.transpose(0, 2, 1, 3)),
-            "v": cache["v"].at[layer_id, rows, :, cols, :].set(v_q.transpose(0, 2, 1, 3)),
-            "k_s": cache["k_s"].at[layer_id, rows, :, 0, cols].set(
-                k_s[..., 0].transpose(0, 2, 1)),
-            "v_s": cache["v_s"].at[layer_id, rows, :, 0, cols].set(
-                v_s[..., 0].transpose(0, 2, 1)),
-        }
-    return {
-        "k": cache["k"].at[layer_id, rows, :, cols, :].set(
-            k.astype(cache["k"].dtype).transpose(0, 2, 1, 3)),
-        "v": cache["v"].at[layer_id, rows, :, cols, :].set(
-            v.astype(cache["v"].dtype).transpose(0, 2, 1, 3)),
-    }
+        for b in range(B):
+            at = (layer_id, jnp.int32(b), z, offset[b], z)
+            at_s = (layer_id, jnp.int32(b), z, z, offset[b])
+            out["k"] = jax.lax.dynamic_update_slice(out["k"], k_q[b][None, None], at)
+            out["v"] = jax.lax.dynamic_update_slice(out["v"], v_q[b][None, None], at)
+            out["k_s"] = jax.lax.dynamic_update_slice(
+                out["k_s"], k_s[b][None, None].transpose(0, 1, 2, 4, 3), at_s)
+            out["v_s"] = jax.lax.dynamic_update_slice(
+                out["v_s"], v_s[b][None, None].transpose(0, 1, 2, 4, 3), at_s)
+        return out
+    for b in range(B):
+        at = (layer_id, jnp.int32(b), z, offset[b], z)
+        out["k"] = jax.lax.dynamic_update_slice(
+            out["k"], k[b].astype(cache["k"].dtype)[None, None], at)
+        out["v"] = jax.lax.dynamic_update_slice(
+            out["v"], v[b].astype(cache["v"].dtype)[None, None], at)
+    return out
 
 
 def _cache_write_paged(cache, k, v, layer_id, offset):
     """Per-row write through the block table: logical columns
     offset[b]..offset[b]+C-1 scatter to pool pages ``table[b, col // page]``
     at offsets ``col % page``.  Rows mapped to the same page (only the
-    engine's never-read trash page 0, for retired slots) race benignly."""
+    engine's never-read trash page 0, for retired slots) race benignly.
+
+    C == 1 (the engine's plain decode step) unrolls to per-row
+    ``dynamic_update_slice`` — in-place, no XLA scatter (see
+    _cache_write_per_row).  C > 1 (speculative verify into a paged pool)
+    keeps the scatter: a row's chunk may straddle a page boundary, so the
+    columns are not contiguous in the pool."""
     B, _, C, _ = k.shape
     page = cache["k"].shape[3]
     layer_id = jnp.asarray(layer_id).astype(jnp.int32)
@@ -311,6 +327,27 @@ def _cache_write_paged(cache, k, v, layer_id, offset):
     pg = jnp.take_along_axis(cache["table"], cols // page, axis=1)  # [B,C]
     off = cols % page
     out = dict(cache)
+    if C == 1:
+        z = jnp.int32(0)
+        quant = cache["k"].dtype == jnp.int8
+        if quant:
+            k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+            v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+            k_w = jnp.round(k.astype(jnp.float32) / jnp.maximum(k_s, 1e-12)).astype(jnp.int8)
+            v_w = jnp.round(v.astype(jnp.float32) / jnp.maximum(v_s, 1e-12)).astype(jnp.int8)
+        else:
+            k_w, v_w = k.astype(cache["k"].dtype), v.astype(cache["v"].dtype)
+        for b in range(B):
+            at = (layer_id, z, pg[b, 0], off[b, 0], z)
+            out["k"] = jax.lax.dynamic_update_slice(out["k"], k_w[b][None, :, None], at)
+            out["v"] = jax.lax.dynamic_update_slice(out["v"], v_w[b][None, :, None], at)
+            if quant:
+                at_s = (layer_id, z, pg[b, 0], z, off[b, 0])
+                out["k_s"] = jax.lax.dynamic_update_slice(
+                    out["k_s"], k_s[b][None, :, None], at_s)
+                out["v_s"] = jax.lax.dynamic_update_slice(
+                    out["v_s"], v_s[b][None, :, None], at_s)
+        return out
     if cache["k"].dtype == jnp.int8:
         k_s = jnp.max(jnp.abs(k).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
         v_s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
