@@ -120,7 +120,13 @@ def main():
 
     batch = {"forget": split_batch(), "retain": split_batch()}
 
-    apply_fn = make_apply_fn("llava", mcfg, lora_cfg=scale, compute_dtype=dtype, remat=True, logits_dtype=dtype)
+    # remat policy from the round-4 W8A8 sweep (examples/perf_sweep.py):
+    # full 1.659, save_attn 1.698, save_attn_ffn 1.695 steps/s; none OOMs
+    # even at int8 — save_attn skips recomputing attention inside each
+    # rematted layer at an activation cost that still fits
+    apply_fn = make_apply_fn(
+        "llava", mcfg, lora_cfg=scale, compute_dtype=dtype, remat=True,
+        remat_policy="save_attn", logits_dtype=dtype)
 
     tx = optim.make_optimizer("adamw", 1e-5, weight_decay=0.01)
     step = trainer.make_train_step(
