@@ -32,12 +32,29 @@ def build(family):
     from multimodal_unlearning_tpu.cli.common import build_model_config
     from multimodal_unlearning_tpu.config import get_model_identifiers
     from multimodal_unlearning_tpu.models import llava
-    from multimodal_unlearning_tpu.utils.quantize import quantize_tree
+    from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
 
     model_cfg = get_model_identifiers(family)
     mcfg = build_model_config(model_cfg)
     params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = dict(params, language_model=quantize_tree(params["language_model"]))
+
+    # quantize leaf-by-leaf, freeing each bf16 buffer before the next: a
+    # whole-tree quantize keeps bf16 (13.5 GB) + int8 (7 GB) alive at once
+    # and OOMs the 16 GB chip before the bench starts
+    qfn = jax.jit(quantize_leaf)
+
+    def quantize_inplace(d):
+        for key in list(d.keys()):
+            v = d[key]
+            if isinstance(v, dict):
+                quantize_inplace(v)
+            elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
+                q = qfn(v)
+                jax.block_until_ready(q)
+                v.delete()
+                d[key] = q
+
+    quantize_inplace(params["language_model"])
     return mcfg, params
 
 
@@ -59,8 +76,14 @@ def make_requests(mcfg, n, seed=0):
 
 
 def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0,
-               page_size=0, pool_frac=1.0):
+               page_size=0, pool_frac=1.0, draft_refs=None):
+    import gc
+
     from multimodal_unlearning_tpu.serve import ServingEngine
+
+    # free the PREVIOUS leg's engine (KV slabs are GB-scale at 7B; request
+    # object cycles keep them alive past the natural scope exit)
+    gc.collect()
 
     slack = speculate_k + 1 if speculate_k else 0
     # submit checks BUCKETED prompt length + budget (+ spec slack)
@@ -75,30 +98,39 @@ def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0,
         bucket_multiple=128, pad_token_id=0, eos_token_id=None,
         cache_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         speculate_k=speculate_k, page_size=page_size, kv_pool_pages=pool,
+        spec_ref_len=384 if draft_refs else 128,
     )
     # warmup: compile the prefill bucket + the decode chunk
     w = [eng.submit(requests[0][0], 2, pixel_values=requests[0][2]),
          eng.submit(requests[1][0], 2, pixel_values=requests[1][2])]
     eng.drain(w)
 
+    drefs = draft_refs or [None] * len(requests)
     t0 = time.perf_counter()
-    live = [eng.submit(ids, budget, pixel_values=img) for ids, budget, img in requests]
+    live = [eng.submit(ids, budget, pixel_values=img, draft_ref=dref)
+            for (ids, budget, img), dref in zip(requests, drefs)]
     outs = eng.drain(live)
     dt = time.perf_counter() - t0
     toks = sum(len(t) for t in outs)
     lat = sorted(r.done_t - r.submit_t for r in live)
+    stats = {}
     if speculate_k:
+        stats["tokens_per_round"] = float(eng.stats()["tokens_per_round"])
         print(f"  spec{speculate_k} acceptance: "
-              f"{eng.stats()['tokens_per_round']:.2f} tok/round", flush=True)
+              f"{stats['tokens_per_round']:.2f} tok/round", flush=True)
     if page_size:
         st = eng.stats()
         dense_pages = slots * (eng.smax // page_size)
+        stats["pool_pages"] = int(st["pool_pages"])
+        stats["pool_pages_peak"] = int(st["pool_pages_peak"])
+        stats["pool_frac_of_dense"] = round(st["pool_pages"] / dense_pages, 3)
+        stats["peak_frac_of_dense"] = round(st["pool_pages_peak"] / dense_pages, 3)
         print(f"  paged pool: {st['pool_pages']} pages "
               f"({st['pool_pages']/dense_pages:.0%} of dense), "
               f"peak used {st['pool_pages_peak']} "
               f"({st['pool_pages_peak']/dense_pages:.0%} of dense KV memory)",
               flush=True)
-    return toks, dt, lat
+    return toks, dt, lat, outs, stats
 
 
 def run_batched(mcfg, params, requests, batch_size):
@@ -160,6 +192,10 @@ def run_prefix_leg(mcfg, params, slots, pct, n=32):
     p_bucket = -(-len(preamble) // 128) * 128
     max_len = -(-(p_bucket + 128 + 48) // 128) * 128
 
+    import gc
+
+    gc.collect()
+
     def eng():
         return ServingEngine(
             params, mcfg, "llava", num_slots=slots, max_len=max_len, chunk=16,
@@ -168,6 +204,7 @@ def run_prefix_leg(mcfg, params, slots, pct, n=32):
         )
 
     for use_prefix in (False, True):
+        gc.collect()
         e = eng()
         pid = e.register_prefix(preamble, pixel_values=img) if use_prefix else None
         # warmup compile
@@ -190,6 +227,8 @@ def run_prefix_leg(mcfg, params, slots, pct, n=32):
 
 
 def main():
+    import json
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     family = sys.argv[3] if len(sys.argv) > 3 else "llava"
@@ -199,22 +238,46 @@ def main():
     def pct(lat, p):
         return lat[min(int(p / 100 * len(lat)), len(lat) - 1)]
 
+    rows = []
+
+    def record(mode, toks, dt, lat, **extra):
+        rows.append({
+            "mode": mode, "useful_tokens": toks, "wall_s": round(dt, 2),
+            "tok_per_s": round(toks / dt, 1),
+            "latency_p50_s": round(pct(lat, 50), 2),
+            "latency_p95_s": round(pct(lat, 95), 2),
+            "speedup_vs_batched": round(rows[0]["wall_s"] / dt, 2) if rows else 1.0,
+            **extra,
+        })
+
     toks_b, dt_b, lat_b = run_batched(mcfg, params, requests, slots)
+    record("batched", toks_b, dt_b, lat_b)
     print(f"batched    bs={slots}: {toks_b} useful tokens in {dt_b:6.1f}s "
           f"= {toks_b / dt_b:6.1f} tok/s   "
           f"latency p50 {pct(lat_b, 50):5.1f}s p95 {pct(lat_b, 95):5.1f}s", flush=True)
 
-    toks_e, dt_e, lat_e = run_engine(mcfg, params, requests, slots)
+    toks_e, dt_e, lat_e, outs_e, _ = run_engine(mcfg, params, requests, slots)
+    record("continuous", toks_e, dt_e, lat_e)
     print(f"continuous B={slots}: {toks_e} useful tokens in {dt_e:6.1f}s "
           f"= {toks_e / dt_e:6.1f} tok/s   "
           f"latency p50 {pct(lat_e, 50):5.1f}s p95 {pct(lat_e, 95):5.1f}s   "
           f"({dt_b / dt_e:4.2f}x)", flush=True)
 
-    # opt-in speculative legs: trailing "spec<K>" args, e.g. ... llava spec4
+    # opt-in speculative legs: trailing "spec<K>" args, e.g. ... llava spec4.
+    # Each request's draft corpus is seeded with its own prior answer (the
+    # continuous leg's output) — the engine's documented regeneration/cached-
+    # answer scenario — so this measures the verify machinery at HIGH
+    # acceptance; realistic-acceptance numbers come from the finetuned-model
+    # eval workload (examples/e2e_7b_pipeline.py / BASELINE.md)
+    spec_drafts = [[int(t) for t in o] for o in outs_e]
     for arg in sys.argv[4:]:
         if arg.startswith("spec"):
             k = int(arg[4:])
-            toks_s, dt_s, lat_s = run_engine(mcfg, params, requests, slots, speculate_k=k)
+            toks_s, dt_s, lat_s, _, st = run_engine(
+                mcfg, params, requests, slots, speculate_k=k,
+                draft_refs=spec_drafts)
+            record(f"cont+spec{k}", toks_s, dt_s, lat_s,
+                   drafts="cached-prior-answer (high acceptance)", **st)
             print(f"cont+spec{k} B={slots}: {toks_s} useful tokens in {dt_s:6.1f}s "
                   f"= {toks_s / dt_s:6.1f} tok/s   "
                   f"latency p50 {pct(lat_s, 50):5.1f}s p95 {pct(lat_s, 95):5.1f}s   "
@@ -226,12 +289,30 @@ def main():
             # throughput should hold while KV memory drops to the workload's
             # actual footprint (skewed budgets leave dense slabs mostly empty)
             frac = int(arg[5:]) / 100 if len(arg) > 5 else 0.6
-            toks_p, dt_p, lat_p = run_engine(
+            toks_p, dt_p, lat_p, _, st = run_engine(
                 mcfg, params, requests, slots, page_size=128, pool_frac=frac)
+            record(f"cont+paged{int(frac * 100)}", toks_p, dt_p, lat_p, **st)
             print(f"cont+paged B={slots}: {toks_p} useful tokens in {dt_p:6.1f}s "
                   f"= {toks_p / dt_p:6.1f} tok/s   "
                   f"latency p50 {pct(lat_p, 50):5.1f}s p95 {pct(lat_p, 95):5.1f}s   "
                   f"({dt_b / dt_p:4.2f}x)", flush=True)
+
+    out = os.environ.get("MMU_SERVE_BENCH_OUT")
+    if out:
+        import jax as _jax
+
+        payload = {
+            "family": family, "n_requests": n, "slots": slots,
+            "backend": _jax.default_backend(),
+            "weights": "int8 (quantize_tree)",
+            "workload": "shared CLEAR-shape prompts, 75% short (8-48) / "
+                        "25% long (200-300) answer budgets",
+            "legs": rows,
+        }
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,10 @@ def run(cfg):
         model_cfg, cfg.get("model_path"), seed=cfg.seed, dtype=dtype
     )
     remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
+    if cfg.get("remat") is not None:  # cfg override of the registry flag
+        # (the reference inherits llava's gradient_checkpointing=false from
+        # 80GB-GPU ZeRO runs; a 16GB v5e needs remat at 7B)
+        remat = bool(cfg.remat)
     # save_attn_ffn measured fastest at the bf16 7B point (BASELINE.md)
     remat_policy = cfg.get("remat_policy") or None
     attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"

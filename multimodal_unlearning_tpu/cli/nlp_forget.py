@@ -101,6 +101,10 @@ def run(cfg):
 
     use_lora = cfg.LoRA.r != 0 and not is_projection
     remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
+    if cfg.get("remat") is not None:  # cfg override of the registry flag
+        # (the reference inherits llava's gradient_checkpointing=false from
+        # 80GB-GPU ZeRO runs; a 16GB v5e needs remat at 7B)
+        remat = bool(cfg.remat)
     attn_impl = "auto" if str(model_cfg.get("flash_attention2", "true")) == "true" else "xla"
 
     opt_name = "sgd" if is_projection else cfg.get("optimizer", "adamw")
