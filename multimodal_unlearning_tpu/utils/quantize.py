@@ -94,11 +94,27 @@ def unpack_int4(packed):
 
 
 def int4_matmul(x, q4, s, out_dtype=None):
-    """``x @ dequant(q4, s)`` without materializing the dense weight: the
-    half-split packing makes each half's dequant elementwise on the packed
-    buffer, so the two MXU dots stream int4 bytes from HBM.  x: [..., in],
-    q4: [in/2, out], s: [in/G, out] with G | in/2."""
+    """``x @ dequant(q4, s)``.  x: [..., in], q4: [in/2, out] half-split
+    nibble-packed, s: [in/G, out] with G | in/2.
+
+    Small-M calls (single-token decode, speculative verify chunks) dispatch
+    to the Pallas kernel (ops/int4_matmul.py), which streams the PACKED
+    bytes as the only HBM traffic — the XLA formulation below materializes
+    dense dequantized weights every call, which on the decode path measured
+    5x slower than W8A8 at 2B and OOMed 7B/bs8 (the fate the int4 path
+    exists to avoid).  Large-M (prefill) keeps XLA: one dequant amortizes
+    over the whole prompt and the dense MXU dot wins."""
     out_dtype = out_dtype or x.dtype
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    if q4.ndim == 2 and M <= 1024:
+        from multimodal_unlearning_tpu.ops.int4_matmul import (
+            int4_matmul_pallas, supported, use_pallas_int4)
+
+        if use_pallas_int4() and supported(q4, s):
+            y = int4_matmul_pallas(x.reshape(M, x.shape[-1]), q4, s, out_dtype)
+            return y.reshape(*x.shape[:-1], q4.shape[-1])
     half, out = q4.shape[-2], q4.shape[-1]
     n_groups = s.shape[-2]
     gh = n_groups // 2
