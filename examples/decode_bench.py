@@ -161,6 +161,11 @@ def main():
             for line in text.split("\n"):
                 if any(k in line for k in ("Ran out of memory", "hbm", "Largest")):
                     print("   ", line.strip()[:160], flush=True)
+            # full error text for offline triage (truncated messages hide
+            # whether an OOM is HBM vs Mosaic VMEM/scratch)
+            with open(f"/tmp/decode_bench_{name}_error.txt", "w") as f:
+                f.write(text)
+            print(f"    full error -> /tmp/decode_bench_{name}_error.txt", flush=True)
     enable_int8_compute(False)
 
 

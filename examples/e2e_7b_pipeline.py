@@ -88,7 +88,9 @@ def main():
         cfg = _cfg(
             "mm", "finetune",
             model_family=FAMILY, data_path=DATA, split="full+tofu",
-            batch_size=4, gradient_accumulation_steps=1, num_epochs=4,
+            # micro-batch 2 is the validated 7B activation budget on one
+            # 16 GB v5e (bench.py op point); accumulate to effective bs 4
+            batch_size=2, gradient_accumulation_steps=2, num_epochs=4,
             max_length=MAXLEN, lr=1e-3, save_dir=str(base),
             quantize_base=QUANT, remat=QUANT, remat_policy="save_attn" if QUANT else None,
         )

@@ -106,6 +106,7 @@ def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0,
     eng.drain(w)
 
     drefs = draft_refs or [None] * len(requests)
+    st0 = eng.stats()  # warmup baseline — counters below are measured-run only
     t0 = time.perf_counter()
     live = [eng.submit(ids, budget, pixel_values=img, draft_ref=dref)
             for (ids, budget, img), dref in zip(requests, drefs)]
@@ -113,7 +114,25 @@ def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0,
     dt = time.perf_counter() - t0
     toks = sum(len(t) for t in outs)
     lat = sorted(r.done_t - r.submit_t for r in live)
-    stats = {}
+    st_all = eng.stats()
+    # engine-counter attribution (paged60 regression triage): occupancy is
+    # the fraction of dispatched (step, slot) cells that carried a live
+    # request — low occupancy = admission/scheduling loss; high occupancy
+    # with low tok/s = the per-step program itself is slower
+    disp = st_all["dispatches"] - st0["dispatches"]
+    rounds = st_all["live_rounds"] - st0["live_rounds"]
+    cells = max(disp * chunk * slots, 1)
+    stats = {
+        "dispatches": int(disp),
+        "prefills": int(st_all["prefills"] - st0["prefills"]),
+        "live_rounds": int(rounds),
+        "occupancy": round(rounds / cells, 3),
+        "ms_per_dispatch": round(1e3 * dt / max(disp, 1), 1),
+    }
+    print(f"  engine: {stats['dispatches']} dispatches x chunk {chunk}, "
+          f"occupancy {stats['occupancy']:.2f}, "
+          f"{stats['ms_per_dispatch']:.0f} ms/dispatch "
+          f"({stats['prefills']} prefills in-band)", flush=True)
     if speculate_k:
         stats["tokens_per_round"] = float(eng.stats()["tokens_per_round"])
         print(f"  spec{speculate_k} acceptance: "
@@ -256,8 +275,8 @@ def main():
           f"= {toks_b / dt_b:6.1f} tok/s   "
           f"latency p50 {pct(lat_b, 50):5.1f}s p95 {pct(lat_b, 95):5.1f}s", flush=True)
 
-    toks_e, dt_e, lat_e, outs_e, _ = run_engine(mcfg, params, requests, slots)
-    record("continuous", toks_e, dt_e, lat_e)
+    toks_e, dt_e, lat_e, outs_e, st_e = run_engine(mcfg, params, requests, slots)
+    record("continuous", toks_e, dt_e, lat_e, **st_e)
     print(f"continuous B={slots}: {toks_e} useful tokens in {dt_e:6.1f}s "
           f"= {toks_e / dt_e:6.1f} tok/s   "
           f"latency p50 {pct(lat_e, 50):5.1f}s p95 {pct(lat_e, 95):5.1f}s   "
