@@ -70,7 +70,7 @@ def main():
     n_img = mcfg.num_image_tokens
     img_size = mcfg.vision.image_size
 
-    from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
+    from multimodal_unlearning_tpu.utils.quantize import quantize_tree_inplace
 
     params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=dtype)
     adapters = lora_mod.init_lora(
@@ -79,20 +79,7 @@ def main():
     adapters = {"language_model": adapters}
 
     # int8-quantize the frozen decoder leaf-by-leaf, freeing bf16 buffers
-    qfn = jax.jit(quantize_leaf)
-
-    def quantize_inplace(d):
-        for key in list(d.keys()):
-            v = d[key]
-            if isinstance(v, dict):
-                quantize_inplace(v)
-            elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
-                q = qfn(v)
-                jax.block_until_ready(q)
-                v.delete()
-                d[key] = q
-
-    quantize_inplace(params["language_model"])
+    quantize_tree_inplace(params["language_model"])
     scale = lora_mod.lora_scale(8, 32)
 
     # W8A8 + int8 dx backward (quality-gated; see module docstring)

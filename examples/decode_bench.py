@@ -37,10 +37,7 @@ def main():
     from multimodal_unlearning_tpu.evaluation.generate import greedy_generate
     from multimodal_unlearning_tpu.models import vlm_module
     from multimodal_unlearning_tpu.models.llama import enable_int8_compute
-    from multimodal_unlearning_tpu.utils.quantize import (
-        quantize_leaf,
-        quantize_leaf_int4,
-    )
+    from multimodal_unlearning_tpu.utils.quantize import quantize_tree_inplace
 
     model_cfg = get_model_identifiers(family)
     mcfg = build_model_config(model_cfg)
@@ -71,19 +68,6 @@ def main():
     input_ids = jnp.asarray(ids, jnp.int32)
     attention_mask = jnp.ones((B, S), jnp.int32)
 
-    qfns = {8: jax.jit(quantize_leaf), 4: jax.jit(quantize_leaf_int4)}
-
-    def quantize_inplace(d, bits=8):
-        for key in list(d.keys()):
-            v = d[key]
-            if isinstance(v, dict):
-                quantize_inplace(v, bits)
-            elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
-                q = qfns[bits](v)
-                jax.block_until_ready(q)
-                v.delete()
-                d[key] = q
-
     quantized = 0  # bits of the in-place quantization, once applied
     for name in variants:
         # trailing "+aot": AUTO-layout AOT compile — weights device_put into
@@ -103,7 +87,7 @@ def main():
                 print(f"{name:12s} SKIPPED: run int{want_bits} variants in their own invocation")
                 continue
             if not quantized:
-                quantize_inplace(params["language_model"], want_bits)
+                quantize_tree_inplace(params["language_model"], bits=want_bits)
                 quantized = want_bits
         enable_int8_compute(base_name in ("w8a8", "w8a8c"))
         cache_dtype = jnp.int8 if base_name in ("w8a8c", "w4a16c") else dtype

@@ -32,29 +32,15 @@ def build(family):
     from multimodal_unlearning_tpu.cli.common import build_model_config
     from multimodal_unlearning_tpu.config import get_model_identifiers
     from multimodal_unlearning_tpu.models import llava
-    from multimodal_unlearning_tpu.utils.quantize import quantize_leaf
+    from multimodal_unlearning_tpu.utils.quantize import quantize_tree_inplace
 
     model_cfg = get_model_identifiers(family)
     mcfg = build_model_config(model_cfg)
     params = llava.init_params(mcfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
-    # quantize leaf-by-leaf, freeing each bf16 buffer before the next: a
-    # whole-tree quantize keeps bf16 (13.5 GB) + int8 (7 GB) alive at once
-    # and OOMs the 16 GB chip before the bench starts
-    qfn = jax.jit(quantize_leaf)
-
-    def quantize_inplace(d):
-        for key in list(d.keys()):
-            v = d[key]
-            if isinstance(v, dict):
-                quantize_inplace(v)
-            elif v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256:
-                q = qfn(v)
-                jax.block_until_ready(q)
-                v.delete()
-                d[key] = q
-
-    quantize_inplace(params["language_model"])
+    # leaf-by-leaf destructive quantize: a whole-tree quantize keeps bf16
+    # (13.5 GB) + int8 (7 GB) alive at once and OOMs the 16 GB chip
+    quantize_tree_inplace(params["language_model"])
     return mcfg, params
 
 

@@ -87,14 +87,21 @@ def quantize_base_params(params, kind, spec):
     int8 weight stream again, the memory lever for long-context / big-batch
     decode.  VLMs quantize only the language tower (vision+projector stay
     float, matching the int8 path).  A tree that is ALREADY quantized (loaded
-    from a cli/quantize_model.py checkpoint) passes through untouched."""
-    from multimodal_unlearning_tpu.utils.quantize import is_qtensor, quantize_tree
+    from a cli/quantize_model.py checkpoint) passes through untouched.
+
+    DESTRUCTIVE: quantizes leaf by leaf, deleting each float buffer as it
+    goes (quantize_tree_inplace) — a whole-tree quantize holds bf16
+    (13.5 GB at 7B) + int8 (6.7 GB) alive at once and OOMs a 16 GB chip.
+    Callers own ``params`` and reassign the return value; the float leaves
+    are dead afterwards."""
+    from multimodal_unlearning_tpu.utils.quantize import (
+        is_qtensor, quantize_tree_inplace)
 
     if any(is_qtensor(x) for x in jax.tree.leaves(params, is_leaf=is_qtensor)):
         return params  # pre-quantized checkpoint — nothing to do
 
     bits = 4 if str(spec).strip().lower() == "int4" else 8
-    qt = lambda p: quantize_tree(p, bits=bits)
+    qt = lambda p: quantize_tree_inplace(p, bits=bits)
     return (
         dict(params, language_model=qt(params["language_model"]))
         if is_vlm(kind) else qt(params)

@@ -130,17 +130,28 @@ def _run(cfg):
         or cfg.get("l1_lambda", 0) != 0
         or cfg.get("l0_lambda", 0) != 0
     )
-    teacher_params = jax.tree.map(jnp.copy, params) if needs_teacher else None
-
-    # int8 QLoRA mode (beyond-reference): frozen decoder base and/or teacher
-    # stored int8 with per-channel scales — halves HBM (7B student + 7B
-    # teacher fit one v5e chip) and runs matmuls at the int8 MXU rate.
-    if cfg.get("quantize_teacher") and teacher_params is not None:
-        teacher_params = common.quantize_base_params(
-            teacher_params, kind, cfg.quantize_teacher)
-
     # LoRA gating rule (mm/forget.py:126)
     use_lora = cfg.LoRA.r != 0 and (cfg.get("l_norm_from") != "zero" or cfg.get("l1_lambda", 0) == 0)
+
+    # int8 QLoRA mode (beyond-reference): frozen decoder base and/or teacher
+    # stored int8 with per-channel scales — halves HBM and runs matmuls at
+    # the int8 MXU rate.  Under LoRA the base is FROZEN, so when base and
+    # teacher want the same precision the teacher IS the quantized base:
+    # alias it instead of copying (this is what fits a 7B student + 7B
+    # teacher on one 16 GB v5e — a bf16 copy alone is 13.5 GB, and even a
+    # quantized copy doubles the 6.7 GB int8 residency for identical bytes).
+    _qspec = lambda v: "int4" if str(v).strip().lower() == "int4" else "int8"
+    share_teacher = bool(
+        needs_teacher and use_lora
+        and cfg.get("quantize_base") and cfg.get("quantize_teacher")
+        and _qspec(cfg.quantize_base) == _qspec(cfg.quantize_teacher)
+    )
+    teacher_params = None
+    if needs_teacher and not share_teacher:
+        teacher_params = jax.tree.map(jnp.copy, params)
+        if cfg.get("quantize_teacher"):
+            teacher_params = common.quantize_base_params(
+                teacher_params, kind, cfg.quantize_teacher)
     freeze_vision = str(cfg.get("freeze_vision_module", "true")).lower() == "true" and common.is_vlm(kind)
 
     remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
@@ -196,6 +207,10 @@ def _run(cfg):
         apply_fn = make_apply_fn(kind, mcfg, lora_cfg=scale, remat=remat, remat_policy=remat_policy, attn_impl=attn_impl, compute_dtype=compute_dtype, mesh=mesh, pp_microbatches=cfg.get("pp_microbatches"))
         combine = lambda tr, fr: (fr, tr)
         merged_frozen = params  # flows through the frozen arg, not a closure
+        if share_teacher:
+            # teacher ≡ initial model ≡ the (now quantized) frozen base —
+            # identical bytes to the copy-then-quantize path, zero extra HBM
+            teacher_params = params
     else:
         vision_pred = path_predicate(str(model_cfg.get("vision_module", "vision_tower")))
         if freeze_vision:

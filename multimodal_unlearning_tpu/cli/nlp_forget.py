@@ -97,9 +97,13 @@ def run(cfg):
         L.loss_needs_teacher(loss_name)
         or cfg.get("l1_lambda", 0) != 0 or cfg.get("l0_lambda", 0) != 0
     ) and not is_projection
-    teacher_params = jax.tree.map(jnp.copy, params) if needs_teacher else None
-
     use_lora = cfg.LoRA.r != 0 and not is_projection
+    # under LoRA the base is frozen, so the teacher (≡ initial model) IS the
+    # base tree — alias instead of copying (halves 7B weight residency);
+    # full-finetune runs still need a real copy because the student drifts
+    teacher_params = (
+        (params if use_lora else jax.tree.map(jnp.copy, params))
+        if needs_teacher else None)
     remat = str(model_cfg.get("gradient_checkpointing", "false")) == "true"
     if cfg.get("remat") is not None:  # cfg override of the registry flag
         # (the reference inherits llava's gradient_checkpointing=false from

@@ -179,6 +179,49 @@ def quantize_tree(params, *, bits: int = 8, group_size: int = 128,
     return jax.tree.map(q, params)
 
 
+def quantize_tree_inplace(params, *, bits: int = 8, group_size: int = 128,
+                          min_elems: int = _MIN_QUANT_ELEMS):
+    """Destructive ``quantize_tree`` for device trees near the HBM ceiling.
+
+    ``quantize_tree`` builds the whole quantized tree while the float tree
+    is still alive — at 7B that is 13.5 GB bf16 + 6.7 GB int8 resident at
+    once, which OOMs a 16 GB v5e before training starts (observed in
+    examples/e2e_7b_pipeline.py).  This variant quantizes leaf by leaf and
+    DELETES each source buffer before touching the next, so the peak is
+    the float tree plus ONE leaf's transients.  The input dict is mutated
+    and also returned; every jax.Array it held for a quantized leaf is
+    dead afterwards."""
+    assert bits in (8, 4), bits
+    qfn = jax.jit(
+        quantize_leaf if bits == 8
+        else lambda w: quantize_leaf_int4(w, group_size))
+
+    def want(v):
+        return (
+            hasattr(v, "ndim") and v.ndim >= 2
+            and v.shape[-1] >= 256 and v.shape[-2] >= 256
+            and v.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+            and v.size >= min_elems
+        )
+
+    def rec(d):
+        if not isinstance(d, dict) or is_qtensor(d):
+            return d
+        for key in list(d.keys()):
+            v = d[key]
+            if isinstance(v, dict):
+                rec(v)
+            elif want(v):
+                q = qfn(v)
+                jax.block_until_ready(q)
+                if isinstance(v, jax.Array):
+                    v.delete()
+                d[key] = q
+        return d
+
+    return rec(params)
+
+
 def dequantize_tree(params, dtype=jnp.bfloat16):
     """Dense copy of a (possibly partially) quantized tree: every QTensor
     leaf dequantized to ``dtype``, everything else untouched — for

@@ -371,6 +371,29 @@ def test_tp_in_finetune_eval_and_nlp(ft_dir, tmp_path):
     assert (out_nlp / "model.safetensors").exists()
 
 
+def test_mm_forget_quantized_teacher_is_aliased_base(tmp_path):
+    """LoRA + quantize_base + quantize_teacher: the teacher must be the
+    SAME tree as the frozen quantized base (teacher ≡ initial model when the
+    base is frozen) — the copy-then-quantize path doubled 7B weight residency
+    and OOMed the one-chip e2e pipeline.  Trains NPO on the small (≥256-dim)
+    family so the int8 gate engages, and checks the run completes."""
+    from multimodal_unlearning_tpu.cli import mm_forget
+
+    out = tmp_path / "npo_alias"
+    cfg = _cfg(
+        "mm", "forget",
+        model_family="small-llava-test", model_path=None,
+        forget_data_path=DATA, retain_data_path=DATA,
+        forget_split="forget10+tofu", retain_split="retain90+tofu",
+        forget_loss="npo", batch_size=2, gradient_accumulation_steps=1,
+        num_epochs=0.02, max_length=64, lr=1e-3, save_dir=str(out),
+        quantize_base=True, quantize_teacher=True, dtype="float32",
+    )
+    dict.__setitem__(cfg["LoRA"], "r", 4)
+    mm_forget.run(cfg)
+    assert (out / "model.safetensors").exists()
+
+
 def test_mm_eval_int4_decode(tmp_path):
     """quantize_base=int4 eval (grouped W4A16, utils/quantize.py — half the
     int8 weight stream): teacher-forced losses track the dense run's."""

@@ -49,6 +49,29 @@ def test_quantize_tree_selective():
     assert tree_nbytes(qp) < 0.45 * tree_nbytes(params)
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantize_tree_inplace_matches_and_frees(bits):
+    """quantize_tree_inplace (the HBM-safe path every CLI uses via
+    quantize_base_params) must produce exactly quantize_tree's leaves while
+    deleting each source buffer — the 7B e2e pipeline OOMed on the
+    whole-tree variant (bf16 + int8 resident at once)."""
+    from multimodal_unlearning_tpu.utils.quantize import quantize_tree_inplace
+
+    _, params = big_decoder()
+    ref = quantize_tree(params, bits=bits)
+    victim = jax.tree.map(jnp.copy, params)
+    big_leaves = [
+        v for v in jax.tree.leaves(victim)
+        if v.ndim >= 2 and v.shape[-1] >= 256 and v.shape[-2] >= 256
+    ]
+    assert big_leaves, "fixture must have quantizable leaves"
+    out = quantize_tree_inplace(victim, bits=bits)
+    assert out is victim  # mutated in place and returned
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert all(v.is_deleted() for v in big_leaves)
+
+
 def test_quantized_forward_close():
     cfg, params = big_decoder()
     qp = quantize_tree(params)
