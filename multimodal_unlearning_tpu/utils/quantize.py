@@ -17,6 +17,8 @@ on the VPU, fused into the dequant);
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 
@@ -159,24 +161,34 @@ def embed_lookup(et, input_ids):
     return rows * s[0]
 
 
+@_functools.lru_cache(maxsize=None)
+def _jitted_leaf_quantizer(bits: int, group_size: int):
+    """One shared jitted leaf-quantize fn per (bits, group_size) so the
+    whole-tree and in-place paths produce BIT-IDENTICAL leaves (an eager vs
+    jitted absmax differs by ~1 ulp, which moves every scale)."""
+    if bits == 8:
+        return jax.jit(quantize_leaf)
+    return jax.jit(lambda w: quantize_leaf_int4(w, group_size))
+
+
+def _want_quant(v, min_elems: int) -> bool:
+    return (
+        hasattr(v, "ndim") and v.ndim >= 2
+        and v.shape[-1] >= 256 and v.shape[-2] >= 256  # matmul weights only
+        and v.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+        and v.size >= min_elems
+    )
+
+
 def quantize_tree(params, *, bits: int = 8, group_size: int = 128,
                   min_elems: int = _MIN_QUANT_ELEMS):
     """Quantize every large (≥2-D) float leaf; small leaves stay as-is.
     ``bits`` ∈ {8, 4}: 8 = per-output-channel int8 (the W8A16/W8A8 base),
     4 = grouped int4 (W4A16 — dequant-only, halves the weight stream again)."""
     assert bits in (8, 4), bits
-
-    def q(x):
-        if (
-            hasattr(x, "ndim") and x.ndim >= 2
-            and x.shape[-1] >= 256 and x.shape[-2] >= 256  # matmul weights only
-            and x.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
-            and x.size >= min_elems
-        ):
-            return quantize_leaf(x) if bits == 8 else quantize_leaf_int4(x, group_size)
-        return x
-
-    return jax.tree.map(q, params)
+    qfn = _jitted_leaf_quantizer(bits, group_size)
+    return jax.tree.map(
+        lambda x: qfn(x) if _want_quant(x, min_elems) else x, params)
 
 
 def quantize_tree_inplace(params, *, bits: int = 8, group_size: int = 128,
@@ -190,28 +202,27 @@ def quantize_tree_inplace(params, *, bits: int = 8, group_size: int = 128,
     DELETES each source buffer before touching the next, so the peak is
     the float tree plus ONE leaf's transients.  The input dict is mutated
     and also returned; every jax.Array it held for a quantized leaf is
-    dead afterwards."""
+    dead afterwards.  Leaves are bit-identical to ``quantize_tree``'s (both
+    call the same jitted leaf fn).
+
+    Only nested dicts are traversed (current param trees are all dicts);
+    a list/tuple container would be silently skipped, so it raises."""
     assert bits in (8, 4), bits
-    qfn = jax.jit(
-        quantize_leaf if bits == 8
-        else lambda w: quantize_leaf_int4(w, group_size))
+    qfn = _jitted_leaf_quantizer(bits, group_size)
 
-    def want(v):
-        return (
-            hasattr(v, "ndim") and v.ndim >= 2
-            and v.shape[-1] >= 256 and v.shape[-2] >= 256
-            and v.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
-            and v.size >= min_elems
-        )
-
-    def rec(d):
+    def rec(d, path):
         if not isinstance(d, dict) or is_qtensor(d):
             return d
         for key in list(d.keys()):
             v = d[key]
             if isinstance(v, dict):
-                rec(v)
-            elif want(v):
+                rec(v, path + (key,))
+            elif isinstance(v, (list, tuple)):
+                raise TypeError(
+                    "quantize_tree_inplace traverses dicts only; found a "
+                    f"{type(v).__name__} container at {'/'.join(path + (key,))} "
+                    "— use quantize_tree or restructure the tree as dicts")
+            elif _want_quant(v, min_elems):
                 q = qfn(v)
                 jax.block_until_ready(q)
                 if isinstance(v, jax.Array):
@@ -219,7 +230,7 @@ def quantize_tree_inplace(params, *, bits: int = 8, group_size: int = 128,
                 d[key] = q
         return d
 
-    return rec(params)
+    return rec(params, ())
 
 
 def dequantize_tree(params, dtype=jnp.bfloat16):
@@ -249,7 +260,6 @@ def tree_nbytes(tree) -> int:
 # frozen, so only dx is needed).
 # ---------------------------------------------------------------------------
 
-import functools as _functools
 
 INT8_BWD = False  # set via enable_int8_bwd(); int8 MXU for the dx backward too
 
