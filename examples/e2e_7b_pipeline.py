@@ -167,13 +167,25 @@ def main():
                 for i, e in agg[t].get("generated_text", {}).items()}
 
     g0 = gens(evals[0])
-    spec_identical = {k: gens(evals[k]) == g0 for k in (4, 8)}
+    spec_identical = {}
+    spec_agreement = {}
+    for k in (4, 8):
+        gk = gens(evals[k])
+        spec_identical[k] = gk == g0
+        same = sum(1 for key in g0 if gk.get(key) == g0[key])
+        spec_agreement[k] = round(same / max(len(g0), 1), 4)
 
     payload = {
         "family": FAMILY, "data": DATA, "max_length": MAXLEN,
         "stages": stages,
         "total_wall_s": round(time.perf_counter() - t_all, 1),
         "spec_token_identical": spec_identical,
+        # fraction of generations string-identical to spec0 — verification
+        # accepts only the model's own argmax, so any disagreement is a
+        # numeric ARGMAX TIE flipped by the verify chunk's matmul shape
+        # (bf16; near-uniform logits after unlearning are maximally
+        # tie-prone), not a scheduling bug
+        "spec_generation_agreement": spec_agreement,
         "metrics": {k: float(v) for k, v in m.items()
                     if isinstance(v, (int, float))},
     }

@@ -120,7 +120,11 @@ def run_engine(mcfg, params, requests, slots, chunk=16, speculate_k=0,
           f"{stats['ms_per_dispatch']:.0f} ms/dispatch "
           f"({stats['prefills']} prefills in-band)", flush=True)
     if speculate_k:
-        stats["tokens_per_round"] = float(eng.stats()["tokens_per_round"])
+        # baseline-subtracted like every other counter here — the lifetime
+        # tokens_per_round would fold the 2 warmup requests into acceptance
+        stats["tokens_per_round"] = round(
+            (st_all["emitted"] - st0["emitted"])
+            / max(st_all["live_rounds"] - st0["live_rounds"], 1), 3)
         print(f"  spec{speculate_k} acceptance: "
               f"{stats['tokens_per_round']:.2f} tok/round", flush=True)
     if page_size:

@@ -180,6 +180,12 @@ class ServingEngine:
             self._table_dev = None
             self._slot_pages: list[list[int]] = [[] for _ in range(self.B)]
             self._peak_pages = 0
+            # on-demand paging bookkeeping: per-slot {base, admit_toks,
+            # n_prefix, max_own, seq} (None = slot idle); see
+            # _ensure_page_coverage for the growth/preemption protocol
+            self._pmeta: list[dict | None] = [None] * self.B
+            self._admit_seq = 0
+            self._n_preempt = 0
         self.pad_id = pad_token_id
         self.eos = -1 if eos_token_id is None else eos_token_id
         self.cache_dtype = cache_dtype
@@ -248,16 +254,128 @@ class ServingEngine:
     def _pages_for(self, cols: int) -> int:
         return -(-cols // self.page)
 
+    def _eff_prompt(self, req) -> list:
+        """The prompt to (re)prefill: the original prompt plus any tokens
+        already generated — nonempty ``tokens`` on a QUEUED request means it
+        was preempted (pool pressure) and resumes by recomputing its KV from
+        the full history (token-identical: chunked-prefill parity covers the
+        prefill-vs-decode numerics)."""
+        return req.prompt_ids + req.tokens if req.tokens else req.prompt_ids
+
+    def _own_bucket(self, req) -> int:
+        """Bucketed column span of the request's OWN prefill region (for
+        prefix requests that is just the suffix; prefix pages are shared)."""
+        return _bucket(max(len(self._eff_prompt(req)), 1), self.bucket_multiple)
+
     def _own_pages_needed(self, req) -> int:
-        """Pages the request's OWN logical region spans (prefix pages are
-        shared and pre-allocated at register_prefix).  Chunked prefill
-        needs no special case: prefill_chunk is pre-bucketed, so its chunk
-        progression lands on exactly ``bucket(len)`` columns."""
+        """WORST-CASE pages the request's OWN logical region can ever span
+        (prompt bucket + full remaining budget + speculative slack).  Used
+        for the submit-time pool-ceiling check and the chunked-prefill
+        path's eager reservation; normal admission reserves only
+        ``_initial_own_pages`` and grows on demand."""
         slack = self.K + 1 if self.K else 0
-        n = len(req.prompt_ids) if req.prefix is None else max(
-            len(req.prompt_ids), 1)
-        sp = _bucket(n, self.bucket_multiple)
-        return self._pages_for(sp + req.max_new_tokens + slack)
+        remaining = req.max_new_tokens - len(req.tokens)
+        return self._pages_for(self._own_bucket(req) + remaining + slack)
+
+    def _initial_own_pages(self, req) -> int:
+        """Pages to reserve at admission: the prompt bucket plus one decode
+        growth margin, NOT the full budget — eager worst-case reservation is
+        what starved admission at small pools (r4: paged60 admitted ~half
+        the slots, 0.49x batched)."""
+        return min(
+            self._pages_for(self._own_bucket(req) + self._growth_margin()),
+            self._own_pages_needed(req))
+
+    def _growth_margin(self) -> int:
+        """Columns a live slot can advance before the host next updates its
+        table: two dispatches' worth (pipelining delays token delivery by
+        one chunk) of chunk rounds x up-to-(K+1) written columns, plus the
+        verify chunk's K+1 overhang past write_col."""
+        tpr = self.K + 1 if self.K else 1
+        return 2 * self.chunk * tpr + tpr
+
+    def _need_own_pages(self, slot: int) -> int:
+        """Own pages slot must hold before the NEXT dispatch."""
+        meta, req = self._pmeta[slot], self._slot_req[slot]
+        grown = len(req.tokens) - meta["admit_toks"]
+        slack = self.K + 1 if self.K else 0
+        remaining = req.max_new_tokens - meta["admit_toks"]
+        cap = meta["base"] + remaining + slack
+        return self._pages_for(
+            min(meta["base"] + grown + self._growth_margin(), cap))
+
+    def _append_pages(self, slot: int, new: list[int]):
+        meta = self._pmeta[slot]
+        start = meta["n_prefix"] + len(self._slot_pages[slot])
+        self._slot_pages[slot].extend(new)
+        self._table[slot, start: start + len(new)] = new
+        self._table_dev = None
+
+    def _preempt_slot(self, slot: int):
+        """Evict a live slot under pool pressure: free its pages, flip it
+        dead on device, and requeue it at the FRONT with its generated
+        tokens kept — re-admission re-prefills prompt+tokens and continues
+        with the remaining budget (vLLM-style recompute preemption)."""
+        req = self._slot_req[slot]
+        self._n_preempt += 1
+        self._slot_req[slot] = None
+        self._release_slot_pages(slot)
+        self._free.append(slot)
+        self._kill_slot_device(slot)
+        self._queue.insert(0, req)
+
+    def _ensure_page_coverage(self):
+        """Grow every live slot's block table to cover the columns the next
+        dispatch can write (allocation is on demand — admission reserved
+        only the prompt).  A column whose table entry is still 0 would send
+        the token's KV to the trash page and silently corrupt the stream,
+        so coverage MUST lead the device's write frontier; the margin in
+        _growth_margin over-covers by design.  When the free list can't
+        satisfy a growth, the youngest admitted slot is preempted until it
+        can — the submit-time ceiling check guarantees a lone slot always
+        fits, so this terminates."""
+        if not self.page:
+            return
+        # oldest-first so veterans grow before newcomers under pressure
+        order = sorted(
+            (s for s in range(self.B)
+             if self._slot_req[s] is not None and self._pmeta[s] is not None),
+            key=lambda s: self._pmeta[s]["seq"])
+        for slot in order:
+            if self._slot_req[slot] is None:  # preempted earlier this pass
+                continue
+            while True:
+                have = len(self._slot_pages[slot])
+                delta = self._need_own_pages(slot) - have
+                if delta <= 0:
+                    break
+                if delta <= len(self._free_pages):
+                    self._append_pages(slot, self._alloc_pages(delta))
+                    break
+                victims = [s for s in order
+                           if self._slot_req[s] is not None and s != slot]
+                if victims:
+                    self._preempt_slot(
+                        max(victims, key=lambda s: self._pmeta[s]["seq"]))
+                elif self._prefill_job is not None:
+                    self._preempt_prefill_job()
+                else:
+                    # unreachable: a lone slot's worst case passed the
+                    # submit-time pool-ceiling check, so have+free covers it
+                    raise RuntimeError(
+                        f"paged pool invariant broken: slot {slot} needs "
+                        f"{delta} more pages, {len(self._free_pages)} free, "
+                        "nothing left to preempt")
+
+    def _preempt_prefill_job(self):
+        """Abort the in-flight chunked-prefill job under pool pressure:
+        free its eagerly reserved pages and requeue its request at the
+        front (prefill restarts from scratch on re-admission)."""
+        job, self._prefill_job = self._prefill_job, None
+        self._n_preempt += 1
+        self._free_pages.extend(job["pages"])
+        self._free.append(job["slot"])
+        self._queue.insert(0, job["req"])
 
     def _alloc_pages(self, n: int) -> list[int]:
         ids, self._free_pages = self._free_pages[:n], self._free_pages[n:]
@@ -286,6 +404,7 @@ class ServingEngine:
             return
         self._free_pages.extend(self._slot_pages[slot])
         self._slot_pages[slot] = []
+        self._pmeta[slot] = None
         self._table[slot] = 0
         self._table_dev = None
 
@@ -981,14 +1100,15 @@ class ServingEngine:
 
     def _needs_chunked_prefill(self, req) -> bool:
         C = self.prefill_chunk
-        if not C or req.prefix is not None or len(req.prompt_ids) <= C:
+        if not C or req.prefix is not None or len(self._eff_prompt(req)) <= C:
             return False
         if req.pixel_values is not None:
             # image features splice at image-token positions during the
             # pixel-carrying first chunk — an image span crossing the chunk
             # boundary must prefill monolithically
             tid = getattr(self.model_cfg, "image_token_id", None)
-            if tid is None or any(int(t) == tid for t in req.prompt_ids[C:]):
+            if tid is None or any(int(t) == tid
+                                  for t in self._eff_prompt(req)[C:]):
                 return False
         return True
 
@@ -996,7 +1116,7 @@ class ServingEngine:
         """First chunk of a chunked prefill: exactly C (unpadded) prompt
         tokens through the standalone fill program (pixels ride here)."""
         C = self.prefill_chunk
-        ids = np.asarray(req.prompt_ids[:C], np.int32)[None]
+        ids = np.asarray(self._eff_prompt(req)[:C], np.int32)[None]
         pix = None
         if req.pixel_values is not None:
             pix = jnp.asarray(req.pixel_values[None], self.compute_dtype)
@@ -1010,6 +1130,7 @@ class ServingEngine:
         pages = self._alloc_pages(self._own_pages_needed(req)) if self.page else None
         self._prefill_job = dict(
             req=req, slot=slot, slab=slab, P=C, pos=C, pages=pages,
+            prompt=list(self._eff_prompt(req)),
             kv_row=jnp.ones((1, C), jnp.int32), rope_delta=delta)
 
     def _advance_prefill(self):
@@ -1018,11 +1139,12 @@ class ServingEngine:
         emits the first token and activates the slot."""
         job = self._prefill_job
         req, C = job["req"], self.prefill_chunk
-        rem = len(req.prompt_ids) - job["pos"]
+        prompt = job["prompt"]
+        rem = len(prompt) - job["pos"]
         self._n_prefill_chunks += 1
         if rem > C:
             fn = self._extend_fn(C, job["P"])
-            ids = np.asarray(req.prompt_ids[job["pos"]: job["pos"] + C], np.int32)[None]
+            ids = np.asarray(prompt[job["pos"]: job["pos"] + C], np.int32)[None]
             job["slab"], job["kv_row"] = fn(
                 self.params, job["slab"], job["kv_row"], jnp.int32(job["pos"]),
                 jnp.asarray(ids), job["rope_delta"], jnp.int32(req.lora_id))
@@ -1031,14 +1153,20 @@ class ServingEngine:
             return
         sp = _bucket(rem, self.bucket_multiple)
         ids = np.full((1, sp), self.pad_id, np.int32)
-        ids[0, :rem] = req.prompt_ids[job["pos"]:]
-        hist = np.asarray(req.prompt_ids[: job["pos"]], np.int32)[None]
+        ids[0, :rem] = prompt[job["pos"]:]
+        hist = np.asarray(prompt[: job["pos"]], np.int32)[None]
         dref = np.full((1, self.R), -2, np.int32)
         if req.draft_ref:
             dref[0, : len(req.draft_ref)] = req.draft_ref
         page_ids = None
         if self.page:
             self._assign_pages(job["slot"], job["pages"])
+            self._admit_seq += 1
+            # chunked prefill reserved its whole own region eagerly, so
+            # growth is a no-op for this slot (need <= len(own) always)
+            self._pmeta[job["slot"]] = dict(
+                base=job["P"] + sp, admit_toks=len(req.tokens),
+                n_prefix=0, seq=self._admit_seq)
             page_ids = jnp.asarray(
                 job["pages"][: (job["P"] + sp) // self.page], jnp.int32)
         fn = self._suffix_insert_fn(sp, job["P"])
@@ -1046,7 +1174,8 @@ class ServingEngine:
             self.params, self._state, job["slab"], job["kv_row"],
             jnp.asarray(hist), jnp.int32(job["pos"]),
             jnp.asarray(ids), jnp.int32(rem),
-            jnp.int32(job["slot"]), jnp.int32(req.max_new_tokens),
+            jnp.int32(job["slot"]),
+            jnp.int32(req.max_new_tokens - len(req.tokens)),
             jnp.asarray(dref), jnp.int32(req.sample_seed),
             jnp.int32(req.lora_id), job["rope_delta"], page_ids,
         )
@@ -1060,13 +1189,18 @@ class ServingEngine:
             self._advance_prefill()
         while self._free and self._queue:
             # paged admission control: the head request waits (strict FIFO)
-            # until retirements return enough pages to the pool
+            # until retirements return enough pages for its PROMPT + one
+            # growth margin (decode pages are allocated on demand; full
+            # budgets are NOT reserved up front — see _ensure_page_coverage)
+            needs_chunked = self._needs_chunked_prefill(self._queue[0])
             if self.page and (len(self._free_pages)
-                              < self._own_pages_needed(self._queue[0])):
+                              < (self._own_pages_needed(self._queue[0])
+                                 if needs_chunked  # eager path reserves all
+                                 else self._initial_own_pages(self._queue[0]))):
                 break
             # strict FIFO: a head-of-queue long prompt waits for the active
             # chunked-prefill job rather than being overtaken
-            if self._needs_chunked_prefill(self._queue[0]):
+            if needs_chunked:
                 if self._prefill_job is not None:
                     break
                 self._start_prefill_job(self._queue.pop(0), self._free.pop(0))
@@ -1076,11 +1210,13 @@ class ServingEngine:
             if req.prefix is not None:
                 self._fill_with_prefix(req, slot)
                 continue
-            sp = _bucket(len(req.prompt_ids), self.bucket_multiple)
+            prompt = self._eff_prompt(req)
+            remaining = req.max_new_tokens - len(req.tokens)
+            sp = _bucket(len(prompt), self.bucket_multiple)
             ids = np.full((1, sp), self.pad_id, np.int32)
             mask = np.zeros((1, sp), np.int32)
-            ids[0, sp - len(req.prompt_ids):] = req.prompt_ids
-            mask[0, sp - len(req.prompt_ids):] = 1
+            ids[0, sp - len(prompt):] = prompt
+            mask[0, sp - len(prompt):] = 1
             pix = None
             if req.pixel_values is not None:
                 pix = jnp.asarray(req.pixel_values[None], self.compute_dtype)
@@ -1089,13 +1225,17 @@ class ServingEngine:
                 dref[0, : len(req.draft_ref)] = req.draft_ref
             page_ids = None
             if self.page:
-                own = self._alloc_pages(self._own_pages_needed(req))
+                own = self._alloc_pages(self._initial_own_pages(req))
                 self._assign_pages(slot, own)
+                self._admit_seq += 1
+                self._pmeta[slot] = dict(
+                    base=sp, admit_toks=len(req.tokens), n_prefix=0,
+                    seq=self._admit_seq)
                 page_ids = jnp.asarray(own[: sp // self.page], jnp.int32)
             fn = self._insert_fn(sp, req.pixel_values is not None)
             out = fn(
                 self.params, self._state, jnp.asarray(ids), jnp.asarray(mask),
-                pix, jnp.int32(slot), jnp.int32(req.max_new_tokens),
+                pix, jnp.int32(slot), jnp.int32(remaining),
                 jnp.asarray(dref), jnp.int32(req.sample_seed),
                 jnp.int32(req.lora_id), page_ids,
             )
@@ -1107,9 +1247,11 @@ class ServingEngine:
         """Admit a request against a registered prefix: copy the cached
         slab, prefill only the RIGHT-padded suffix (chunk_decode pass)."""
         pre = self._prefixes[req.prefix]
-        sp = _bucket(max(len(req.prompt_ids), 1), self.bucket_multiple)
+        suffix = self._eff_prompt(req)
+        remaining = req.max_new_tokens - len(req.tokens)
+        sp = _bucket(max(len(suffix), 1), self.bucket_multiple)
         ids = np.full((1, sp), self.pad_id, np.int32)
-        ids[0, : len(req.prompt_ids)] = req.prompt_ids
+        ids[0, : len(suffix)] = suffix
         dref = np.full((1, self.R), -2, np.int32)
         if req.draft_ref:
             dref[0, : len(req.draft_ref)] = req.draft_ref
@@ -1117,15 +1259,19 @@ class ServingEngine:
         if self.page:
             # zero-copy prefix sharing: the table's leading entries point at
             # the prefix's pool pages; only the suffix pages are slot-owned
-            own = self._alloc_pages(self._own_pages_needed(req))
+            own = self._alloc_pages(self._initial_own_pages(req))
             self._assign_pages(slot, own, prefix_pages=pre["pages"])
+            self._admit_seq += 1
+            self._pmeta[slot] = dict(
+                base=sp, admit_toks=len(req.tokens),
+                n_prefix=len(pre["pages"]), seq=self._admit_seq)
             page_ids = jnp.asarray(own[: sp // self.page], jnp.int32)
         fn = self._suffix_insert_fn(sp, pre["P"], shared_prefix=bool(self.page))
         out = fn(
             self.params, self._state, pre["slab"], jnp.asarray(pre["mask"]),
             jnp.asarray(pre["hist"][None]), jnp.int32(pre["plen"]),
-            jnp.asarray(ids), jnp.int32(len(req.prompt_ids)),
-            jnp.int32(slot), jnp.int32(req.max_new_tokens),
+            jnp.asarray(ids), jnp.int32(len(suffix)),
+            jnp.int32(slot), jnp.int32(remaining),
             jnp.asarray(dref), jnp.int32(req.sample_seed),
             jnp.int32(req.lora_id), jnp.int32(pre["rope_delta"]), page_ids,
         )
@@ -1171,10 +1317,12 @@ class ServingEngine:
         req.done_t = time.monotonic()
         if self._slot_req[slot] is req:
             self._slot_req[slot] = None
-        self._release_slot_pages(slot)
-        self._free.append(slot)
-        if kill_device:
-            self._kill_slot_device(slot)
+            self._release_slot_pages(slot)
+            self._free.append(slot)
+            if kill_device:
+                self._kill_slot_device(slot)
+        elif req in self._queue:  # finished while preempted-and-queued
+            self._queue.remove(req)
 
     def cancel(self, req) -> bool:
         """Abort a request: drop it from the queue, or retire its slot /
@@ -1207,22 +1355,24 @@ class ServingEngine:
     def _after_insert(self, req, slot, first, lp0=None):
         self._n_prefill += 1
         first = int(first)
-        req.first_t = time.monotonic()
+        now = time.monotonic()
+        if not req.first_t:  # keep the ORIGINAL TTFT across preemptions
+            req.first_t = now
         if self.eos >= 0 and first == self.eos:
             req.done = True
-            req.done_t = req.first_t
+            req.done_t = now
             self._release_slot_pages(slot)
             self._free.append(slot)
         else:
             req.tokens.append(first)
             if lp0 is not None:
                 req.logprobs.append(float(lp0))
-            if self._apply_stop(req, 0):
+            if self._apply_stop(req, len(req.tokens) - 1):
                 # the insert marked the slot live on device; flip it back
                 self._retire(req, slot, kill_device=True)
-            elif req.max_new_tokens == 1:
+            elif len(req.tokens) >= req.max_new_tokens:  # budget spans preemptions
                 req.done = True
-                req.done_t = req.first_t
+                req.done_t = now
                 self._release_slot_pages(slot)
                 self._free.append(slot)
             else:
@@ -1266,9 +1416,14 @@ class ServingEngine:
             if hit_eos or len(req.tokens) >= req.max_new_tokens:
                 req.done = True
                 req.done_t = time.monotonic()
-                self._slot_req[b] = None
-                self._release_slot_pages(b)
-                self._free.append(b)
+                if self._slot_req[b] is req:
+                    self._slot_req[b] = None
+                    self._release_slot_pages(b)
+                    self._free.append(b)
+                elif req in self._queue:
+                    # preempted after this chunk was dispatched, then its
+                    # in-flight tokens completed it — never re-admit
+                    self._queue.remove(req)
 
     def _consume_spec(self, emits, aux, snapshot):
         """Spec-mode delivery: step t emitted ``n_emits[t,b]`` verified
@@ -1299,9 +1454,12 @@ class ServingEngine:
                 if dones[t, b]:
                     req.done = True
                     req.done_t = time.monotonic()
-                    self._slot_req[b] = None
-                    self._release_slot_pages(b)
-                    self._free.append(b)
+                    if self._slot_req[b] is req:
+                        self._slot_req[b] = None
+                        self._release_slot_pages(b)
+                        self._free.append(b)
+                    elif req in self._queue:  # completed while preempted
+                        self._queue.remove(req)
                     break
 
     def step(self):
@@ -1317,6 +1475,7 @@ class ServingEngine:
         if self._state is None:
             self._state = self._init_state()
         self._fill_slots()
+        self._ensure_page_coverage()
         prev, self._pending = self._pending, None
         if any(r is not None for r in self._slot_req):
             decode = self._decode()
@@ -1360,6 +1519,7 @@ class ServingEngine:
             out["pool_pages"] = self.NP - 1
             out["pool_pages_used"] = self.NP - 1 - len(self._free_pages)
             out["pool_pages_peak"] = self._peak_pages
+            out["preemptions"] = self._n_preempt
         return out
 
     def drain(self, requests: list[Request]) -> list[list[int]]:

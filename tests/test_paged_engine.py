@@ -305,3 +305,50 @@ def test_paged_spec_engine_through_pallas_chunk_kernel(monkeypatch):
     monkeypatch.setattr(da, "chunk_decode_attention",
                         partial(orig, impl="pallas", interpret=True))
     assert run() == base
+
+
+def test_on_demand_growth_preempts_and_stays_exact():
+    """r5: admission reserves only the prompt bucket (+margin); decode pages
+    are allocated on demand and pool exhaustion preempts the youngest slot
+    (recompute-style, vLLM semantics).  Worst-case per request here is 5
+    pages (bucket 32 prompt + 40 budget), so 4 slots x 5 = 20 > 12 usable
+    pages — the eager-reservation engine (r4) could only admit 2 slots,
+    and a growth-only engine would corrupt streams when the pool runs dry.
+    Every stream must still equal solo greedy, preempted ones included."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(21)
+    engine = _engine(cfg, params, num_slots=4, page_size=16,
+                     kv_pool_pages=13)  # 12 usable
+    reqs = []
+    for _ in range(6):
+        prompt = rng.integers(3, cfg.vocab_size, 20).tolist()
+        reqs.append((engine.submit(prompt, 40), prompt))
+    engine.drain([r for r, _ in reqs])
+    st = engine.stats()
+    assert st["preemptions"] >= 1, "pool pressure must trigger preemption"
+    assert st["pool_pages_used"] == 0
+    for req, prompt in reqs:
+        np.testing.assert_array_equal(
+            np.asarray(req.tokens), _expected(params, cfg, prompt, 40),
+            err_msg=f"prompt={prompt[:4]}...")
+
+
+def test_on_demand_growth_speculative_exact():
+    """Growth margins account for the verify chunk's K+1-column overhang:
+    spec + tight pool + preemption still emits exactly greedy's tokens."""
+    cfg, params = tiny_decoder()
+    rng = np.random.default_rng(22)
+    motif = rng.integers(3, cfg.vocab_size, 5).tolist()
+    engine = _engine(cfg, params, num_slots=3, page_size=16,
+                     kv_pool_pages=16, speculate_k=3, spec_ref_len=16)
+    reqs = []
+    for i in range(5):
+        prompt = ((motif * 6)[: 20 + i] if i % 2 == 0
+                  else rng.integers(3, cfg.vocab_size, 18).tolist())
+        reqs.append((engine.submit(prompt, 32, draft_ref=prompt[:10]), prompt))
+    engine.drain([r for r, _ in reqs])
+    assert engine.stats()["pool_pages_used"] == 0
+    for req, prompt in reqs:
+        np.testing.assert_array_equal(
+            np.asarray(req.tokens), _expected(params, cfg, prompt, 32),
+            err_msg=f"plen={len(prompt)}")
