@@ -85,6 +85,51 @@ def prompts_for(names, templates):
     return [t.format(n=n) for n in names for t in templates]
 
 
+def generic_ner_baseline(prompts, entities):
+    """Reference-style anchor (methods/eco/classifier.py:51-104): the
+    reference consumes a GENERIC pretrained NER pipeline (hub download)
+    that tags every PERSON span — it cannot tell a forget person from a
+    retain person sharing name parts, it only finds names.  Zero-egress
+    stand-in: maximal capitalized-alpha spans (dropping sentence-initial
+    template openers), which is exactly what generic NER emits on this
+    template corpus.  Scored with the same char-span metric as the
+    learned tagger (train_classifiers.evaluate_token_classifier)."""
+    import re
+
+    lowered = [e.lower() for e in entities]
+    tp = fp = fn = 0
+    for p in prompts:
+        low = p.lower()
+        gold = set()
+        for e in lowered:
+            start = 0
+            while (j := low.find(e, start)) != -1:
+                gold.update(range(j, j + len(e)))
+                start = j + 1
+        pred = set()
+        for m in re.finditer(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*\b", p):
+            a, b = m.span()
+            if a == 0:  # sentence-initial opener is not an entity word
+                first = p.find(" ", a)
+                if first == -1 or first >= b:
+                    continue
+                a = first + 1
+            pred.update(range(a, b))
+        tp += len(pred & gold)
+        fp += len(pred - gold)
+        fn += len(gold - pred)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return {
+        "recipe": "generic NER spans (every person tagged), no forget/"
+                  "retain discrimination — the reference's TokenClassifier "
+                  "pipeline shape",
+        "precision": prec, "recall": rec,
+        "span_f1": 2 * prec * rec / max(prec + rec, 1e-12),
+        "n_prompts": len(prompts),
+    }
+
+
 def main():
     out = Path(sys.argv[1] if len(sys.argv) > 1 else "examples/eco_detectors")
     out.mkdir(parents=True, exist_ok=True)
@@ -133,6 +178,11 @@ def main():
         "prompt_classifier": evaluate_prompt_classifier(p_dir, forget_ho, retain_ho),
         "token_classifier": evaluate_token_classifier(
             t_dir, forget_ho + retain_ho, forget_names),
+        # the comparison point VERDICT r4 #7 asked for: the learned tagger
+        # must beat the generic-NER recipe the reference actually ships,
+        # which tags retain persons too (precision floor = forget share)
+        "token_classifier_reference_baseline": generic_ner_baseline(
+            forget_ho + retain_ho, forget_names),
     }
     (out / "metrics_hard.json").write_text(json.dumps(metrics, indent=2))
     print(json.dumps(metrics, indent=2))

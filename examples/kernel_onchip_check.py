@@ -148,6 +148,38 @@ def main():
                 f = jax.jit(lambda *a, fn=fn, impl=impl: fn(*a, impl=impl))
                 print(f"  {name:24s} [{tag}]  {timed(f, *args):7.3f} ms")
 
+    # 5. W4A16 int4 matmul kernel (VERDICT r4 #4: interpret-only until now)
+    # — decode shapes of the 7B op point: bs-8 single-token rows and the
+    # speculative verify chunk against the attention out/gate projections
+    from multimodal_unlearning_tpu.ops.int4_matmul import (
+        int4_matmul_pallas, supported)
+    from multimodal_unlearning_tpu.utils.quantize import (
+        dequantize_leaf, quantize_leaf_int4)
+
+    int4_shapes = ([(8, 4096, 4096), (8, 4096, 11008), (40, 4096, 4096)]
+                   if jax.default_backend() == "tpu"
+                   else [(8, 512, 512), (8, 512, 768)])
+    for M, K, N in int4_shapes:
+        w = jnp.asarray(rng.normal(size=(K, N)), jnp.float32)
+        qt = quantize_leaf_int4(w, group_size=128)
+        assert supported(qt["q4"], qt["s"]), (K, N)
+        x = jnp.asarray(rng.normal(size=(M, K)), dt)
+        want = (x.astype(jnp.float32)
+                @ dequantize_leaf(qt, jnp.float32)).astype(dt)
+        got = int4_matmul_pallas(x, qt["q4"], qt["s"], dt, interpret=interp)
+        # int4 values <= 7 are exact in bf16; error budget is the bf16
+        # matmul rounding at |y| ~ sqrt(K)·|w| scale
+        ok &= rep(f"int4 W4A16 kernel [{M}x{K}x{N}]", got, want,
+                  tol=0.05 * float(jnp.max(jnp.abs(want))))
+        if do_time:
+            fp = jax.jit(lambda x, q, s: int4_matmul_pallas(x, q, s, dt))
+            fx = jax.jit(lambda x, q, s: (
+                x.astype(jnp.float32) @ dequantize_leaf({"q4": q, "s": s},
+                                                        jnp.float32)
+            ).astype(dt))
+            print(f"  int4 pallas {M}x{K}x{N}:  {timed(fp, x, qt['q4'], qt['s']):7.3f} ms   "
+                  f"xla-dequant: {timed(fx, x, qt['q4'], qt['s']):7.3f} ms")
+
     print("ALL PASS" if ok else "FAILURES above")
     sys.exit(0 if ok else 1)
 

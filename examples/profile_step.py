@@ -58,6 +58,7 @@ def summarize_xplane(trace_dir):
     if not files:
         return None
     buckets = {}
+    per_op = {}  # op-name (pre-'=') -> (bucket, total_s) for top-N attribution
     steps_s = 0.0
     n_steps = 0
     for path in files:
@@ -75,10 +76,15 @@ def summarize_xplane(trace_dir):
                 if line.name != "XLA Ops":
                     continue
                 for ev in line.events:
-                    key = _bucket(meta.get(ev.metadata_id, ""))
+                    name = meta.get(ev.metadata_id, "")
+                    key = _bucket(name)
                     if key:
                         buckets[key] = buckets.get(key, 0.0) + ev.duration_ps / 1e12
+                        op = name.split("=")[0].strip().lstrip("%")
+                        b, t = per_op.get(op, (key, 0.0))
+                        per_op[op] = (b, t + ev.duration_ps / 1e12)
     return {"total_device_s": sum(buckets.values()), "buckets": buckets,
+            "per_op": per_op,
             "n_steps": n_steps, "steps_wall_s": steps_s, "files": files}
 
 
@@ -121,6 +127,14 @@ def main():
         }
         summary["leaf_sum_ms_per_step"] = round(parsed["total_device_s"] / n * 1e3, 1)
         summary["traced_step_wall_ms"] = round(parsed["steps_wall_s"] / n * 1e3, 1)
+        # exact-op attribution of the non-matmul buckets (copy/layout,
+        # absmax): which named ops carry the time, so the fix targets the
+        # real producer instead of a category
+        summary["top_ops_ms_per_step"] = [
+            {"op": op, "bucket": b, "ms": round(t / n * 1e3, 2)}
+            for op, (b, t) in sorted(
+                parsed["per_op"].items(), key=lambda kv: -kv[1][1])[:25]
+        ]
     with open(os.path.join(outdir, "profile_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
