@@ -280,7 +280,26 @@ def main():
     # eval workload (examples/e2e_7b_pipeline.py / BASELINE.md)
     spec_drafts = [[int(t) for t in o] for o in outs_e]
     for arg in sys.argv[4:]:
-        if arg.startswith("spec"):
+        if arg.startswith("speccold"):
+            # cold-draft lower bound: NO draft_ref seeding — the proposer
+            # falls back to 2-gram lookup over the slot's own prompt+history
+            # (the acceptance a forgotten/never-seen answer actually gets)
+            k = int(arg[8:])
+            toks_s, dt_s, lat_s, _, st = run_engine(
+                mcfg, params, requests, slots, speculate_k=k, draft_refs=None)
+            record(f"cont+speccold{k}", toks_s, dt_s, lat_s,
+                   drafts="none (prompt+history lookup only, cold)",
+                   caveat="random-init weights decode into repetitive loops "
+                          "the history lookup predicts near-perfectly, so "
+                          "this leg's acceptance is NOT a realistic cold "
+                          "lower bound — the realistic number is the e2e "
+                          "pipeline's spec eval on a trained model "
+                          "(examples/e2e_7b/pipeline.json)", **st)
+            print(f"cont+speccold{k} B={slots}: {toks_s} useful tokens in {dt_s:6.1f}s "
+                  f"= {toks_s / dt_s:6.1f} tok/s   "
+                  f"latency p50 {pct(lat_s, 50):5.1f}s p95 {pct(lat_s, 95):5.1f}s   "
+                  f"({dt_b / dt_s:4.2f}x)", flush=True)
+        elif arg.startswith("spec"):
             k = int(arg[4:])
             toks_s, dt_s, lat_s, _, st = run_engine(
                 mcfg, params, requests, slots, speculate_k=k,

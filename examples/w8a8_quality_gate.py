@@ -337,11 +337,16 @@ def main():
         mu_noise = gate["deltas"][f"int8:{loss}"]["noise_MU"]
         noise_fq = gate["deltas"][f"int8:{loss}"]["noise_FQ"]
         noise_stat = gate["deltas"][f"int8:{loss}"]["noise_stat"]
-        for qspec in ("int8", "int4"):
-            qeval = run_dir / f"eval_results_{qspec}" / "eval_log_aggregated.json"
+        # int4 group sweep (VERDICT r4 weak #4: is the int4 FAIL an artifact
+        # of the default group=128 at gate scale?): g64/g32 halve/quarter the
+        # scale-group width — if dStat tracks group size the kernel is worth
+        # rescuing with finer groups; if it doesn't, int4 noise is structural
+        for qspec in ("int8", "int4", "int4:g64", "int4:g32"):
+            tag = qspec.replace(":", "_")
+            qeval = run_dir / f"eval_results_{tag}" / "eval_log_aggregated.json"
             if not qeval.exists():
-                qeval = evaluate(run_dir, suffix=f"_{qspec}", quantize_base=qspec)
-            m = metrics(qeval, gold_eval, f"eval-{qspec}:{loss}", run_dir / f"metrics_{qspec}.json")
+                qeval = evaluate(run_dir, suffix=f"_{tag}", quantize_base=qspec)
+            m = metrics(qeval, gold_eval, f"eval-{qspec}:{loss}", run_dir / f"metrics_{tag}.json")
             factors = {
                 k: float(v) for k, v in m.items()
                 if k.startswith(("Prob.", "ROUGE", "Truth Ratio"))
@@ -372,8 +377,10 @@ def main():
             print(f"{'eval-' + qspec + ':' + loss:30s} {row['Forget Quality']:9.4f} {dfq:8.4f} {dstat:8.4f} {mu_r:8.4f} {dmu:8.4f} {gen['exact_match']:6.3f} {gen['ned']:7.4f} {'ok' if ok else 'FAIL':>4s}")
 
     gate["pass"] = ok_all
+    # the shipped-default verdict is the group-128 kernel layout only; the
+    # g64/g32 sweep columns are recorded evidence for the rescue-vs-kill call
     int4_ok = all(
-        v["ok"] for k, v in gate["eval_precision"].items() if k.startswith("int4"))
+        v["ok"] for k, v in gate["eval_precision"].items() if k.startswith("int4:") and ":g" not in k)
     gate["int4_eval_pass"] = int4_ok
     gate["int4_experimental"] = not int4_ok
     with open(root / "gate.json", "w") as f:

@@ -100,8 +100,12 @@ def quantize_base_params(params, kind, spec):
     if any(is_qtensor(x) for x in jax.tree.leaves(params, is_leaf=is_qtensor)):
         return params  # pre-quantized checkpoint — nothing to do
 
-    bits = 4 if str(spec).strip().lower() == "int4" else 8
-    qt = lambda p: quantize_tree_inplace(p, bits=bits)
+    s = str(spec).strip().lower()
+    # "int4" (group 128) or "int4:g<N>" — smaller groups buy quantization
+    # accuracy at the cost of more scale traffic (the gate's group sweep)
+    bits = 4 if s.startswith("int4") else 8
+    gs = int(s.split(":g", 1)[1]) if bits == 4 and ":g" in s else 128
+    qt = lambda p: quantize_tree_inplace(p, bits=bits, group_size=gs)
     return (
         dict(params, language_model=qt(params["language_model"]))
         if is_vlm(kind) else qt(params)

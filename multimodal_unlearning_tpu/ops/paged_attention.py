@@ -22,16 +22,25 @@ Two implementations:
   contiguous [B, H, MP·page, D] view and run the masked reference attention.
   Correct everywhere; streams ``MP·page`` columns per row regardless of how
   long the row actually is.
-- **Pallas** (TPU): grid ``(B, Hkv, MP)`` with the layer id, block table and
+- **Pallas** (TPU): grid ``(B, MP)`` with the layer id, block table and
   per-row page counts scalar-prefetched — the index map points each grid
-  step's DMA straight at pool page ``table[b, j]``, so K/V bytes are read
-  exactly once, straight out of the pool (no gather materialization), with
-  an online-softmax accumulator across a row's pages.  Pages past the row's
+  step's DMA straight at pool page ``table[b, j]``, fetching ALL KV heads
+  of that page in one strided DMA (``[1, Hkv, 1, P, D]`` block: Hkv
+  contiguous 32 KB segments ≈ 1 MB per step at 7B shapes), with per-head
+  online-softmax accumulators across a row's pages.  Pages past the row's
   valid extent are *skipped* (the index map clamps to the previous page —
   no new DMA — and ``pl.when`` skips the compute), so short rows in a mixed
   batch cost only their own length: the paged kernel does strictly less
   memory traffic than the dense flash-decode kernel, which always streams
   the full [Smax, D] panel per row (ops/decode_attention.py).
+
+  The grid deliberately does NOT iterate heads: an earlier
+  ``(B, Hkv, MP)`` formulation issued one 32 KB DMA per (head, page) —
+  2048 grid steps/layer at the 7B serve shape — and the per-step fixed
+  cost (DMA issue, prologue, output writeback) made the kernel 5.4× the
+  dense one (557.7 vs 103.0 ms/dispatch, measured in
+  examples/serve_bench/paged_attrib.json).  Folding the head dim into
+  the block amortizes that overhead 32×.
 
 int8 pools carry per-position scales exactly like the dense int8 cache;
 the scales factor out of both dot products, so the math is bit-identical
@@ -94,9 +103,9 @@ def _page_counts(kv_valid, page: int):
 
 
 def _paged_kernel(l_ref, t_ref, n_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
-                  m_ref, d_ref, acc_ref):
+                  m_ref, d_ref, acc_ref, *, Hkv):
     del l_ref, t_ref  # consumed by the index maps
-    b, j = pl.program_id(0), pl.program_id(2)
+    b, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
@@ -108,35 +117,38 @@ def _paged_kernel(l_ref, t_ref, n_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
 
     @pl.when(j < n)
     def _page():
-        q = q_ref[0, 0]  # [Gp, D], pre-scaled by sm_scale
-        k = k_ref[0, 0, 0]  # [page, D]
-        v = v_ref[0, 0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [Gp, page]
         valid = valid_ref[0, 0, 0] > 0  # [page]
-        s = jnp.where(valid[None, :], s, _NEG_INF)
-        m_prev = m_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        # explicit zero on invalid columns: an all-invalid page (the
-        # alignment gap after a page-aligned shared prefix) must contribute
-        # nothing, but exp(-inf - -inf) would be 1 there
-        p = jnp.where(valid[None, :], jnp.exp(s - m_new), 0.0)
-        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = m_new
-        o_ref[0, 0] = (acc_ref[...] / jnp.maximum(d_ref[...], 1e-30)).astype(
-            o_ref.dtype)
+        # unrolled per-head 2D dots (Mosaic-safe; the [Gp, P] softmax state
+        # lives per head in the 3D scratch)
+        for h in range(Hkv):
+            q = q_ref[0, h]  # [Gp, D], pre-scaled by sm_scale
+            k = k_ref[0, h, 0]  # [page, D]
+            v = v_ref[0, h, 0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Gp, page]
+            s = jnp.where(valid[None, :], s, _NEG_INF)
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            # explicit zero on invalid columns: an all-invalid page (the
+            # alignment gap after a page-aligned shared prefix) must
+            # contribute nothing, but exp(-inf - -inf) would be 1 there
+            p = jnp.where(valid[None, :], jnp.exp(s - m_new), 0.0)
+            d_ref[h] = d_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = m_new
+            o_ref[0, h] = (acc_ref[h] / jnp.maximum(d_ref[h], 1e-30)).astype(
+                o_ref.dtype)
 
 
 def _paged_kernel_q8(l_ref, t_ref, n_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                     valid_ref, o_ref, m_ref, d_ref, acc_ref):
+                     valid_ref, o_ref, m_ref, d_ref, acc_ref, *, Hkv):
     del l_ref, t_ref
-    b, j = pl.program_id(0), pl.program_id(2)
+    b, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
@@ -148,30 +160,32 @@ def _paged_kernel_q8(l_ref, t_ref, n_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(j < n)
     def _page():
-        q = q_ref[0, 0]  # [Gp, D] bf16
-        # int8 -> bf16 is exact; per-position scales applied OUTSIDE the
-        # dots, also exactly (ops/decode_attention.py:_kernel_q8)
-        k = k_ref[0, 0, 0].astype(q.dtype)  # [page, D]
-        v = v_ref[0, 0, 0].astype(q.dtype)
-        k_s = ks_ref[0, 0, 0, 0]  # [page] f32
-        v_s = vs_ref[0, 0, 0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * k_s[None, :]
         valid = valid_ref[0, 0, 0] > 0
-        s = jnp.where(valid[None, :], s, _NEG_INF)
-        m_prev = m_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(valid[None, :], jnp.exp(s - m_new), 0.0)
-        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = (p * v_s[None, :]).astype(v.dtype)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = m_new
-        o_ref[0, 0] = (acc_ref[...] / jnp.maximum(d_ref[...], 1e-30)).astype(
-            o_ref.dtype)
+        for h in range(Hkv):
+            q = q_ref[0, h]  # [Gp, D] bf16
+            # int8 -> bf16 is exact; per-position scales applied OUTSIDE
+            # the dots, also exactly (ops/decode_attention.py:_kernel_q8)
+            k = k_ref[0, h, 0].astype(q.dtype)  # [page, D]
+            v = v_ref[0, h, 0].astype(q.dtype)
+            k_s = ks_ref[0, h, 0, 0]  # [page] f32
+            v_s = vs_ref[0, h, 0, 0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * k_s[None, :]
+            s = jnp.where(valid[None, :], s, _NEG_INF)
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(valid[None, :], jnp.exp(s - m_new), 0.0)
+            d_ref[h] = d_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = (p * v_s[None, :]).astype(v.dtype)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                pv, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = m_new
+            o_ref[0, h] = (acc_ref[h] / jnp.maximum(d_ref[h], 1e-30)).astype(
+                o_ref.dtype)
 
 
 def _pallas_paged(layer, table, npages, qs, k_pool, v_pool, k_s, v_s,
@@ -179,10 +193,17 @@ def _pallas_paged(layer, table, npages, qs, k_pool, v_pool, k_s, v_s,
     """The pallas_call on (possibly per-shard-local) arrays.
 
     qs [B, Hkv, Gp, D] pre-scaled grouped queries; pools [L, Hkv, NP, P, D];
-    scales [L, Hkv, NP, 1, P] or None; valid_p [B, MP, P] int32;
+    scales [L, Hkv, NP, 1, P] or None; valid_p [B, MP, 1, P] int32;
     table [B, MP] / npages [B] int32 (scalar-prefetched with the layer id).
     Returns [B, Hkv, Gp, D].
+
+    Grid (B, MP): one step per (row, page) covering ALL KV heads — the
+    [1, Hkv, 1, P, D] block is one strided DMA of Hkv contiguous [P, D]
+    segments (see module docstring for why the head dim must not be a grid
+    axis).
     """
+    from functools import partial as _partial
+
     B, Hkv, Gp, D = qs.shape
     _, _, _, P, _ = k_pool.shape
     MP = table.shape[1]
@@ -194,37 +215,36 @@ def _pallas_paged(layer, table, npages, qs, k_pool, v_pool, k_s, v_s,
         jc = jnp.minimum(j, jnp.maximum(n_ref[b] - 1, 0))
         return t_ref[b, jc]
 
-    kv_map = lambda b, h, j, l, t, n: (l[0], h, page_of(b, j, n, t), 0, 0)
-    sc_map = lambda b, h, j, l, t, n: (l[0], h, page_of(b, j, n, t), 0, 0)
+    kv_map = lambda b, j, l, t, n: (l[0], 0, page_of(b, j, n, t), 0, 0)
     # validity rides as [B, MP, 1, P] so the block's last-two dims (1, P)
     # equal the array's — Mosaic requires (8, 128)-divisible or full-dim
     # blocks on the minor two axes (a (1, P) block over [B, MP, P] is not)
-    vmask_map = lambda b, h, j, l, t, n: (
+    vmask_map = lambda b, j, l, t, n: (
         b, jnp.minimum(j, jnp.maximum(n[b] - 1, 0)), 0, 0)
 
-    kv_spec = pl.BlockSpec((1, 1, 1, P, D), kv_map)
+    kv_spec = pl.BlockSpec((1, Hkv, 1, P, D), kv_map)
     in_specs = [
-        pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, l, t, n: (b, h, 0, 0)),
+        pl.BlockSpec((1, Hkv, Gp, D), lambda b, j, l, t, n: (b, 0, 0, 0)),
         kv_spec, kv_spec,
     ]
     operands = [qs, k_pool, v_pool]
-    kernel = _paged_kernel
+    kernel = _partial(_paged_kernel, Hkv=Hkv)
     if quantized:
-        in_specs += [pl.BlockSpec((1, 1, 1, 1, P), sc_map)] * 2
+        in_specs += [pl.BlockSpec((1, Hkv, 1, 1, P), kv_map)] * 2
         operands += [k_s, v_s]
-        kernel = _paged_kernel_q8
+        kernel = _partial(_paged_kernel_q8, Hkv=Hkv)
     in_specs.append(pl.BlockSpec((1, 1, 1, P), vmask_map))
     operands.append(valid_p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv, MP),
+        grid=(B, MP),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, j, l, t, n: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, j, l, t, n: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Gp, 1), jnp.float32),  # running max
-            pltpu.VMEM((Gp, 1), jnp.float32),  # running denom
-            pltpu.VMEM((Gp, D), jnp.float32),  # running numerator
+            pltpu.VMEM((Hkv, Gp, 1), jnp.float32),  # running max
+            pltpu.VMEM((Hkv, Gp, 1), jnp.float32),  # running denom
+            pltpu.VMEM((Hkv, Gp, D), jnp.float32),  # running numerator
         ],
     )
     return pl.pallas_call(
@@ -319,8 +339,8 @@ def paged_decode_attention(
 
 
 def _paged_chunk_kernel(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
-                        valid_ref, o_ref, m_ref, d_ref, acc_ref, *, C, P):
-    b, j = pl.program_id(0), pl.program_id(2)
+                        valid_ref, o_ref, m_ref, d_ref, acc_ref, *, C, P, Hkv):
+    b, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
@@ -332,75 +352,79 @@ def _paged_chunk_kernel(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
 
     @pl.when(j < n)
     def _page():
-        q = q_ref[0, 0]  # [Mp, D]; row m = g*C + c
-        k = k_ref[0, 0, 0]  # [P, D]
-        v = v_ref[0, 0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [Mp, P]
-        Mp = s.shape[0]
-        col = j * P + jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 1)  # logical
-        c = jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 0) % C
-        off = off_ref[b]
-        in_chunk = (col >= off) & (col <= off + c)
-        mask = (valid_ref[0, 0, 0][None, :] > 0) | in_chunk
-        s = jnp.where(mask, s, _NEG_INF)
-        m_prev = m_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = m_new
-        o_ref[0, 0] = (acc_ref[...] / jnp.maximum(d_ref[...], 1e-30)).astype(
-            o_ref.dtype)
-
-
-def _paged_chunk_kernel_q8(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
-                           ks_ref, vs_ref, valid_ref, o_ref,
-                           m_ref, d_ref, acc_ref, *, C, P):
-    b, j = pl.program_id(0), pl.program_id(2)
-
-    @pl.when(j == 0)
-    def _init():
-        m_ref[...] = jnp.full(m_ref.shape, _NEG_INF, m_ref.dtype)
-        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
-        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-
-    n = n_ref[b]
-
-    @pl.when(j < n)
-    def _page():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0, 0].astype(q.dtype)
-        v = v_ref[0, 0, 0].astype(q.dtype)
-        k_s = ks_ref[0, 0, 0, 0]
-        v_s = vs_ref[0, 0, 0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * k_s[None, :]
-        Mp = s.shape[0]
+        Mp = q_ref.shape[2]
+        # head-independent masks: logical column of page j + in-chunk causal
         col = j * P + jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 1)
         c = jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 0) % C
         off = off_ref[b]
         in_chunk = (col >= off) & (col <= off + c)
         mask = (valid_ref[0, 0, 0][None, :] > 0) | in_chunk
-        s = jnp.where(mask, s, _NEG_INF)
-        m_prev = m_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        d_ref[...] = d_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = (p * v_s[None, :]).astype(v.dtype)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = m_new
-        o_ref[0, 0] = (acc_ref[...] / jnp.maximum(d_ref[...], 1e-30)).astype(
-            o_ref.dtype)
+        for h in range(Hkv):
+            q = q_ref[0, h]  # [Mp, D]; row m = g*C + c
+            k = k_ref[0, h, 0]  # [P, D]
+            v = v_ref[0, h, 0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Mp, P]
+            s = jnp.where(mask, s, _NEG_INF)
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            d_ref[h] = d_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = m_new
+            o_ref[0, h] = (acc_ref[h] / jnp.maximum(d_ref[h], 1e-30)).astype(
+                o_ref.dtype)
+
+
+def _paged_chunk_kernel_q8(l_ref, t_ref, n_ref, off_ref, q_ref, k_ref, v_ref,
+                           ks_ref, vs_ref, valid_ref, o_ref,
+                           m_ref, d_ref, acc_ref, *, C, P, Hkv):
+    b, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, _NEG_INF, m_ref.dtype)
+        d_ref[...] = jnp.zeros(d_ref.shape, d_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    n = n_ref[b]
+
+    @pl.when(j < n)
+    def _page():
+        Mp = q_ref.shape[2]
+        col = j * P + jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (Mp, P), 0) % C
+        off = off_ref[b]
+        in_chunk = (col >= off) & (col <= off + c)
+        mask = (valid_ref[0, 0, 0][None, :] > 0) | in_chunk
+        for h in range(Hkv):
+            q = q_ref[0, h]
+            k = k_ref[0, h, 0].astype(q.dtype)
+            v = v_ref[0, h, 0].astype(q.dtype)
+            k_s = ks_ref[0, h, 0, 0]
+            v_s = vs_ref[0, h, 0, 0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * k_s[None, :]
+            s = jnp.where(mask, s, _NEG_INF)
+            m_prev = m_ref[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            d_ref[h] = d_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = (p * v_s[None, :]).astype(v.dtype)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                pv, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[h] = m_new
+            o_ref[0, h] = (acc_ref[h] / jnp.maximum(d_ref[h], 1e-30)).astype(
+                o_ref.dtype)
 
 
 def paged_chunk_decode_attention(
@@ -444,34 +468,35 @@ def paged_chunk_decode_attention(
         jc = jnp.minimum(j, jnp.maximum(n_ref[b] - 1, 0))
         return t_ref[b, jc]
 
-    kv_map = lambda b, h, j, l, t, n, off: (l[0], h, page_of(b, j, n, t), 0, 0)
+    # grid (B, MP), all-heads blocks — same rationale as _pallas_paged
+    kv_map = lambda b, j, l, t, n, off: (l[0], 0, page_of(b, j, n, t), 0, 0)
     # [B, MP, 1, P] validity: see _pallas_paged (Mosaic minor-dims rule)
-    vmask_map = lambda b, h, j, l, t, n, off: (
+    vmask_map = lambda b, j, l, t, n, off: (
         b, jnp.minimum(j, jnp.maximum(n[b] - 1, 0)), 0, 0)
-    kv_spec = pl.BlockSpec((1, 1, 1, P, D), kv_map)
+    kv_spec = pl.BlockSpec((1, Hkv, 1, P, D), kv_map)
     in_specs = [
-        pl.BlockSpec((1, 1, Mp, D), lambda b, h, j, l, t, n, off: (b, h, 0, 0)),
+        pl.BlockSpec((1, Hkv, Mp, D), lambda b, j, l, t, n, off: (b, 0, 0, 0)),
         kv_spec, kv_spec,
     ]
     operands = [qs, k_pool, cache["v"]]
-    kernel = _partial(_paged_chunk_kernel, C=C, P=P)
+    kernel = _partial(_paged_chunk_kernel, C=C, P=P, Hkv=Hkv)
     if quantized:
-        in_specs += [pl.BlockSpec((1, 1, 1, 1, P), kv_map)] * 2
+        in_specs += [pl.BlockSpec((1, Hkv, 1, 1, P), kv_map)] * 2
         operands += [cache["k_s"], cache["v_s"]]
-        kernel = _partial(_paged_chunk_kernel_q8, C=C, P=P)
+        kernel = _partial(_paged_chunk_kernel_q8, C=C, P=P, Hkv=Hkv)
     in_specs.append(pl.BlockSpec((1, 1, 1, P), vmask_map))
     operands.append(valid_p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, Hkv, MP),
+        grid=(B, MP),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, Mp, D), lambda b, h, j, l, t, n, off: (b, h, 0, 0)),
+            (1, Hkv, Mp, D), lambda b, j, l, t, n, off: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Mp, 1), jnp.float32),
-            pltpu.VMEM((Mp, 1), jnp.float32),
-            pltpu.VMEM((Mp, D), jnp.float32),
+            pltpu.VMEM((Hkv, Mp, 1), jnp.float32),
+            pltpu.VMEM((Hkv, Mp, 1), jnp.float32),
+            pltpu.VMEM((Hkv, Mp, D), jnp.float32),
         ],
     )
     out = pl.pallas_call(
