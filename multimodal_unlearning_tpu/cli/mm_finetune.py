@@ -154,7 +154,9 @@ def run(cfg):
 
     if use_lora:
         frozen_arg = None  # params kept on host for the merge below
-        final = lora_mod.merge_model(params, state.trainable, scale)
+        # consume=True: stream the dequant+fold leaf-by-leaf so the int8
+        # base and its dense copy are never both resident (7B OOMs otherwise)
+        final = lora_mod.merge_model(params, state.trainable, scale, consume=True)
     else:
         final = state.trainable if frozen_arg is None else merge_trees(state.trainable, frozen_arg)
     common.save_model(save_dir, model_cfg, final)

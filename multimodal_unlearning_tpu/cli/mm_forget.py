@@ -301,7 +301,10 @@ def _run(cfg):
 
     if cfg.get("save_model", True):
         if use_lora:
-            final = lora_mod.merge_model(params, state.trainable, scale)
+            # consume=True: end-of-run — stream the merge, free the int8
+            # base (and the teacher aliasing it) leaf by leaf
+            final = lora_mod.merge_model(params, state.trainable, scale,
+                                         consume=True)
         else:
             from multimodal_unlearning_tpu.utils.pytree import merge_trees
             final = state.trainable if merged_frozen is None else merge_trees(state.trainable, merged_frozen)

@@ -128,7 +128,8 @@ def run(cfg):
         resume=bool(cfg.get("resume_from_checkpoint")),
     )
 
-    final = lora_mod.merge(params, state.trainable, scale) if use_lora else state.trainable
+    final = (lora_mod.merge(params, state.trainable, scale, consume=True)
+             if use_lora else state.trainable)
     common.save_model(save_dir, model_cfg, final)
     if use_lora and cfg.get("save_adapters"):
         from multimodal_unlearning_tpu.train.checkpoints import save_adapter

@@ -226,7 +226,7 @@ def run(cfg):
 
     if cfg.get("save_model", True):
         if use_lora:
-            final = lora_mod.merge(params, final_trainable, scale)
+            final = lora_mod.merge(params, final_trainable, scale, consume=True)
         else:
             final = final_trainable
         common.save_model(save_dir, model_cfg, final)

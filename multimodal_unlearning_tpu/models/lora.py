@@ -12,6 +12,8 @@ adapters into the dense weights for checkpoint export.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 
@@ -136,11 +138,14 @@ def merge_flat(flat_params: dict, lora: dict, scale: float) -> dict:
     return out
 
 
-def merge_model(params: dict, adapters: dict, scale: float) -> dict:
+def merge_model(params: dict, adapters: dict, scale: float,
+                consume: bool = False) -> dict:
     """Model-level merge_and_unload: decoder layers + projector adapters."""
     if "language_model" not in adapters:
-        return merge(params, adapters, scale)
-    out = dict(params, language_model=merge(params["language_model"], adapters["language_model"], scale))
+        return merge(params, adapters, scale, consume=consume)
+    out = dict(params, language_model=merge(
+        params["language_model"], adapters["language_model"], scale,
+        consume=consume))
     proj = adapters.get("projector")
     if proj:
         site = _projector_site(out)
@@ -153,23 +158,90 @@ def merge_model(params: dict, adapters: dict, scale: float) -> dict:
     return out
 
 
-def merge(params: dict, lora: dict, scale: float) -> dict:
+def merge(params: dict, lora: dict, scale: float, consume: bool = False) -> dict:
     """merge_and_unload analog: fold adapters into dense weights.
 
     Handles an int8-quantized (QLoRA) base: QTensor leaves are dequantized to
     bf16 before folding, and the whole returned tree is dense (saveable) —
-    reference merges via peft then saves dense (mm/forget.py:110-115)."""
-    from multimodal_unlearning_tpu.utils.quantize import dequantize_tree
+    reference merges via peft then saves dense (mm/forget.py:110-115).
+
+    ``consume=True`` streams the merge one leaf at a time and DELETES each
+    source buffer (the QTensor's device arrays) before touching the next.
+    The default path holds the int8 tree AND its full dense copy alive at
+    once — 6.7 + 13.5 GB at 7B, which OOMs a 16 GB v5e at the end-of-run
+    merge (observed in examples/e2e_7b_pipeline.py's finetune stage); the
+    streaming path peaks at dense-so-far + int8-remainder ≤ the dense tree
+    plus one leaf.  Leaves are bit-identical to the default path (same
+    dequant→promote→fold→demote order, fused in one jitted program per
+    leaf).  Use only at end-of-run merges: the input tree is unusable after.
+    """
+    from multimodal_unlearning_tpu.utils.quantize import is_qtensor
 
     lead = next(iter(lora.get("layers", {}).values()), None)
     dq_dtype = lead["b"].dtype if lead is not None else jnp.bfloat16
-    merged = dequantize_tree(params, dq_dtype)
-    merged_layers = dict(merged["layers"])
-    for name, ab in lora.get("layers", {}).items():
-        w = merged_layers[name]
-        # promote, never demote: bf16 adapters fold in f32, f64 stays f64
-        acc = jnp.promote_types(ab["a"].dtype, jnp.float32)
-        delta = jnp.einsum("lir,lro->lio", ab["a"].astype(acc), ab["b"].astype(acc))
-        merged_layers[name] = (w.astype(acc) + scale * delta).astype(w.dtype)
-    merged["layers"] = merged_layers
+    lora_layers = lora.get("layers", {})
+
+    # both paths run the SAME jitted per-leaf programs, so consume=True is
+    # bit-identical to the default (round-4 lesson: an eager twin drifts by
+    # 1 ulp and every exactness test downstream breaks).  Only QTensor
+    # sources are deleted: they are the memory hogs, and dense leaves may be
+    # shared with other live trees (quantize_tree passes small leaves
+    # through by reference).
+    def finish(src, out):
+        if consume and is_qtensor(src):
+            jax.block_until_ready(out)
+            _delete_leaf(src)
+        return out
+
+    def dq_walk(node):
+        if is_qtensor(node):
+            return finish(node, _dq_leaf_jit(node, dq_dtype))
+        if isinstance(node, dict):
+            return {k: dq_walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            raise TypeError(
+                "merge traverses dicts only; found a "
+                f"{type(node).__name__} container")
+        return node
+
+    merged = {}
+    for key, sub in params.items():
+        if key != "layers":
+            merged[key] = dq_walk(sub)
+            continue
+        merged_layers = {}
+        for name, w in sub.items():
+            ab = lora_layers.get(name)
+            if ab is None:
+                merged_layers[name] = dq_walk(w)
+            else:
+                merged_layers[name] = finish(w, _fold_leaf_jit(
+                    w, ab["a"], ab["b"], float(scale), dq_dtype, is_qtensor(w)))
+        merged["layers"] = merged_layers
     return merged
+
+
+def _delete_leaf(node):
+    for v in jax.tree.leaves(node):
+        if isinstance(v, jax.Array):
+            v.delete()
+
+
+@_functools.partial(jax.jit, static_argnames=("dtype",))
+def _dq_leaf_jit(qt, dtype):
+    from multimodal_unlearning_tpu.utils.quantize import dequantize_leaf
+
+    return dequantize_leaf(qt, dtype)
+
+
+@_functools.partial(jax.jit, static_argnames=("scale", "dtype", "quantized"))
+def _fold_leaf_jit(w, a, b, scale, dtype, quantized):
+    """One merged layer leaf, fused: matches the default path's numerics
+    exactly — dequantize to ``dtype`` first, THEN promote and fold."""
+    from multimodal_unlearning_tpu.utils.quantize import dequantize_leaf
+
+    if quantized:
+        w = dequantize_leaf(w, dtype)
+    acc = jnp.promote_types(a.dtype, jnp.float32)
+    delta = jnp.einsum("lir,lro->lio", a.astype(acc), b.astype(acc))
+    return (w.astype(acc) + scale * delta).astype(w.dtype if not quantized else dtype)

@@ -264,6 +264,40 @@ def test_lora_merge_with_quantized_base_saves_dense():
     assert hasattr(merged["lm_head"], "dtype")
 
 
+def test_lora_merge_consume_matches_and_frees():
+    """merge(consume=True) — the end-of-run streaming path every CLI uses at
+    7B — must produce leaves bit-identical to the default path AND delete
+    every source buffer of the quantized base (the whole point: the int8
+    tree and its dense copy are never co-resident)."""
+    from multimodal_unlearning_tpu.models import lora
+    from multimodal_unlearning_tpu.utils.quantize import is_qtensor
+
+    cfg, params = big_decoder()
+    qp = quantize_tree(params)
+    qp2 = quantize_tree(params)  # second copy: consume destroys its input
+    adapters = lora.init_lora(qp["layers"], 4, jax.random.PRNGKey(2))
+    # nonzero B so the fold itself is exercised, not just the dequant
+    adapters = jax.tree.map(
+        lambda x: x + 0.01 if x.shape[-1] != 4 else x, adapters)
+    scale = lora.lora_scale(4, 32)
+    qsrc = [l for node in jax.tree.leaves(qp2, is_leaf=is_qtensor)
+            if is_qtensor(node) for l in jax.tree.leaves(node)]
+    assert qsrc
+    want = lora.merge(qp, adapters, scale)
+    got = lora.merge(qp2, adapters, scale, consume=True)
+    assert jax.tree.structure(want) == jax.tree.structure(got)
+    jax.tree.map(
+        lambda w, g: np.testing.assert_array_equal(np.asarray(w), np.asarray(g)),
+        want, got)
+    # every quantized source buffer is dead
+    assert all(l.is_deleted() for l in qsrc if isinstance(l, jax.Array))
+    # list containers refuse loudly rather than silently skipping
+    qp3 = quantize_tree(params)
+    qp3["layers"]["as_list"] = [jnp.zeros((4, 4))]
+    with np.testing.assert_raises(TypeError):
+        lora.merge(qp3, adapters, scale, consume=True)
+
+
 # ---------------------------------------------------------------------------
 # int4 (W4A16): grouped scales along the contracting dim — half the int8
 # weight stream again.  Decode is weight-bandwidth-bound (BASELINE.md), so
