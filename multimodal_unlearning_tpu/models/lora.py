@@ -186,11 +186,18 @@ def merge(params: dict, lora: dict, scale: float, consume: bool = False) -> dict
     # 1 ulp and every exactness test downstream breaks).  Only QTensor
     # sources are deleted: they are the memory hogs, and dense leaves may be
     # shared with other live trees (quantize_tree passes small leaves
-    # through by reference).
+    # through by reference).  consume additionally moves each merged leaf to
+    # HOST memory as it lands — the consume path's one consumer is
+    # save_model, so the device never holds the dense tree at all (holding
+    # it peaked over 16 GB at 7B even with streaming: second observed OOM
+    # in examples/e2e_7b_pipeline.py).
     def finish(src, out):
-        if consume and is_qtensor(src):
-            jax.block_until_ready(out)
-            _delete_leaf(src)
+        if consume:
+            host = jax.device_get(out)
+            out.delete()
+            if is_qtensor(src):
+                _delete_leaf(src)
+            return host
         return out
 
     def dq_walk(node):
@@ -236,12 +243,21 @@ def _dq_leaf_jit(qt, dtype):
 
 @_functools.partial(jax.jit, static_argnames=("scale", "dtype", "quantized"))
 def _fold_leaf_jit(w, a, b, scale, dtype, quantized):
-    """One merged layer leaf, fused: matches the default path's numerics
-    exactly — dequantize to ``dtype`` first, THEN promote and fold."""
+    """One merged layer leaf: matches the default path's numerics exactly —
+    dequantize to ``dtype`` first, THEN promote and fold.  The fold runs as
+    a ``lax.map`` over the stacked layer dim so the f32 delta transient is
+    one layer (~180 MB at 7B), not the whole [L, in, out] stack (5.8 GB —
+    the stack-wide einsum OOMed the 7B end-of-run merge)."""
     from multimodal_unlearning_tpu.utils.quantize import dequantize_leaf
 
-    if quantized:
-        w = dequantize_leaf(w, dtype)
     acc = jnp.promote_types(a.dtype, jnp.float32)
-    delta = jnp.einsum("lir,lro->lio", a.astype(acc), b.astype(acc))
-    return (w.astype(acc) + scale * delta).astype(w.dtype if not quantized else dtype)
+    out_dtype = dtype if quantized else w.dtype
+
+    def per_layer(args):
+        wl, al, bl = args
+        if quantized:
+            wl = dequantize_leaf(wl, dtype)
+        delta = al.astype(acc) @ bl.astype(acc)
+        return (wl.astype(acc) + scale * delta).astype(out_dtype)
+
+    return jax.lax.map(per_layer, (w, a, b))
