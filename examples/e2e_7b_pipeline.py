@@ -70,12 +70,24 @@ def main():
     root.mkdir(parents=True, exist_ok=True)
     stages = {}
 
-    def stage(name, fn):
+    progress = root / "stages.json"
+    if progress.exists():  # resume: completed stages are skipped by marker
+        stages.update(json.loads(progress.read_text()))
+
+    def stage(name, fn, done=None):
+        # idempotent like orchestrate/run_exps.py: a completed stage's
+        # artifact (`done` path) + its recorded wall skip re-execution, so
+        # a preempted pipeline run resumes at the first unfinished stage
+        if name in stages and done is not None and done.exists():
+            print(f"== stage {name}: skipped (artifact exists, "
+                  f"{stages[name]['wall_s']}s recorded)", flush=True)
+            return done
         gc.collect()
         t0 = time.perf_counter()
         result = fn()
         dt = time.perf_counter() - t0
         stages[name] = {"wall_s": round(dt, 1), "peak_hbm_gb": peak_hbm_gb()}
+        progress.write_text(json.dumps(stages, indent=2))
         print(f"== stage {name}: {dt:.1f}s  peak HBM {stages[name]['peak_hbm_gb']} GB",
               flush=True)
         return result
@@ -92,6 +104,7 @@ def main():
             # 16 GB v5e (bench.py op point); accumulate to effective bs 4
             batch_size=2, gradient_accumulation_steps=2, num_epochs=4,
             max_length=MAXLEN, lr=1e-3, save_dir=str(base),
+            merge_dtype="bfloat16",  # 14 GB ckpt, not 28 GB f32 (slow tunnel)
             quantize_base=QUANT, remat=QUANT, remat_policy="save_attn" if QUANT else None,
         )
         cfg["LoRA"]["r"] = 8
@@ -123,7 +136,7 @@ def main():
             forget_split="forget10+tofu", retain_split="retain90+tofu",
             forget_loss="npo", batch_size=2, gradient_accumulation_steps=4,
             num_epochs=5, max_length=MAXLEN, lr=1e-4,
-            save_dir=str(root / "npo"),
+            save_dir=str(root / "npo"), merge_dtype="bfloat16",
             quantize_base=QUANT, quantize_teacher=QUANT,
             int8_compute=QUANT, int8_bwd=QUANT,
             remat=QUANT, remat_policy="save_attn" if QUANT else None,
@@ -146,15 +159,17 @@ def main():
         return mm_calculate_metrics.run(cfg)
 
     t_all = time.perf_counter()
-    stage("finetune_7b", finetune)
-    gold_eval = stage("eval_base", lambda: evaluate(base, "eval_results"))
-    stage("forget_npo_7b", forget)
     npo = root / "npo"
+    stage("finetune_7b", finetune, done=base / "model.safetensors")
+    gold_eval = stage("eval_base", lambda: evaluate(base, "eval_results"),
+                      done=base / "eval_results" / "eval_log_aggregated.json")
+    stage("forget_npo_7b", forget, done=npo / "model.safetensors")
     evals = {}
     for k in (0, 4, 8):
         sub = f"eval_spec{k}"
         evals[k] = stage(f"eval_forgotten_spec{k}",
-                         lambda k=k, sub=sub: evaluate(npo, sub, speculative_k=k))
+                         lambda k=k, sub=sub: evaluate(npo, sub, speculative_k=k),
+                         done=npo / sub / "eval_log_aggregated.json")
         n_rows = 6 * 16  # 6 tasks x ds_size
         stages[f"eval_forgotten_spec{k}"]["samples_per_s"] = round(
             n_rows / stages[f"eval_forgotten_spec{k}"]["wall_s"], 2)

@@ -65,6 +65,15 @@ def dtype_of(cfg) -> jnp.dtype:
     ]
 
 
+def parse_dtype(name):
+    """None-preserving dtype parse for optional keys (e.g. ``merge_dtype``:
+    a 7B f32-LoRA merge otherwise writes a 28 GB f32 checkpoint)."""
+    if name is None or not isinstance(name, str):
+        return name
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
 def build_mesh(cfg):
     return make_mesh(MeshSpec.from_config(cfg.get("mesh")))
 

@@ -156,7 +156,9 @@ def run(cfg):
         frozen_arg = None  # params kept on host for the merge below
         # consume=True: stream the dequant+fold leaf-by-leaf so the int8
         # base and its dense copy are never both resident (7B OOMs otherwise)
-        final = lora_mod.merge_model(params, state.trainable, scale, consume=True)
+        final = lora_mod.merge_model(
+            params, state.trainable, scale, consume=True,
+            out_dtype=common.parse_dtype(cfg.get("merge_dtype")))
     else:
         final = state.trainable if frozen_arg is None else merge_trees(state.trainable, frozen_arg)
     common.save_model(save_dir, model_cfg, final)

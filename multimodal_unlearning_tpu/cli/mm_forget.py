@@ -303,8 +303,9 @@ def _run(cfg):
         if use_lora:
             # consume=True: end-of-run — stream the merge, free the int8
             # base (and the teacher aliasing it) leaf by leaf
-            final = lora_mod.merge_model(params, state.trainable, scale,
-                                         consume=True)
+            final = lora_mod.merge_model(
+                params, state.trainable, scale, consume=True,
+                out_dtype=common.parse_dtype(cfg.get("merge_dtype")))
         else:
             from multimodal_unlearning_tpu.utils.pytree import merge_trees
             final = state.trainable if merged_frozen is None else merge_trees(state.trainable, merged_frozen)

@@ -128,7 +128,8 @@ def run(cfg):
         resume=bool(cfg.get("resume_from_checkpoint")),
     )
 
-    final = (lora_mod.merge(params, state.trainable, scale, consume=True)
+    final = (lora_mod.merge(params, state.trainable, scale, consume=True,
+                            out_dtype=common.parse_dtype(cfg.get("merge_dtype")))
              if use_lora else state.trainable)
     common.save_model(save_dir, model_cfg, final)
     if use_lora and cfg.get("save_adapters"):

@@ -226,7 +226,9 @@ def run(cfg):
 
     if cfg.get("save_model", True):
         if use_lora:
-            final = lora_mod.merge(params, final_trainable, scale, consume=True)
+            final = lora_mod.merge(
+                params, final_trainable, scale, consume=True,
+                out_dtype=common.parse_dtype(cfg.get("merge_dtype")))
         else:
             final = final_trainable
         common.save_model(save_dir, model_cfg, final)

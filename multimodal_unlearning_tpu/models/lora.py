@@ -139,13 +139,14 @@ def merge_flat(flat_params: dict, lora: dict, scale: float) -> dict:
 
 
 def merge_model(params: dict, adapters: dict, scale: float,
-                consume: bool = False) -> dict:
+                consume: bool = False, out_dtype=None) -> dict:
     """Model-level merge_and_unload: decoder layers + projector adapters."""
     if "language_model" not in adapters:
-        return merge(params, adapters, scale, consume=consume)
+        return merge(params, adapters, scale, consume=consume,
+                     out_dtype=out_dtype)
     out = dict(params, language_model=merge(
         params["language_model"], adapters["language_model"], scale,
-        consume=consume))
+        consume=consume, out_dtype=out_dtype))
     proj = adapters.get("projector")
     if proj:
         site = _projector_site(out)
@@ -158,7 +159,8 @@ def merge_model(params: dict, adapters: dict, scale: float,
     return out
 
 
-def merge(params: dict, lora: dict, scale: float, consume: bool = False) -> dict:
+def merge(params: dict, lora: dict, scale: float, consume: bool = False,
+          out_dtype=None) -> dict:
     """merge_and_unload analog: fold adapters into dense weights.
 
     Handles an int8-quantized (QLoRA) base: QTensor leaves are dequantized to
@@ -177,8 +179,13 @@ def merge(params: dict, lora: dict, scale: float, consume: bool = False) -> dict
     """
     from multimodal_unlearning_tpu.utils.quantize import is_qtensor
 
+    # default: the adapters' dtype (f32 LoRA ⇒ f32 checkpoint — the
+    # historical behavior every exactness test pins).  ``out_dtype``
+    # overrides it: an f32-LoRA 7B otherwise merges to a 28 GB f32
+    # checkpoint, doubling every save/load (merge_dtype: bfloat16 in the
+    # train CLIs).
     lead = next(iter(lora.get("layers", {}).values()), None)
-    dq_dtype = lead["b"].dtype if lead is not None else jnp.bfloat16
+    dq_dtype = out_dtype or (lead["b"].dtype if lead is not None else jnp.bfloat16)
     lora_layers = lora.get("layers", {})
 
     # both paths run the SAME jitted per-leaf programs, so consume=True is
